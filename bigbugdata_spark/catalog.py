@@ -1,0 +1,35 @@
+"""Table access for the driver-generated star schema (TESTDATA.md).
+
+All queries go through ``table()`` so scans stay declarative: Catalyst gets
+the parquet relation directly and can push filters / prune columns into the
+scan (verify with plans.inspect.scan_info).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ops are also runnable as SQL text."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

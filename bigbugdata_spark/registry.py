@@ -1,0 +1,64 @@
+"""Named-query registry: the single source of truth behind __spark_entry__.py.
+
+Every operator from SURVEY.md §2 (and every extension operator) registers
+itself here as a (spark, sf_dir) -> DataFrame callable, optionally paired
+with an ANSI-SQL oracle string that DuckDB runs on the same parquet tables.
+
+Oracle-parity discipline (the driver hash-compares values):
+  * alias every computed column identically on both sides;
+  * cast aggregates explicitly (DuckDB SUM(int)->HUGEINT, floor->DOUBLE —
+    always pin to BIGINT/DOUBLE/VARCHAR);
+  * sum integer-valued columns where possible (exact in fp64);
+  * never return raw timestamps — format to strings on both sides;
+  * never return NaN — use NULL.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# modules that register queries at import time
+_QUERY_MODULES = (
+    "bigbugdata_spark.operators.relational",
+    "bigbugdata_spark.operators.dedup",
+    "bigbugdata_spark.operators.similarity",
+    "bigbugdata_spark.operators.text",
+    "bigbugdata_spark.operators.multimodal",
+    "bigbugdata_spark.operators.events",
+)
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, tags=tags, doc=(fn.__doc__ or "").strip()
+        )
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+    return REGISTRY

@@ -1,0 +1,29 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bigbugdata_spark.session import get_spark
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark(app_name="bigbugdata-tests")
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def sf_small():
+    return SF_SMALL
+
+
+@pytest.fixture(scope="session")
+def sf_oracle():
+    return SF_ORACLE

@@ -1,0 +1,73 @@
+"""Local mirror of the driver's DuckDB-oracle comparison.
+
+Runs a registered Spark query and its oracle SQL side-by-side and compares
+row count, column-name set, and an order-insensitive canonical multiset of
+values — stricter than the driver can be (exact value equality after
+canonicalization), so passing here should imply passing the gate.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import math
+
+import duckdb
+
+from bigbugdata_spark.catalog import TABLES
+
+
+def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _canon_value(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            return "0.0"
+        return repr(v)
+    if isinstance(v, dt.datetime):
+        return v.isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    return str(v)
+
+
+def canon_rows(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(tuple(_canon_value(r[i]) for i in order) for r in rows)
+
+
+def compare(spark_df, con, oracle_sql: str):
+    """Return (ok, message). Mirrors driver: count + schema + value multiset."""
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    rel = con.sql(oracle_sql)
+    d_cols = rel.columns
+    d_rows = rel.fetchall()
+
+    problems = []
+    if sorted(s_cols) != sorted(d_cols):
+        problems.append(f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+    if len(s_rows) != len(d_rows):
+        problems.append(f"row counts differ: spark={len(s_rows)} duckdb={len(d_rows)}")
+    if not problems:
+        cs = canon_rows(s_rows, s_cols)
+        cd = canon_rows(d_rows, d_cols)
+        if cs != cd:
+            diffs = [(a, b) for a, b in zip(cs, cd) if a != b][:5]
+            problems.append(f"values differ; first diffs (spark, duckdb): {diffs}")
+    return (not problems, "; ".join(problems) or "ok")
