@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the engine's headline queries on a warm
+SparkSession and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Inputs: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Execution is measured with the noop sink so the
+timing covers the full distributed plan without driver-side row transfer
+(BASELINE.md context: JVM startup alone exceeds the reference's runtime at
+small scales, so startup/warmup stays outside the measured window).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigbugdata_spark.registry import load_all  # noqa: E402
+from bigbugdata_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Curated headline set: the shuffling/joining/windowing ops that dominate
+# any real run, plus each extension family once implemented (tagged
+# "headline" at registration).
+FALLBACK_HEADLINE = (
+    "op07_hash_agg",
+    "op11_rpm_normalize",
+    "op13_floor_ratio_rrpm",
+    "op14_topk_with_gaps",
+    "op15_zscore_window",
+    "op18_semi_join",
+    "op21_filtered_sum_complement",
+)
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    specs = load_all()
+    names = [n for n, s in specs.items() if "headline" in s.tags] or list(
+        FALLBACK_HEADLINE
+    )
+    names = [n for n in names if n in specs]
+
+    spark = get_spark(app_name="bigbugdata-bench")
+    # Warm the JVM + codegen paths outside the measured window.
+    specs[names[0]].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        df = specs[name].fn(spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""KrakenUniq/Kraken2 report source + CSV/TSV sinks.
+
+Scan (SURVEY §2 ops 1-2; ref bigbugdata.py:248-254, 35-42): one TSV file per
+sample — two '#' comment lines, a header row, then tab-separated data rows.
+All files load as ONE DataFrame (Spark's multi-file scan is the distributed
+analog of the reference's per-file loop); file identity is recovered as a
+`sample_id` column from input_file_name().
+
+Sinks (ops 16-17, 23; ref bigbugdata.py:208-222, scripts/modify_reports.py:
+95-107): the pivoted presentation tables are O(taxa x samples) — bounded,
+sink-only — so fidelity mode formats them driver-side with python str()
+exactly like the reference's csv.DictWriter; scale mode writes the same
+values via Spark's distributed CSV writer.
+"""
+
+from __future__ import annotations
+
+import csv
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ref scripts/modify_reports.py:59-73 — the canonical 9-column report schema.
+# '%' is named pct; dup/cov keep raw string copies so sinks can echo the
+# input text byte-for-byte (the reference never casts dup: bigbugdata.py:196).
+REPORT_SCHEMA = T.StructType(
+    [
+        T.StructField("pct", T.StringType()),
+        T.StructField("reads", T.LongType()),
+        T.StructField("taxReads", T.LongType()),
+        T.StructField("kmers", T.LongType()),
+        T.StructField("dup", T.StringType()),
+        T.StructField("cov", T.StringType()),
+        T.StructField("taxID", T.LongType()),
+        T.StructField("rank", T.StringType()),
+        T.StructField("taxName", T.StringType()),
+    ]
+)
+
+
+def sample_id_expr(col):
+    """basename(path).rpartition('_')[0] (ref bigbugdata.py:35-42): greedy
+    prefix before the LAST underscore; '' when no underscore — matching
+    str.rpartition."""
+    basename = F.element_at(F.split(col, "/"), -1)
+    return F.regexp_extract(basename, r"^(.*)_", 1)
+
+
+def sample_name_expr(col):
+    """basename(path).split('_')[0] (ref scripts/filter_reports_by_taxid.py:29
+    — note: a DIFFERENT rule than sample_id_expr, preserved as such)."""
+    basename = F.element_at(F.split(col, "/"), -1)
+    return F.split(basename, "_").getItem(0)
+
+
+def read_reports(
+    spark: SparkSession, paths: list[str] | str, *, with_row_order: bool = False
+) -> DataFrame:
+    """Multi-file TSV scan with comment skip + header (op 1).
+
+    `with_row_order` adds a monotonically-increasing `row_order` column so
+    last-row-wins semantics for duplicate taxID rows within one report
+    (ref bigbugdata.py:278-284 overwrites; :301-302 accumulates) stay
+    reproducible.
+    """
+    df = (
+        spark.read.option("sep", "\t")
+        .option("header", True)
+        .option("comment", "#")
+        .schema(REPORT_SCHEMA)
+        .csv(paths)
+        .withColumn("sample_id", sample_id_expr(F.input_file_name()))
+    )
+    if with_row_order:
+        df = df.withColumn("row_order", F.monotonically_increasing_id())
+    return df
+
+
+def output_paths(results_dir: str, rank: str) -> tuple[Path, Path, Path]:
+    """Output path derivation (op 17, ref bigbugdata.py:19-32)."""
+    Path(results_dir).mkdir(parents=True, exist_ok=True)
+    d = Path(results_dir)
+    return (
+        d / f"combined_{rank}.csv",
+        d / f"rrpm_{rank}.csv",
+        d / f"tophits_{rank}.csv",
+    )
+
+
+def write_csv_fidelity(
+    file_path: Path, rows: list[dict], fieldnames: list[str]
+) -> None:
+    """Reference-exact CSV sink (op 16, ref bigbugdata.py:208-222): header
+    row, every value str()-ified, fixed column order. Driver-side by design:
+    inputs are the collected presentation pivots, never the fact table."""
+    with open(file_path, "w") as fh:
+        writer = csv.DictWriter(fh, fieldnames=fieldnames)
+        writer.writeheader()
+        for row in rows:
+            writer.writerow({k: str(v) for k, v in row.items()})
+
+
+def write_csv_scale(df: DataFrame, directory: str, single_file: bool = False) -> None:
+    """Scale-path CSV sink: distributed write, optional coalesce(1) when a
+    single ordered file is required (a physical-layout choice, not a plan
+    change)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.option("header", True).mode("overwrite").csv(directory)
+
+
+def write_tsv_with_preamble(
+    file_path: Path, rows: list[dict], fieldnames: list[str], preamble: list[str]
+) -> None:
+    """TSV sink with '#' comment preamble (op 23, ref
+    scripts/modify_reports.py:95-107). Timestamp lines come from the caller
+    for determinism."""
+    with open(file_path, "w") as fh:
+        for line in preamble:
+            fh.write(line.rstrip("\n") + "\n")
+        writer = csv.DictWriter(fh, fieldnames=fieldnames, delimiter="\t")
+        writer.writeheader()
+        writer.writerows(rows)

@@ -1,0 +1,97 @@
+"""Golden fidelity tests: the Spark kraken pipeline must reproduce the
+actual reference's combined/rrpm/tophits CSVs on deterministic synthetic
+reports — including the op-13 truncation, op-14 tie/gap, and op-15 NaN
+quirks (SURVEY.md §5.2-5.3)."""
+
+from __future__ import annotations
+
+import csv
+import math
+
+import pytest
+
+from bigbugdata_spark.operators.kraken import run_pipeline, write_outputs
+from tests.kraken_fixtures import generate_reports, load_reference
+
+GROUP_PATTERNS = [
+    ("CF_DNA_Negative$", "^CF_DNA"),
+    ("CF_RNA_Negative$", "^CF_RNA"),
+]
+
+FLOAT_COLS = {"rRPM", "e_val", "z_score"}
+
+
+def _read_csv(path):
+    with open(path) as fh:
+        return list(csv.DictReader(fh))
+
+
+def _assert_rows_match(ref_rows, our_rows, float_cols=(), where=""):
+    assert len(ref_rows) == len(our_rows), f"{where}: row counts differ"
+    for i, (r, o) in enumerate(zip(ref_rows, our_rows)):
+        assert r.keys() == o.keys(), f"{where} row {i}: columns differ"
+        for k in r:
+            if k in float_cols:
+                rv, ov = float(r[k]), float(o[k])
+                if math.isnan(rv):
+                    assert math.isnan(ov), f"{where} row {i} col {k}: {rv} vs {ov}"
+                else:
+                    assert ov == pytest.approx(rv, rel=1e-12), (
+                        f"{where} row {i} col {k}: {rv} vs {ov}"
+                    )
+            else:
+                assert r[k] == o[k], f"{where} row {i} col {k}: {r[k]!r} vs {o[k]!r}"
+
+
+@pytest.fixture(scope="module")
+def golden(tmp_path_factory, spark):
+    base = tmp_path_factory.mktemp("kraken")
+    report_paths = generate_reports(base / "reports", n_samples=8, n_taxa=200)
+
+    ref = load_reference()
+    ref.run(
+        report_paths=report_paths,
+        results_path=str(base / "ref"),
+        rank="species",
+        n_tophits=15,
+        group_patterns=GROUP_PATTERNS,
+    )
+
+    result = run_pipeline(
+        spark, report_paths, rank="species", n_tophits=15, group_patterns=GROUP_PATTERNS
+    )
+    write_outputs(result, str(base / "ours"), "species")
+    return base
+
+
+def test_combined_golden(golden):
+    ref = _read_csv(golden / "ref" / "combined_species.csv")
+    ours = _read_csv(golden / "ours" / "combined_species.csv")
+    _assert_rows_match(ref, ours, where="combined")
+
+
+def test_rrpm_golden(golden):
+    ref = _read_csv(golden / "ref" / "rrpm_species.csv")
+    ours = _read_csv(golden / "ours" / "rrpm_species.csv")
+    # rrpm sample columns are floats written via str(); compare exactly —
+    # the arithmetic is int/int division, bit-identical across engines.
+    _assert_rows_match(ref, ours, where="rrpm")
+
+
+def test_tophits_golden(golden):
+    ref = _read_csv(golden / "ref" / "tophits_species.csv")
+    ours = _read_csv(golden / "ours" / "tophits_species.csv")
+    _assert_rows_match(ref, ours, float_cols=FLOAT_COLS, where="tophits")
+
+
+def test_tophits_has_rank_gaps(golden):
+    """The reference's TODO quirk (bigbugdata.py:183-188): ranks are
+    assigned before the presence filter, so at least one sample should
+    show a non-contiguous rank sequence on this fixture."""
+    rows = _read_csv(golden / "ref" / "tophits_species.csv")
+    by_sample: dict[str, list[int]] = {}
+    for r in rows:
+        by_sample.setdefault(r["sampleName"], []).append(int(r["rank"]))
+    assert any(
+        ranks != list(range(1, len(ranks) + 1)) for ranks in by_sample.values()
+    ), "fixture produced no rank gaps; raise p_present or k"
