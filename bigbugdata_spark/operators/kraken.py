@@ -19,7 +19,9 @@ Divergences (each fail-fast or documented):
 * a sample with no taxID-0/1 rows makes the reference silently drop it
   from RPM and later KeyError (ref :121); we raise ValueError at once;
 * reads == 0 makes the reference crash with ZeroDivisionError (ref :275);
-  we emit NULL e_val;
+  we emit NULL e_val (via try_divide — ANSI mode would otherwise throw);
+* two report files resolving to one sample_id make the reference silently
+  keep only the last file (dict overwrite, ref :35-42); we raise ValueError;
 * taxName for a taxID is the first-seen name in the reference (ref :295);
   we take MIN(trim(taxName)) — identical whenever names are consistent.
 """
@@ -95,8 +97,13 @@ def side_stats(rows: DataFrame) -> DataFrame:
             F.col("dup").alias("dup_raw"),
             F.col("reads").alias("sample_reads"),
             F.col("cov").alias("cov_raw"),
+            # try_divide: Spark 4 runs ANSI mode, where `/` throws
+            # DIVIDE_BY_ZERO on reads == 0; the reference crashes there too
+            # (ZeroDivisionError, ref :275) — our documented divergence is
+            # NULL, which try_divide yields (ADVICE r1).
             (
-                (F.col("kmers") / F.col("reads")) * F.col("cov").cast("double")
+                F.try_divide(F.col("kmers"), F.col("reads"))
+                * F.col("cov").cast("double")
             ).alias("e_val"),
         )
     )
@@ -123,22 +130,31 @@ def rpm(dense: DataFrame, totals: DataFrame, samples: list[str]) -> DataFrame:
         raise ValueError(
             f"samples with no taxID 0/1 rows (cannot compute RPM): {missing}"
         )
+    # try_divide: n_reads == 0 (taxID-0/1 rows present but all zero reads)
+    # would throw under ANSI; the reference yields ZeroDivisionError — we
+    # emit NULL rpm for that degenerate sample (documented divergence).
     return dense.join(F.broadcast(totals), "sample_id").withColumn(
-        "rpm", F.col("reads") / (F.col("n_reads") / F.lit(1_000_000.0))
+        "rpm", F.try_divide(F.col("reads"), F.col("n_reads") / F.lit(1_000_000.0))
     )
 
 
 def zscores(rpm_df: DataFrame) -> DataFrame:
     """Population z-score of each taxon's dense RPM vector (op 15, ref
-    :322-331, scipy ddof=0). Explicit-moments formula (fp64-deterministic);
-    all-equal vectors give variance exactly 0 -> NaN like the reference."""
+    :322-331, scipy ddof=0). Explicit-moments formula (fp64-deterministic).
+
+    All-equal guard uses a RELATIVE epsilon (ADVICE r1): the explicit
+    moments of an all-equal non-integer vector can come out as a tiny
+    positive/negative residual (~1e-32 * mean^2) instead of exactly 0; any
+    real cross-sample variance is >= ~1e-6 * mean^2, so var <= 1e-18*mean^2
+    classifies exactly and emits the reference's NaN.
+    """
     w = Window.partitionBy("taxID")
     s = F.sum("rpm").over(w)
     ss = F.sum(F.col("rpm") * F.col("rpm")).over(w)
     n = F.count(F.lit(1)).over(w)
     mean = s / n
     var = ss / n - mean * mean
-    z = F.when(var <= 0, F.lit(float("nan"))).otherwise(
+    z = F.when(var <= F.lit(1e-18) * mean * mean, F.lit(float("nan"))).otherwise(
         (F.col("rpm") - mean) / F.sqrt(var)
     )
     return rpm_df.withColumn("z_score", z)
@@ -231,10 +247,21 @@ def run_pipeline(
 ) -> KrakenResult:
     """The reference's run() (ref bigbugdata.py:225-366) as a lazy plan-set."""
     reports = read_reports(spark, report_paths, with_row_order=True)
-    samples = sorted(
-        r[0] for r in reports.select("sample_id").distinct().collect()
-    )
-    samples = ordered_sample_ids(samples)
+    # Fail fast when two input files resolve to one sample_id: the reference
+    # dict silently keeps only the last file (ref bigbugdata.py:35-42) while
+    # a multi-file scan would union their rows — an undocumented divergence
+    # unless rejected here (ADVICE r1). The distinct list is one row per
+    # input file — never data-sized.
+    pairs = reports.select("sample_id", "path").distinct().collect()
+    by_sample: dict[str, list[str]] = {}
+    for r in pairs:
+        by_sample.setdefault(r["sample_id"], []).append(r["path"])
+    collisions = {s: ps for s, ps in by_sample.items() if len(ps) > 1}
+    if collisions:
+        raise ValueError(
+            f"multiple report files resolve to the same sample_id: {collisions}"
+        )
+    samples = ordered_sample_ids(sorted(by_sample))
 
     totals = sample_totals(reports)
     rows = species_rows(reports, rank)
@@ -243,7 +270,10 @@ def run_pipeline(
     side = side_stats(rows)
 
     dense = dense_matrix(fact, taxa_df, samples)
-    rpm_df = zscores(rpm(dense, totals, samples))
+    # persist: rpm_df feeds three consumers (the rrpm self-join's two sides
+    # and the tophits side-stats join); without it Spark recomputes the
+    # scan->agg->densify->window subtree per consumer (VERDICT r1 fix #3).
+    rpm_df = zscores(rpm(dense, totals, samples)).persist()
 
     groups = negative_control_groups(samples, group_patterns)
     mapping = control_lookup(samples, groups)

@@ -431,39 +431,37 @@ def op13_floor_ratio_rrpm(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides truncated, missing control measurement -> 0 -> guarded to 1.
     Python int() truncates toward zero; rpm >= 0 so FLOOR is identical.
 
-    Plan shape: rpm fact self-joined on (control key, part) — the control
-    side is re-keyed by the broadcast control mapping, so at scale this is
-    one shuffle of the fact table on (partkey) for the self-join; AQE
-    handles the skew if one control covers most samples.
+    Plan shape (restructured per VERDICT r1 fix #3): the naive form is an
+    rpm-fact SELF-join on (control key, part), which makes Spark compute
+    the whole scan->agg->join rpm subtree twice. Because each control here
+    sits inside its own group partition (MIN(s_suppkey) per nation), the
+    control's rpm is available IN-PARTITION: one window over
+    (l_partkey, s_nationkey) replaces the self-join — rpm is computed
+    once, and the query needs exactly one shuffle. The generic self-join
+    fallback (controls not members of their group) lives in
+    operators/kraken.py::rrpm with an explicit persist instead.
     """
     rpm = _rpm(spark, sf_dir)
     sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     ctrl = sup.groupBy("s_nationkey").agg(F.min("s_suppkey").alias("control_suppkey"))
     mapping = sup.join(F.broadcast(ctrl), "s_nationkey").select(
-        "s_suppkey", "control_suppkey"
+        "s_suppkey", "s_nationkey", "control_suppkey"
     )
-    ctrl_rpm = rpm.select(
-        F.col("l_suppkey").alias("ctrl_suppkey"),
-        F.col("l_partkey").alias("ctrl_partkey"),
-        F.col("rpm").alias("ctrl_rpm"),
-    )
-    return (
-        rpm.join(F.broadcast(mapping), rpm.l_suppkey == mapping.s_suppkey)
-        .join(
-            ctrl_rpm,
-            (F.col("control_suppkey") == F.col("ctrl_suppkey"))
-            & (F.col("l_partkey") == F.col("ctrl_partkey")),
-            "left",
-        )
-        .select(
-            "l_partkey",
-            "l_suppkey",
-            F.floor("rpm").alias("rpm_floor"),
-            (
-                F.floor("rpm").cast("double")
-                / F.greatest(F.floor(F.coalesce(F.col("ctrl_rpm"), F.lit(0.0))), F.lit(1).cast("long"))
-            ).alias("rrpm"),
-        )
+    j = rpm.join(F.broadcast(mapping), rpm.l_suppkey == mapping.s_suppkey)
+    w = Window.partitionBy("l_partkey", "s_nationkey")
+    ctrl_rpm = F.max(
+        F.when(F.col("l_suppkey") == F.col("control_suppkey"), F.col("rpm"))
+    ).over(w)
+    return j.select(
+        "l_partkey",
+        "l_suppkey",
+        F.floor("rpm").alias("rpm_floor"),
+        (
+            F.floor("rpm").cast("double")
+            / F.greatest(
+                F.floor(F.coalesce(ctrl_rpm, F.lit(0.0))), F.lit(1).cast("long")
+            )
+        ).alias("rrpm"),
     )
 
 
@@ -476,7 +474,7 @@ def op13_floor_ratio_rrpm(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op14_topk_with_gaps",
     oracle="""
         WITH rev AS (
-            SELECT o_custkey, CAST(FLOOR(SUM(o_totalprice)) AS BIGINT) AS score
+            SELECT o_custkey, CAST(FLOOR(ROUND(SUM(o_totalprice), 2)) AS BIGINT) AS score
             FROM orders GROUP BY o_custkey
         ),
         ranked AS (
@@ -509,8 +507,12 @@ def op14_topk_with_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
+    # ROUND(sum, 2) before FLOOR: o_totalprice is cent-valued, so rounding to
+    # cents cancels order-dependent fp summation error before truncation —
+    # without it a sum landing within 1 ulp of an integer boundary can floor
+    # differently between Spark and the oracle (ADVICE r1).
     rev = orders.groupBy("o_custkey").agg(
-        F.floor(F.sum("o_totalprice")).alias("score")
+        F.floor(F.round(F.sum("o_totalprice"), 2)).alias("score")
     )
     ranked = (
         rev.join(cust, rev.o_custkey == cust.c_custkey)
@@ -654,11 +656,11 @@ def op19_union_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op20_lastwins_merge",
     oracle="""
         WITH dna AS (
-            SELECT o_custkey, CAST(FLOOR(SUM(o_totalprice)) AS BIGINT) AS total_reads
+            SELECT o_custkey, CAST(FLOOR(ROUND(SUM(o_totalprice), 2)) AS BIGINT) AS total_reads
             FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
         ),
         rna AS (
-            SELECT o_custkey, CAST(FLOOR(SUM(o_totalprice)) AS BIGINT) AS total_reads
+            SELECT o_custkey, CAST(FLOOR(ROUND(SUM(o_totalprice), 2)) AS BIGINT) AS total_reads
             FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
         )
         SELECT COALESCE(rna.o_custkey, dna.o_custkey) AS o_custkey,
@@ -678,7 +680,7 @@ def op20_lastwins_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             orders.filter(F.col("o_orderstatus") == status)
             .groupBy("o_custkey")
-            .agg(F.floor(F.sum("o_totalprice")).alias("total_reads"))
+            .agg(F.floor(F.round(F.sum("o_totalprice"), 2)).alias("total_reads"))
             .withColumn("pri", F.lit(pri))
         )
 
@@ -726,11 +728,11 @@ def op21_filtered_sum_complement(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderpriority AS bucket,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
-               CAST(FLOOR(SUM(o_totalprice)) AS BIGINT) AS reads
+               CAST(FLOOR(ROUND(SUM(o_totalprice), 2)) AS BIGINT) AS reads
         FROM orders GROUP BY o_orderpriority
         UNION ALL
         SELECT 'root' AS bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
-               CAST(FLOOR(SUM(o_totalprice)) AS BIGINT) AS reads
+               CAST(FLOOR(ROUND(SUM(o_totalprice), 2)) AS BIGINT) AS reads
         FROM orders
         UNION ALL
         SELECT 'unclassified' AS bucket, CAST(0 AS BIGINT) AS n_orders,
@@ -745,11 +747,11 @@ def op22_union_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     per_bucket = orders.groupBy(F.col("o_orderpriority").alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.floor(F.sum("o_totalprice")).alias("reads"),
+        F.floor(F.round(F.sum("o_totalprice"), 2)).alias("reads"),
     )
     root = orders.agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.floor(F.sum("o_totalprice")).alias("reads"),
+        F.floor(F.round(F.sum("o_totalprice"), 2)).alias("reads"),
     ).select(F.lit("root").alias("bucket"), "n_orders", "reads")
     unclassified = spark.createDataFrame(
         [("unclassified", 0, 0)], "bucket string, n_orders bigint, reads bigint"

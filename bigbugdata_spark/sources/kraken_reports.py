@@ -60,22 +60,64 @@ def read_reports(
 ) -> DataFrame:
     """Multi-file TSV scan with comment skip + header (op 1).
 
-    `with_row_order` adds a monotonically-increasing `row_order` column so
-    last-row-wins semantics for duplicate taxID rows within one report
-    (ref bigbugdata.py:278-284 overwrites; :301-302 accumulates) stay
-    reproducible.
+    `with_row_order` adds a per-file line index so last-row-wins semantics
+    for duplicate taxID rows within one report (ref bigbugdata.py:278-284
+    overwrites; :301-302 accumulates) stay reproducible. The index comes
+    from a wholetext read (one record per file, contractually unsplittable)
+    + posexplode — NOT monotonically_increasing_id, whose cross-split
+    ordering stops matching file order once a file spans multiple scan
+    splits (ADVICE r1). Scale bound: wholetext holds one report in one task
+    (KrakenUniq reports are per-sample taxonomy summaries, <=10^5 rows /
+    a few MB — bounded by taxonomy size, not by corpus size); the
+    splittable fast path below serves order-free scans of any file size.
     """
-    df = (
+    if with_row_order:
+        return _read_reports_ordered(spark, paths)
+    # `path` is materialized at the scan (input_file_name is only valid
+    # before the first exchange) so callers can audit file<->sample mapping.
+    return (
         spark.read.option("sep", "\t")
         .option("header", True)
         .option("comment", "#")
         .schema(REPORT_SCHEMA)
         .csv(paths)
-        .withColumn("sample_id", sample_id_expr(F.input_file_name()))
+        .withColumn("path", F.input_file_name())
+        .withColumn("sample_id", sample_id_expr(F.col("path")))
     )
-    if with_row_order:
-        df = df.withColumn("row_order", F.monotonically_increasing_id())
-    return df
+
+
+def _read_reports_ordered(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """Wholetext + posexplode fidelity reader: row_order == physical line
+    index within the file, at any split/partition configuration."""
+    from pyspark.sql import Window
+
+    raw = (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .load(paths)
+        .select(
+            F.input_file_name().alias("_path"),
+            F.posexplode(F.split(F.col("value"), "\n")).alias("row_order", "_line"),
+        )
+        .filter((F.col("_line") != "") & ~F.col("_line").startswith("#"))
+    )
+    # drop the header row: first non-comment line per file
+    w = Window.partitionBy("_path").orderBy("row_order")
+    body = (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .withColumn("_f", F.split(F.col("_line"), "\t"))
+    )
+    cols = [
+        F.col("_f").getItem(i).cast(field.dataType).alias(field.name)
+        for i, field in enumerate(REPORT_SCHEMA.fields)
+    ]
+    return body.select(
+        *cols,
+        F.col("_path").alias("path"),
+        sample_id_expr(F.col("_path")).alias("sample_id"),
+        F.col("row_order"),
+    )
 
 
 def output_paths(results_dir: str, rank: str) -> tuple[Path, Path, Path]:
