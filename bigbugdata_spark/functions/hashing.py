@@ -1,0 +1,238 @@
+"""Cross-engine deterministic text/vector hashing primitives.
+
+Every primitive here exists twice, in lockstep: a Spark Column builder
+(built-in higher-order functions — JVM-side, whole-stage codegen, no
+Python UDFs) and a DuckDB SQL-string builder used by the oracle twins.
+Both compute bit-identical BIGINT values, so MinHash / SimHash /
+fingerprint operators get EXACT oracle parity instead of rows-only checks.
+
+Core primitive: a base-31 rolling polynomial hash of a word's characters
+mod P (Spark `aggregate` with 0 init == DuckDB `list_reduce`, verified:
+first step (0*31+c)%P == c). Word-n-gram (shingle) hashes combine word
+hashes positionally; MinHash permutations are (a*h+b) mod P with literal
+seeded coefficients; SimHash-32 spreads the 30-bit rolling hash over 32
+bits with a Knuth multiplicative step. All intermediates stay < 2^63.
+
+These are the utilities the reference lacks entirely (its only hash use
+is python dict/set membership, ref bigbugdata.py:239-245) — they exist
+for the LLM-pipeline extension operators (SURVEY.md §7 phase 3).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+P = 1_000_000_007  # rolling-hash modulus (30 bits)
+KNUTH = 2_654_435_761  # multiplicative spreader for simhash bits
+M32 = 1 << 32
+
+# MinHash permutation coefficients: fixed literals from a seeded RNG so
+# signatures are reproducible across sessions AND across engines.
+_rng = random.Random(0x5EED)
+N_HASHES = 64
+MINHASH_A = tuple(_rng.randrange(1, P) for _ in range(N_HASHES))
+MINHASH_B = tuple(_rng.randrange(0, P) for _ in range(N_HASHES))
+
+
+# ---------------------------------------------------------------------------
+# Spark column builders
+# ---------------------------------------------------------------------------
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of the lowercased text."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def word_hash(word: Column) -> Column:
+    """Base-31 rolling hash of the word's characters, mod P."""
+    return F.aggregate(
+        F.split(word, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + F.ascii(c)) % F.lit(P),
+    )
+
+
+def word_hashes(toks: Column) -> Column:
+    """Per-token rolling hashes (order + multiplicity preserved)."""
+    return F.transform(toks, word_hash)
+
+
+def shingle_hashes(whs: Column, n: int = 3) -> Column:
+    """Distinct hashes of word n-grams, combining word hashes positionally:
+    h(g_i) = (sum_j wh[i+j] * 31^(n-1-j)) mod P. Empty when < n tokens."""
+    coeffs = [31 ** (n - 1 - j) for j in range(n)]
+
+    def gram(i: Column) -> Column:
+        acc = F.lit(0).cast("long")
+        for j, c in enumerate(coeffs):
+            acc = acc + F.element_at(whs, i + F.lit(j)) * F.lit(c)
+        return acc % F.lit(P)
+
+    return F.when(
+        F.size(whs) >= n,
+        F.array_distinct(F.transform(F.sequence(F.lit(1), F.size(whs) - (n - 1)), gram)),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def minhash_signature(shingles: Column, k: int = N_HASHES) -> Column:
+    """k-component MinHash signature: sig[j] = min over shingles of
+    (a_j*h + b_j) mod P. NULL components when the shingle set is empty."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles,
+                    lambda h, a=MINHASH_A[j], b=MINHASH_B[j]: (
+                        F.lit(a) * h + F.lit(b)
+                    )
+                    % F.lit(P),
+                )
+            )
+            for j in range(k)
+        ]
+    )
+
+
+def band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH band keys: bands x (rows_per_band signature components joined
+    into one string). Unrolled at plan-build time (bands is tiny)."""
+    return F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at(sig, b * rows_per_band + r + 1).cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def _spread32(h: Column) -> Column:
+    """Knuth-spread the 30-bit rolling hash over 32 bits."""
+    return (h * F.lit(KNUTH)) % F.lit(M32)
+
+
+def simhash32(whs: Column) -> Column:
+    """32-bit SimHash over the word-hash multiset: bit j is set when the
+    +/-1 votes of all words' j-th bits sum positive (ties -> 0)."""
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda j: F.when(
+                F.aggregate(
+                    whs,
+                    F.lit(0).cast("long"),
+                    lambda acc, h: acc
+                    + (
+                        F.lit(2)
+                        * (
+                            (_spread32(h) / F.pow(F.lit(2.0), j).cast("long")).cast(
+                                "long"
+                            )
+                            % F.lit(2)
+                        )
+                        - F.lit(1)
+                    ),
+                )
+                > 0,
+                F.pow(F.lit(2.0), j).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def text_fingerprint(text: Column) -> Column:
+    """Order-sensitive document fingerprint: rolling hash over the token
+    hash sequence (multiplicity + order preserved), mod P."""
+    return F.aggregate(
+        word_hashes(tokens(text)),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(1_000_003) + h) % F.lit(P),
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Float-array dot product in double precision, summed left-to-right
+    (matches the oracle's list_reduce order for bit-identical results)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL-string builders (the oracle twins of the above)
+# ---------------------------------------------------------------------------
+
+
+def sql_tokens(text: str) -> str:
+    return f"regexp_split_to_array(lower(trim({text})), '\\s+')"
+
+
+def sql_word_hashes(toks: str) -> str:
+    # list_reduce has no init; its first step (acc=c1) equals Spark's
+    # (0*31+c1)%P because c1 < P.
+    return (
+        f"list_transform({toks}, w -> list_reduce("
+        f"list_transform(string_split(w, ''), c -> ascii(c)::BIGINT), "
+        f"(acc, x) -> (acc*31 + x) % {P}))"
+    )
+
+
+def sql_shingle_hashes(whs: str, n: int = 3) -> str:
+    coeffs = [31 ** (n - 1 - j) for j in range(n)]
+    terms = " + ".join(f"{whs}[i+{j}]*{c}" for j, c in enumerate(coeffs))
+    return (
+        f"list_distinct(list_transform(range(1, len({whs}) - {n - 2}), "
+        f"i -> ({terms}) % {P}))"
+    )
+
+
+def sql_minhash_signature(shingles: str, k: int = N_HASHES) -> str:
+    comps = ", ".join(
+        f"list_min(list_transform({shingles}, h -> ({MINHASH_A[j]}*h + {MINHASH_B[j]}) % {P}))"
+        for j in range(k)
+    )
+    return f"[{comps}]"
+
+
+def sql_simhash32(whs: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform({whs}, "
+        f"h -> 2*((((h*{KNUTH}) % {M32}) // {1 << j}) % 2) - 1)) > 0 "
+        f"THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
+        for j in range(32)
+    )
+    return f"({terms})"
+
+
+def sql_text_fingerprint(text: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, {sql_word_hashes(sql_tokens(text))}), "
+        f"(acc, h) -> (acc*1000003 + h) % {P})"
+    )
+
+
+def sql_dot(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (acc, v) -> acc + v)"
+    )
+
+
+def sql_norm(a: str, dim: int) -> str:
+    return f"sqrt({sql_dot(a, a, dim)})"

@@ -1,1 +1,265 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators over the `documents` table — the LLM-pipeline
+text family (SURVEY.md §7 phase 3; absent from the reference, whose only
+string op is taxName.strip(), ref bigbugdata.py:295-297).
+
+All hot-path expressions are built-in higher-order functions (JVM-side,
+whole-stage codegen — no Python UDFs anywhere); every query has an exact
+DuckDB oracle twin, with shared deterministic hashing from
+functions/hashing.py where hashes are involved.
+
+Scale posture: every query is a single scan + one hash-aggregate shuffle
+(or none); token explosion happens after column pruning so the scan reads
+only (doc_id/lang, text). At 100 TB the documents table is
+date/source-partitioned parquet and these plans are embarrassingly
+parallel."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigbugdata_spark.catalog import table
+from bigbugdata_spark.functions import hashing as H
+from bigbugdata_spark.registry import register
+
+# language marker words for the n-gram/stopword heuristic (tiny fixed
+# profiles; the honest version of langid at SQL speed)
+_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "y", "es"),
+}
+_STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "it", "on", "for")
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang, unnest({H.sql_tokens('text')}) AS term
+            FROM documents
+        )
+        SELECT lang,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS total_tokens,
+               CAST(COUNT(DISTINCT term) AS BIGINT) AS distinct_terms,
+               CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id) AS tokens_per_doc
+        FROM toks GROUP BY lang
+    """,
+    tags=("text", "agg", "headline"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics: tokenize -> explode -> aggregate.
+
+    Plan: scan (pruned to lang+text) -> generate (explode) -> partial agg
+    -> one shuffle on lang. The explode multiplies rows ~40x but never
+    materializes wide rows; at scale this is the canonical
+    scan-side-generate pattern."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(H.tokens(F.col("text"))).alias("term")
+    )
+    return toks.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("term").alias("distinct_terms"),
+        (F.count(F.lit(1)).cast("double") / F.countDistinct("doc_id")).alias(
+            "tokens_per_doc"
+        ),
+    )
+
+
+@register(
+    "text_term_frequencies",
+    oracle=f"""
+        WITH toks AS (
+            SELECT lang, unnest({H.sql_tokens('text')}) AS term
+            FROM documents
+        ),
+        counts AS (
+            SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS n
+            FROM toks GROUP BY lang, term
+        )
+        SELECT lang, term, n, CAST(rnk AS INT) AS rnk FROM (
+            SELECT lang, term, n,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, term ASC) AS rnk
+            FROM counts
+        ) WHERE rnk <= 10
+    """,
+    tags=("text", "window"),
+)
+def text_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 terms per language (the op-14 top-k pattern applied to term
+    statistics): one shuffle for the (lang, term) agg, one for the
+    per-lang window; k is tiny so AQE keeps the window stage small."""
+    toks = table(spark, sf_dir, "documents").select(
+        "lang", F.explode(H.tokens(F.col("text"))).alias("term")
+    )
+    counts = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("lang", "term", "n", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def _marker_count(toks, words: tuple[str, ...]):
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+_LANG_ID_SQL = f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS true_lang,
+               {{scores}}
+        FROM (SELECT doc_id, lang, {H.sql_tokens('text')} AS toks FROM documents)
+    )
+    SELECT doc_id, true_lang,
+           CASE
+             WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+             WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+             WHEN fr >= es AND fr > 0 THEN 'fr'
+             WHEN es > 0 THEN 'es'
+             ELSE 'und'
+           END AS pred_lang
+    FROM scored
+""".format(
+    scores=", ".join(
+        f"len(list_filter(toks, t -> list_contains({_sql_list(ws)}, t))) AS {lang}"
+        for lang, ws in _MARKERS.items()
+    )
+)
+
+
+@register("text_lang_id", oracle=_LANG_ID_SQL, tags=("text", "project"))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language identification (stopword-profile heuristic —
+    the SQL-speed version of n-gram langid). Pure per-row expression:
+    no shuffle at all; the scan prunes to (doc_id, lang, text)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("true_lang"), H.tokens(F.col("text")).alias("toks")
+    )
+    scores = {
+        lang: _marker_count(F.col("toks"), ws) for lang, ws in _MARKERS.items()
+    }
+    pred = (
+        F.when(
+            (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["es"])
+            & (scores["en"] > 0),
+            F.lit("en"),
+        )
+        .when(
+            (scores["de"] >= scores["fr"]) & (scores["de"] >= scores["es"]) & (scores["de"] > 0),
+            F.lit("de"),
+        )
+        .when((scores["fr"] >= scores["es"]) & (scores["fr"] > 0), F.lit("fr"))
+        .when(scores["es"] > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+    return docs.select("doc_id", "true_lang", pred.alias("pred_lang"))
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_obs,
+                   CAST(len({H.sql_tokens('text')}) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_punct,
+                   CAST(len(list_filter({H.sql_tokens('text')},
+                        t -> list_contains({_sql_list(_STOPWORDS)}, t))) AS BIGINT) AS n_stop
+            FROM documents
+        )
+        SELECT doc_id, n_chars_obs, n_tokens,
+               CAST(n_chars_obs AS DOUBLE) / n_tokens AS chars_per_token,
+               CAST(n_punct AS DOUBLE) / n_chars_obs AS punct_ratio,
+               CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+               (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 0.4 ELSE 0.0 END
+                + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars_obs < 0.1 THEN 0.3 ELSE 0.0 END
+                + CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.01 THEN 0.3 ELSE 0.0 END
+               ) AS quality
+        FROM base
+    """,
+    tags=("text", "project"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality scoring (length band, punctuation ratio,
+    stopword presence — the C4/Gopher-style rule family as pure column
+    expressions). No shuffle; identical fp arithmetic to the oracle."""
+    toks = H.tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    base = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_obs"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[^a-z0-9 ]")).cast("long").alias("n_punct"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars_obs")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    quality = (
+        F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio < 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return base.select(
+        "doc_id",
+        "n_chars_obs",
+        "n_tokens",
+        (F.col("n_chars_obs").cast("double") / F.col("n_tokens")).alias("chars_per_token"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len({H.sql_tokens('text')}) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_ish_tokens
+        FROM documents
+    """,
+    tags=("text", "project"),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    (alpha runs | digit runs | single punctuation) — the cheap proxy for
+    LLM token budgeting. Pure per-row expressions, no shuffle."""
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(H.tokens(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+        SELECT doc_id, {H.sql_text_fingerprint('text')} AS fingerprint
+        FROM documents
+    """,
+    tags=("text", "hash"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (exact-dup key
+    robust to formatting-free content equality). Bit-identical to the
+    DuckDB twin via the shared rolling-hash primitive — proof the hashing
+    layer is engine-portable."""
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", H.text_fingerprint(F.col("text")).alias("fingerprint")
+    )
