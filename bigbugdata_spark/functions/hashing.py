@@ -61,93 +61,63 @@ def word_hashes(toks: Column) -> Column:
     return F.transform(toks, word_hash)
 
 
+def let_bound(expr: Column, body) -> Column:
+    """Let-binding for HOF pipelines: evaluate `expr` ONCE and pass the
+    materialized value to `body`.
+
+    Interpreted higher-order functions re-evaluate any non-trivial child
+    expression every time a lambda body references it — e.g. three
+    element_at(word_hashes(...), i) references inside a shingle lambda
+    re-run the whole char-level hash per shingle per position (~100x
+    blowup, measured). transform over a single-element array binds the
+    evaluated value to the lambda variable instead."""
+    return F.element_at(F.transform(F.array(expr), body), 1)
+
+
 def shingle_hashes(whs: Column, n: int = 3) -> Column:
     """Distinct hashes of word n-grams, combining word hashes positionally:
     h(g_i) = (sum_j wh[i+j] * 31^(n-1-j)) mod P. Empty when < n tokens."""
     coeffs = [31 ** (n - 1 - j) for j in range(n)]
 
-    def gram(i: Column) -> Column:
-        acc = F.lit(0).cast("long")
-        for j, c in enumerate(coeffs):
-            acc = acc + F.element_at(whs, i + F.lit(j)) * F.lit(c)
-        return acc % F.lit(P)
+    def body(bound: Column) -> Column:
+        def gram(i: Column) -> Column:
+            acc = F.lit(0).cast("long")
+            for j, c in enumerate(coeffs):
+                acc = acc + F.element_at(bound, i + F.lit(j)) * F.lit(c)
+            return acc % F.lit(P)
 
-    return F.when(
-        F.size(whs) >= n,
-        F.array_distinct(F.transform(F.sequence(F.lit(1), F.size(whs) - (n - 1)), gram)),
-    ).otherwise(F.array().cast("array<bigint>"))
+        return F.when(
+            F.size(bound) >= n,
+            F.array_distinct(
+                F.transform(F.sequence(F.lit(1), F.size(bound) - (n - 1)), gram)
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
 
-
-def minhash_signature(shingles: Column, k: int = N_HASHES) -> Column:
-    """k-component MinHash signature: sig[j] = min over shingles of
-    (a_j*h + b_j) mod P. NULL components when the shingle set is empty."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    shingles,
-                    lambda h, a=MINHASH_A[j], b=MINHASH_B[j]: (
-                        F.lit(a) * h + F.lit(b)
-                    )
-                    % F.lit(P),
-                )
-            )
-            for j in range(k)
-        ]
-    )
+    return let_bound(whs, body)
 
 
-def band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
-    """LSH band keys: bands x (rows_per_band signature components joined
-    into one string). Unrolled at plan-build time (bands is tiny)."""
-    return F.array(
-        *[
-            F.concat_ws(
-                ",",
-                *[
-                    F.element_at(sig, b * rows_per_band + r + 1).cast("string")
-                    for r in range(rows_per_band)
-                ],
-            )
-            for b in range(bands)
-        ]
-    )
+def minhash_term(h: Column, j: int) -> Column:
+    """The j-th MinHash permutation of one shingle hash: (a_j*h+b_j) mod P.
+
+    Signatures are computed as explode(shingles) -> groupBy(doc) with 64
+    MIN(minhash_term(h, j)) aggregates rather than one giant nested-HOF
+    array expression: post-Aggregate columns are physically materialized,
+    so Catalyst's CollapseProject cannot inline (and so re-evaluate) the
+    signature into every downstream band-key expression — the naive array
+    formulation re-ran all 64 permutations 16x per row."""
+    return (F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j])) % F.lit(P)
 
 
-def _spread32(h: Column) -> Column:
-    """Knuth-spread the 30-bit rolling hash over 32 bits."""
+def spread32(h: Column) -> Column:
+    """Knuth-spread the 30-bit rolling hash over 32 bits (simhash input)."""
     return (h * F.lit(KNUTH)) % F.lit(M32)
 
 
-def simhash32(whs: Column) -> Column:
-    """32-bit SimHash over the word-hash multiset: bit j is set when the
-    +/-1 votes of all words' j-th bits sum positive (ties -> 0)."""
-    return F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(31)),
-            lambda j: F.when(
-                F.aggregate(
-                    whs,
-                    F.lit(0).cast("long"),
-                    lambda acc, h: acc
-                    + (
-                        F.lit(2)
-                        * (
-                            (_spread32(h) / F.pow(F.lit(2.0), j).cast("long")).cast(
-                                "long"
-                            )
-                            % F.lit(2)
-                        )
-                        - F.lit(1)
-                    ),
-                )
-                > 0,
-                F.pow(F.lit(2.0), j).cast("long"),
-            ).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+def simhash_vote(h32: Column, j: int) -> Column:
+    """+/-1 vote of bit j of a spread word hash — SUM over a doc's words
+    then sign gives simhash bit j (same materialize-behind-an-Aggregate
+    rationale as minhash_term)."""
+    return F.lit(2) * ((h32 / F.lit(1 << j)).cast("long") % F.lit(2)) - F.lit(1)
 
 
 def text_fingerprint(text: Column) -> Column:

@@ -1,0 +1,55 @@
+"""Extension-family invariants beyond oracle parity: LSH recall/precision
+against exact baselines, and structural properties the driver's
+hash-compare can't express."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigbugdata_spark.registry import load_all
+
+SPECS = load_all()
+
+
+@pytest.fixture(scope="module")
+def exact_cos_pairs(spark, sf_oracle):
+    df = SPECS["dedup_emb_cosine"].fn(spark, sf_oracle)
+    return {(r["v1"], r["v2"]) for r in df.collect()}
+
+
+def test_emb_lsh_subset_of_exact(spark, sf_oracle, exact_cos_pairs):
+    """LSH candidates are verified with exact cosine -> precision is 1:
+    every emitted pair must appear in the brute-force answer."""
+    lsh = {
+        (r["v1"], r["v2"])
+        for r in SPECS["dedup_emb_lsh"].fn(spark, sf_oracle).collect()
+    }
+    assert lsh <= exact_cos_pairs
+
+
+def test_emb_lsh_recall(spark, sf_oracle, exact_cos_pairs):
+    """16 tables x 4 bits at cos>=0.4 — measured recall on this corpus is
+    1.0 (59/59); assert a conservative floor so seed/plan changes that
+    collapse recall fail loudly."""
+    lsh = {
+        (r["v1"], r["v2"])
+        for r in SPECS["dedup_emb_lsh"].fn(spark, sf_oracle).collect()
+    }
+    assert len(exact_cos_pairs) > 0
+    recall = len(lsh & exact_cos_pairs) / len(exact_cos_pairs)
+    assert recall >= 0.9, f"recall collapsed: {recall:.3f}"
+
+
+def test_minhash_equals_ngram_jaccard(spark, sf_oracle):
+    """Two independent formulations (LSH-bucketed minhash + verify vs
+    inverted-index exact) must agree pair-for-pair on this corpus."""
+    mh = {
+        (r["d1"], r["d2"])
+        for r in SPECS["dedup_minhash_lsh"].fn(spark, sf_oracle).collect()
+    }
+    ng = {
+        (r["d1"], r["d2"])
+        for r in SPECS["dedup_ngram_jaccard"].fn(spark, sf_oracle).collect()
+    }
+    assert mh == ng
+    assert len(mh) > 0, "corpus should contain near-dup pairs"
