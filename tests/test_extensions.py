@@ -40,6 +40,22 @@ def test_emb_lsh_recall(spark, sf_oracle, exact_cos_pairs):
     assert recall >= 0.9, f"recall collapsed: {recall:.3f}"
 
 
+def test_ivf_recall(spark, sf_oracle):
+    """IVF@nprobe=8 measured at 0.80 recall@10 on this near-isotropic
+    corpus; assert a floor that catches quantizer/probe regressions."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SPECS["sim_cosine_topk"].fn(spark, sf_oracle).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SPECS["sim_ivf_topk"].fn(spark, sf_oracle).collect()
+    }
+    assert len(exact) > 0
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.7, f"IVF recall collapsed: {recall:.3f}"
+
+
 def test_minhash_equals_ngram_jaccard(spark, sf_oracle):
     """Two independent formulations (LSH-bucketed minhash + verify vs
     inverted-index exact) must agree pair-for-pair on this corpus."""
