@@ -1,1 +1,236 @@
-"""Placeholder — populated in a later milestone."""
+"""Event-time operators over the `events` stream table — tumbling /
+sliding / session windows and the as-of join (SURVEY.md §7 phase 3;
+SURVEY §2.1 records the reference has no streaming or window machinery
+at all). These are the BATCH-equivalent forms with exact DuckDB oracles;
+their continuous twins live in bigbugdata_spark/streaming/ (watermarked
+Structured Streaming over the same plans, rows-only checked).
+
+Determinism discipline: timestamps are formatted to microsecond strings
+on both sides; fp `value` sums are converted to exact integer centi-sums
+(ROUND(value*100) per row, summed as BIGINT) because a double SUM over an
+unordered shuffle is not reproducible bit-for-bit.
+
+Scale posture: every window op shuffles once on its (key, window) —
+event-time windows are pre-computable from the column, so partition
+pruning on a date-partitioned events table still applies. The as-of join
+is the union-sort formulation: one shuffle on user_id, no range-join
+explosion, state bounded by one row per side."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigbugdata_spark.catalog import table
+from bigbugdata_spark.registry import register
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+# exact integer centi-value: both engines round half-away-from-zero for
+# positive doubles scaled by 100
+_CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
+
+
+def _cents_col():
+    return F.round(F.col("value") * 100).cast("long")
+
+
+@register(
+    "evt_tumbling_window",
+    oracle=f"""
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_TS_FMT_DUCK}') AS window_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM({_CENTS}) AS BIGINT) AS value_cents
+        FROM events
+        GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
+    """,
+    tags=("events", "window", "headline"),
+)
+def evt_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type (F.window —
+    epoch-aligned, so identical to time_bucket/date_trunc). One shuffle
+    on (window, event_type); map-side partial agg collapses each scan
+    partition's hours before the exchange."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents_col()).alias("value_cents"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+@register(
+    "evt_sliding_window",
+    oracle=f"""
+        WITH expanded AS (
+            SELECT unnest([
+                       time_bucket(INTERVAL '30 minutes', ts),
+                       time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+                   ]) AS window_start,
+                   event_type, {_CENTS} AS cents
+            FROM events
+        )
+        SELECT strftime(window_start, '{_TS_FMT_DUCK}') AS window_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(cents) AS BIGINT) AS value_cents
+        FROM expanded GROUP BY window_start, event_type
+    """,
+    tags=("events", "window"),
+)
+def evt_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows, 1 hour every 30 minutes: F.window assigns each
+    event to size/slide = 2 windows (the oracle expands the same two
+    bucket starts explicitly). Row amplification is the size/slide ratio
+    — the scale knob; everything else is the tumbling plan."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents_col()).alias("value_cents"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+@register(
+    "evt_session_window",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts, {_CENTS} AS cents,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             >= INTERVAL '5 minutes'
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        numbered AS (
+            SELECT user_id, ts, cents,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_no
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+               strftime(MAX(ts) + INTERVAL '5 minutes', '{_TS_FMT_DUCK}') AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(cents) AS BIGINT) AS value_cents
+        FROM numbered GROUP BY user_id, session_no
+    """,
+    tags=("events", "window", "headline"),
+)
+def evt_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 5-minute inactivity gap
+    (F.session_window): a session extends while successive events arrive
+    strictly within the gap; session_end = last_ts + gap. The oracle is
+    the classic gaps-and-islands form (lag -> new-session flag -> running
+    sum), which implements exactly Spark's half-open merge semantics.
+    One shuffle on user_id; streaming twin in streaming/sessions.py."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents_col()).alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), TS_FMT).alias("session_start"),
+            F.date_format(F.col("w.end"), TS_FMT).alias("session_end"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+@register(
+    "evt_asof_join",
+    oracle=f"""
+        WITH clicks AS (
+            SELECT user_id, ts, MAX(event_id) AS click_id
+            FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        ),
+        purchases AS (
+            SELECT event_id AS purchase_id, user_id, ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.purchase_id, p.user_id,
+               strftime(p.ts, '{_TS_FMT_DUCK}') AS purchase_ts,
+               strftime(c.ts, '{_TS_FMT_DUCK}') AS click_ts,
+               c.click_id
+        FROM purchases p
+        ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("events", "join", "headline"),
+)
+def evt_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — each purchase matched to the user's latest click at
+    or before it. Spark has no ASOF JOIN operator (DuckDB does — the
+    oracle uses it natively); the scalable formulation is UNION + SORT +
+    LAST-over-window: tag clicks 0 / purchases 1, sort by (ts, tag)
+    within user, and carry the last non-null click forward. One shuffle
+    on user_id, O(1) carried state — no time-range join explosion, no
+    per-key collect. Clicks are pre-deduped to MAX(event_id) per
+    (user, ts) in both engines to pin tie behavior."""
+    ev = table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            "user_id", "ts", "click_id", F.lit(0).alias("tag"), F.lit(None).cast("long").alias("purchase_id")
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(1).alias("tag"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "user_id",
+        "ts",
+        "tag",
+        "purchase_id",
+        F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("click_ts"),
+        F.last(F.when(F.col("tag") == 0, F.col("click_id")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_id"),
+    )
+    return (
+        carried.filter((F.col("tag") == 1) & F.col("click_ts").isNotNull())
+        .select(
+            "purchase_id",
+            "user_id",
+            F.date_format("ts", TS_FMT).alias("purchase_ts"),
+            F.date_format("click_ts", TS_FMT).alias("click_ts"),
+            F.col("last_click_id").alias("click_id"),
+        )
+    )

@@ -31,6 +31,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.text",
     "bigbugdata_spark.operators.multimodal",
     "bigbugdata_spark.operators.events",
+    "bigbugdata_spark.streaming.windows",
 )
 
 

@@ -1,0 +1,71 @@
+"""Structured Streaming semantics: complete-mode equivalence to batch,
+and append-mode watermark finalization (late-data handling)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from bigbugdata_spark.catalog import table
+from bigbugdata_spark.registry import load_all
+from bigbugdata_spark.streaming.stateful import stream_user_totals
+from bigbugdata_spark.streaming.windows import (
+    stream_tumbling_append,
+    stream_tumbling_complete,
+)
+
+SPECS = load_all()
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_stream_complete_equals_batch(spark, sf_oracle):
+    """Complete-mode availableNow == the batch tumbling aggregation,
+    row for row."""
+    batch = _rows(SPECS["evt_tumbling_window"].fn(spark, sf_oracle))
+    stream = _rows(stream_tumbling_complete(spark, sf_oracle))
+    assert stream == batch
+
+
+def test_stream_append_emits_watermark_finalized_windows(spark, sf_oracle):
+    """Append mode emits exactly the windows finalized by the final
+    watermark: window_end <= max(ts) - 10 minutes. The held-back tail is
+    the streaming/batch difference the watermark contract defines."""
+    batch = SPECS["evt_tumbling_window"].fn(spark, sf_oracle).collect()
+    streamed = _rows(stream_tumbling_append(spark, sf_oracle))
+
+    max_ts = (
+        table(spark, sf_oracle, "events").agg(F.max("ts").alias("m")).first()["m"]
+    )
+    watermark = max_ts - dt.timedelta(minutes=10)
+    expected = set()
+    for r in batch:
+        start = dt.datetime.strptime(r["window_start"], "%Y-%m-%d %H:%M:%S.%f")
+        if start + dt.timedelta(hours=1) <= watermark:
+            expected.add(tuple(r))
+    assert streamed == expected
+    assert 0 < len(streamed) < len(batch)
+
+
+def test_stateful_user_totals_match_batch(spark, sf_oracle):
+    """The applyInPandasWithState tracker's final state equals the batch
+    per-user aggregate (count, exact centi-sum, last event time)."""
+    got = {
+        r["user_id"]: (r["n_events"], r["value_cents"], r["last_seen"])
+        for r in stream_user_totals(spark, sf_oracle).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["cents"], r["last"])
+        for r in table(spark, sf_oracle, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            F.max("ts").alias("last"),
+        )
+        .collect()
+    }
+    assert got == want
