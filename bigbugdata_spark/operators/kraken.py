@@ -42,6 +42,7 @@ from bigbugdata_spark.sources.kraken_reports import (
     output_paths,
     read_reports,
     write_csv_fidelity,
+    write_csv_scale,
 )
 
 
@@ -109,21 +110,19 @@ def side_stats(rows: DataFrame) -> DataFrame:
     )
 
 
-def dense_matrix(fact: DataFrame, taxa_df: DataFrame, samples: list[str]) -> DataFrame:
-    """Densify to the full taxon x sample grid with 0-filled cells (op 8,
-    ref :289-291). The sample list is tiny (one entry per input file), so
-    the cross join is |taxa| x |samples| — exactly the reference's matrix,
-    kept in long form."""
-    spark = fact.sparkSession
-    samples_df = spark.createDataFrame([(s,) for s in samples], "sample_id string")
-    grid = taxa_df.crossJoin(F.broadcast(samples_df))
-    return grid.join(fact, ["taxID", "sample_id"], "left").na.fill({"reads": 0})
+def rpm(sparse: DataFrame, totals: DataFrame, samples: list[str]) -> DataFrame:
+    """RPM normalization (op 11, ref :104-127) over SPARSE fact rows, with
+    fail-fast validation for samples missing taxID-0/1 rows (the reference
+    silently drops them and later KeyErrors, ref :121 — SURVEY §2 op 11).
 
-
-def rpm(dense: DataFrame, totals: DataFrame, samples: list[str]) -> DataFrame:
-    """RPM normalization (op 11, ref :104-127) with fail-fast validation for
-    samples missing taxID-0/1 rows (the reference silently drops them and
-    later KeyErrors, ref :121 — SURVEY §2 op 11)."""
+    The reference computes RPM on the dense taxon x sample grid; absent
+    cells have reads == 0, hence rpm == 0 exactly — so the engine keeps the
+    fact table sparse and reconstitutes zeros only where semantics need
+    them (z-score moments use the known sample count; the pivot sinks
+    zero-fill; tophits ranks against synthesized zero rows for sparse
+    samples). At real scale the grid is 10-30x the sparse rows (VERDICT r1
+    fix #4) — this restructure removes it from every shuffle.
+    """
     have = {r[0] for r in totals.select("sample_id").collect()}
     missing = sorted(set(samples) - have)
     if missing:
@@ -133,31 +132,42 @@ def rpm(dense: DataFrame, totals: DataFrame, samples: list[str]) -> DataFrame:
     # try_divide: n_reads == 0 (taxID-0/1 rows present but all zero reads)
     # would throw under ANSI; the reference yields ZeroDivisionError — we
     # emit NULL rpm for that degenerate sample (documented divergence).
-    return dense.join(F.broadcast(totals), "sample_id").withColumn(
+    return sparse.join(F.broadcast(totals), "sample_id").withColumn(
         "rpm", F.try_divide(F.col("reads"), F.col("n_reads") / F.lit(1_000_000.0))
     )
 
 
-def zscores(rpm_df: DataFrame) -> DataFrame:
-    """Population z-score of each taxon's dense RPM vector (op 15, ref
-    :322-331, scipy ddof=0). Explicit-moments formula (fp64-deterministic).
+def zscores(rpm_df: DataFrame, n_samples: int) -> DataFrame:
+    """Population z-score of each taxon's DENSE RPM vector (op 15, ref
+    :322-331, scipy ddof=0) computed from SPARSE rows: absent cells are
+    exact zeros, so they contribute nothing to S or SS and the dense
+    moments are S/n and SS/n with n = the known sample count. One
+    hash-aggregate on taxID + a broadcast-size join back — no grid, no
+    window over densified rows (VERDICT r1 fix #10).
 
     All-equal guard uses a RELATIVE epsilon (ADVICE r1): the explicit
     moments of an all-equal non-integer vector can come out as a tiny
     positive/negative residual (~1e-32 * mean^2) instead of exactly 0; any
     real cross-sample variance is >= ~1e-6 * mean^2, so var <= 1e-18*mean^2
-    classifies exactly and emits the reference's NaN.
+    classifies exactly and emits the reference's NaN. An all-equal dense
+    vector with a nonzero value requires full density (n_nonzero == n) —
+    sparse zeros + equal nonzeros have real variance, correctly nonzero.
     """
-    w = Window.partitionBy("taxID")
-    s = F.sum("rpm").over(w)
-    ss = F.sum(F.col("rpm") * F.col("rpm")).over(w)
-    n = F.count(F.lit(1)).over(w)
-    mean = s / n
-    var = ss / n - mean * mean
+    moments = rpm_df.groupBy("taxID").agg(
+        F.sum("rpm").alias("_s"),
+        F.sum(F.col("rpm") * F.col("rpm")).alias("_ss"),
+    )
+    n = F.lit(float(n_samples))
+    mean = F.col("_s") / n
+    var = F.col("_ss") / n - mean * mean
     z = F.when(var <= F.lit(1e-18) * mean * mean, F.lit(float("nan"))).otherwise(
         (F.col("rpm") - mean) / F.sqrt(var)
     )
-    return rpm_df.withColumn("z_score", z)
+    return (
+        rpm_df.join(moments, "taxID")
+        .withColumn("z_score", z)
+        .drop("_s", "_ss")
+    )
 
 
 def rrpm(
@@ -195,15 +205,45 @@ def rrpm(
 
 
 def tophits(
-    rrpm_df: DataFrame, side: DataFrame, k: int
+    rrpm_df: DataFrame,
+    side: DataFrame,
+    k: int,
+    taxa_df: DataFrame,
+    samples: list[str],
 ) -> DataFrame:
     """Top-k per sample by rRPM with stable tie-break and rank gaps (op 14,
-    ref :166-205): rank over the full dense candidate list (ties -> taxID
+    ref :166-205): rank over the full DENSE candidate list (ties -> taxID
     ascending, the reference's stable-sort order), THEN the presence inner
-    join — absent (sample, taxon) pairs drop out leaving rank gaps."""
+    join — absent (sample, taxon) pairs drop out leaving rank gaps.
+
+    Dense ranking from sparse rows: absent cells have rrpm == 0 exactly
+    and can only occupy ranks after every positive row — they matter only
+    for samples with fewer than k POSITIVE rrpm rows. Zero-candidates
+    (full taxa list, anti-joined against that sample's sparse rows) are
+    synthesized for those needy samples alone; at production density
+    (every sample >= k positive species) zero rows are never generated,
+    so the grid cost is gone from the common case."""
+    spark = rrpm_df.sparkSession
+    base = rrpm_df.select("sample_id", "taxID", "taxName", "rrpm")
+    n_pos = (
+        base.filter(F.col("rrpm") > 0)
+        .groupBy("sample_id")
+        .agg(F.count(F.lit(1)).alias("_npos"))
+    )
+    all_samples = spark.createDataFrame([(s,) for s in samples], "sample_id string")
+    needy = (
+        all_samples.join(n_pos, "sample_id", "left")
+        .filter(F.coalesce(F.col("_npos"), F.lit(0)) < k)
+        .select("sample_id")
+    )
+    zero_rows = (
+        needy.crossJoin(taxa_df.select("taxID", "taxName"))
+        .join(base.select("sample_id", "taxID"), ["sample_id", "taxID"], "left_anti")
+        .select("sample_id", "taxID", "taxName", F.lit(0.0).alias("rrpm"))
+    )
     w = Window.partitionBy("sample_id").orderBy(F.desc("rrpm"), F.asc("taxID"))
     ranked = (
-        rrpm_df.select("sample_id", "taxID", "taxName", "rrpm")
+        base.unionByName(zero_rows)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
@@ -269,11 +309,13 @@ def run_pipeline(
     taxa_df = taxa(rows)
     side = side_stats(rows)
 
-    dense = dense_matrix(fact, taxa_df, samples)
-    # persist: rpm_df feeds three consumers (the rrpm self-join's two sides
-    # and the tophits side-stats join); without it Spark recomputes the
-    # scan->agg->densify->window subtree per consumer (VERDICT r1 fix #3).
-    rpm_df = zscores(rpm(dense, totals, samples)).persist()
+    # sparse long fact + per-taxon attributes; zeros are reconstituted
+    # only at the sinks / tophits ranking (VERDICT r1 fixes #4/#10)
+    sparse = fact.join(taxa_df, "taxID")
+    # persist: rpm_df feeds four consumers (z moments, the rrpm self-join's
+    # two sides, the tophits side-stats join); without it Spark recomputes
+    # the scan->agg->join subtree per consumer (VERDICT r1 fix #3).
+    rpm_df = zscores(rpm(sparse, totals, samples), len(samples)).persist()
 
     groups = negative_control_groups(samples, group_patterns)
     mapping = control_lookup(samples, groups)
@@ -282,55 +324,94 @@ def run_pipeline(
     side_z = side.join(
         rpm_df.select("sample_id", "taxID", "z_score"), ["sample_id", "taxID"]
     )
-    top = tophits(rrpm_df, side_z, n_tophits)
+    top = tophits(rrpm_df, side_z, n_tophits, taxa_df, samples)
 
-    combined_long = dense.select("taxID", "taxName", "total_reads", "sample_id", "reads")
+    combined_long = sparse.select(
+        "taxID", "taxName", "total_reads", "sample_id", "reads"
+    )
     return KrakenResult(samples=samples, combined=combined_long, rrpm=rrpm_df, tophits=top)
 
 
-def _pivot_rows(
-    long_df: DataFrame, value_col: str, samples: list[str]
-) -> list[dict]:
-    """Collect the presentation pivot (sink-only; O(taxa x samples))."""
-    wide = (
+def _pivot_wide(
+    long_df: DataFrame, value_col: str, samples: list[str], fill
+) -> DataFrame:
+    """The presentation pivot as a DataFrame (sink-only; the long form
+    stays the engine's truth). Sparse long rows -> explicit-values pivot
+    -> zero-fill reconstitutes the reference's dense matrix (ref
+    bigbugdata.py:289-291) at the sink alone."""
+    return (
         long_df.groupBy("taxID", "taxName", "total_reads")
         .pivot("sample_id", samples)
         .agg(F.first(value_col))
+        .na.fill({s: fill for s in samples})
+        .withColumnRenamed("total_reads", "Total # of Reads")
         .orderBy("taxID")
     )
-    out = []
-    for row in wide.collect():
-        d = row.asDict()
-        rec = {
-            "taxID": d["taxID"],
-            "taxName": d["taxName"],
-            "Total # of Reads": d["total_reads"],
-        }
-        for s in samples:
-            rec[s] = d[s]
-        out.append(rec)
-    return out
+
+
+def _pivot_rows(
+    long_df: DataFrame, value_col: str, samples: list[str], fill
+) -> list[dict]:
+    """Collect the presentation pivot (fidelity sink; O(taxa x samples))."""
+    wide = _pivot_wide(long_df, value_col, samples, fill)
+    return [r.asDict() for r in wide.collect()]
+
+
+def _ordered_tophits(top: DataFrame, samples: list[str]) -> DataFrame:
+    """Reference emission order: samples in column order, rank ascending
+    (ref bigbugdata.py:350-366)."""
+    spark = top.sparkSession
+    order_df = spark.createDataFrame(
+        [(s, i) for i, s in enumerate(samples)], "sampleName string, _ord int"
+    )
+    return (
+        top.join(F.broadcast(order_df), "sampleName")
+        .orderBy("_ord", "rank")
+        .drop("_ord")
+    )
+
+
+TOP_FIELDS = [
+    "sampleName", "taxID", "taxName", "rank", "rRPM",
+    "kmers", "dup", "reads", "cov", "e_val", "z_score",
+]
 
 
 def write_outputs(
-    result: KrakenResult, results_dir: str, rank: str, n_tophits_fields: bool = True
+    result: KrakenResult,
+    results_dir: str,
+    rank: str,
+    mode: str = "fidelity",
 ) -> tuple[str, str, str]:
     """CSV sinks with the reference's exact headers and column order
-    (ops 16-17, ref bigbugdata.py:312-366)."""
+    (ops 16-17, ref bigbugdata.py:312-366).
+
+    mode='fidelity': byte-exact reference CSVs via driver-side str()
+    formatting (bounded: the pivots are O(taxa x samples) presentation
+    tables). mode='scale': the same wide frames written by Spark's
+    distributed CSV writer (one ordered part file) — no collect; the
+    100 TB path (VERDICT r1 fix #2/#7)."""
     combined_path, rrpm_path, tophits_path = output_paths(results_dir, rank)
     samples = result.samples
     base = ["taxID", "taxName", "Total # of Reads"]
 
-    write_csv_fidelity(combined_path, _pivot_rows(result.combined, "reads", samples), base + samples)
-    write_csv_fidelity(rrpm_path, _pivot_rows(result.rrpm, "rrpm", samples), base + samples)
+    if mode == "scale":
+        for df, path in (
+            (_pivot_wide(result.combined, "reads", samples, 0), combined_path),
+            (_pivot_wide(result.rrpm, "rrpm", samples, 0.0), rrpm_path),
+            (_ordered_tophits(result.tophits, samples).select(*TOP_FIELDS), tophits_path),
+        ):
+            write_csv_scale(df, str(path), single_file=True)
+        return str(combined_path), str(rrpm_path), str(tophits_path)
 
-    top_fields = [
-        "sampleName", "taxID", "taxName", "rank", "rRPM",
-        "kmers", "dup", "reads", "cov", "e_val", "z_score",
+    write_csv_fidelity(
+        combined_path, _pivot_rows(result.combined, "reads", samples, 0), base + samples
+    )
+    write_csv_fidelity(
+        rrpm_path, _pivot_rows(result.rrpm, "rrpm", samples, 0.0), base + samples
+    )
+    top_rows = [
+        r.asDict() for r in _ordered_tophits(result.tophits, samples).collect()
     ]
-    top_rows = [r.asDict() for r in result.tophits.collect()]
-    # reference emits tophits grouped by sample (ordered), rank ascending
-    order = {s: i for i, s in enumerate(samples)}
-    top_rows.sort(key=lambda r: (order[r["sampleName"]], r["rank"]))
-    write_csv_fidelity(tophits_path, top_rows, top_fields)
+    write_csv_fidelity(tophits_path, top_rows, TOP_FIELDS)
     return str(combined_path), str(rrpm_path), str(tophits_path)

@@ -84,6 +84,31 @@ def test_tophits_golden(golden):
     _assert_rows_match(ref, ours, float_cols=FLOAT_COLS, where="tophits")
 
 
+def test_scale_sink_matches_fidelity(golden, spark, tmp_path):
+    """The distributed (no-collect) sink writes the same values the
+    fidelity sink does: re-read each scale CSV directory and compare
+    against the reference CSVs value-by-value (VERDICT r1 fix #7)."""
+    from bigbugdata_spark.operators.kraken import run_pipeline, write_outputs
+
+    report_paths = sorted(str(p) for p in (golden / "reports").glob("*_report.txt"))
+    result = run_pipeline(
+        spark, report_paths, rank="species", n_tophits=15, group_patterns=GROUP_PATTERNS
+    )
+    write_outputs(result, str(tmp_path / "scale"), "species", mode="scale")
+
+    for name in ("combined_species", "rrpm_species", "tophits_species"):
+        ref_rows = _read_csv(golden / "ref" / f"{name}.csv")
+        parts = list((tmp_path / "scale" / f"{name}.csv").glob("part-*.csv"))
+        assert len(parts) == 1, "single_file=True must produce one part"
+        got_rows = _read_csv(parts[0])
+        float_cols = (
+            FLOAT_COLS
+            if name.startswith("tophits")
+            else {k for k in ref_rows[0] if k not in ("taxID", "taxName")}
+        )
+        _assert_rows_match(ref_rows, got_rows, float_cols=float_cols, where=name)
+
+
 def test_tophits_has_rank_gaps(golden):
     """The reference's TODO quirk (bigbugdata.py:183-188): ranks are
     assigned before the presence filter, so at least one sample should
