@@ -1,0 +1,193 @@
+"""Command-line surface mirroring the reference's executables:
+
+* `run` — the main pipeline, flags identical to the reference CLI
+  (ref bigbugdata.py:369-421: -r/--reports, -o/--output, -n/--nc-group,
+  -R/--rank, -t/--tophits);
+* `modify-reports` — the completion preprocessor
+  (ref scripts/modify_reports.py:149-180: --species-reports,
+  --dna-totalreads, --rna-totalreads, --output-dir);
+* `filter-rrpm` — rrpm x taxid semi-join to stdout
+  (ref scripts/filter_rrpm_by_taxid.py:6-36: --rrpm, --taxids);
+* `filter-reports` — glob scan + semi-join to stdout
+  (ref scripts/filter_reports_by_taxid.py:8-47: --folder, --taxids).
+
+The reference ships these as four entry points; one subcommand tree keeps
+the flag surfaces byte-compatible per command. taxID comparisons in the
+filters are STRING comparisons, as in the reference (both sides come from
+the same text files). filter-reports skips '#' preamble lines — a
+documented divergence: the reference's DictReader treats a preamble line
+as the header and crashes on its own completed reports.
+
+Run with: python -m bigbugdata_spark.cli <subcommand> ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import glob
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+from bigbugdata_spark.session import get_spark
+
+VERSION = "0.2.0+spark"
+
+
+def _cmd_run(args) -> None:
+    from bigbugdata_spark.operators.kraken import run_pipeline, write_outputs
+
+    spark = get_spark("bigbugdata-run")
+    result = run_pipeline(
+        spark,
+        report_paths=args.reports,
+        rank=args.rank,
+        n_tophits=args.tophits,
+        group_patterns=[tuple(p) for p in args.nc_group] if args.nc_group else None,
+    )
+    paths = write_outputs(result, args.output, args.rank, mode=args.mode)
+    for p in paths:
+        print(p)
+
+
+def _cmd_modify_reports(args) -> None:
+    from bigbugdata_spark.operators.modify_reports import complete_reports
+
+    spark = get_spark("bigbugdata-modify-reports")
+    written, _ = complete_reports(
+        spark,
+        species_reports=args.species_reports,
+        dna_totalreads=args.dna_totalreads,
+        rna_totalreads=args.rna_totalreads,
+        output_dir=args.output_dir,
+        timestamp=args.timestamp,
+    )
+    for p in written:
+        print(f"Created complete report: {p}")
+
+
+def _write_stdout_csv(rows: list[dict], fieldnames: list[str]) -> None:
+    """Reference stdout sink (ref filter_rrpm_by_taxid.py:32-36): header
+    + rows only when the result is non-empty."""
+    if rows:
+        writer = csv.DictWriter(sys.stdout, fieldnames=fieldnames)
+        writer.writeheader()
+        writer.writerows(rows)
+
+
+def _cmd_filter_rrpm(args) -> None:
+    from bigbugdata_spark.sources.kraken_reports import read_lines_ordered
+
+    spark = get_spark("bigbugdata-filter-rrpm")
+    # string-typed taxID set, broadcast semi-join (op 18), input order kept
+    taxids = spark.read.option("header", True).csv(args.taxids).select("taxID")
+    lines = read_lines_ordered(spark, args.rrpm).orderBy("row_order").collect()
+    header = lines[0]["line"].split(",")
+    tax_idx = header.index("taxID")
+    body = spark.createDataFrame(
+        [(r["row_order"], r["line"]) for r in lines[1:]],
+        "row_order long, line string",
+    )
+    f = F.split(F.col("line"), ",")
+    kept = (
+        body.withColumn("taxID", f.getItem(tax_idx))
+        .join(F.broadcast(taxids), "taxID", "left_semi")
+        .orderBy("row_order")
+        .collect()
+    )
+    rows = [dict(zip(header, r["line"].split(","))) for r in kept]
+    _write_stdout_csv(rows, header)
+
+
+def _cmd_filter_reports(args) -> None:
+    from bigbugdata_spark.sources.kraken_reports import read_lines_ordered
+
+    spark = get_spark("bigbugdata-filter-reports")
+    taxids = spark.read.option("header", True).csv(args.taxids).select("taxID")
+    paths = sorted(
+        glob.glob(os.path.join(args.folder, "*_species-level-report.tsv"))
+    )
+    if not paths:
+        return
+    lines = read_lines_ordered(spark, paths).filter(~F.col("line").startswith("#"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("path").orderBy("row_order")
+    body = lines.withColumn("_rn", F.row_number().over(w))
+    header = body.filter(F.col("_rn") == 1).select("line").first()["line"].split("\t")
+    tax_idx = header.index("taxID")
+    f = F.split(F.col("line"), "\t")
+    kept = (
+        body.filter(F.col("_rn") > 1)
+        .withColumn("taxID", f.getItem(tax_idx))
+        .join(F.broadcast(taxids), "taxID", "left_semi")
+        .withColumn(
+            "sampleName",
+            F.split(F.element_at(F.split(F.col("path"), "/"), -1), "_").getItem(0),
+        )
+        .orderBy("path", "row_order")
+        .collect()
+    )
+    out_fields = ["sampleName"] + header
+    rows = [
+        {"sampleName": r["sampleName"], **dict(zip(header, r["line"].split("\t")))}
+        for r in kept
+    ]
+    _write_stdout_csv(rows, out_fields)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="bigbugdata-spark")
+    parser.add_argument(
+        "-v", "--version", action="version", version=f"%(prog)s {VERSION}"
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    run_p = sub.add_parser("run", help="main pipeline (ref bigbugdata CLI)")
+    run_p.add_argument("-r", "--reports", required=True, type=str, nargs="+",
+                       help="Input KrakenUniq report files")
+    run_p.add_argument("-o", "--output", required=False, type=str, default="results",
+                       help="Directory to store the output files (default: results)")
+    run_p.add_argument("-n", "--nc-group", required=False, nargs=2, action="append",
+                       metavar=("CONTROL", "GROUP"),
+                       help="REGEX patterns matching a negative control and its group")
+    run_p.add_argument("-R", "--rank", required=False, type=str, default="species",
+                       help="Taxonomic rank to filter the reports by (default: species)")
+    run_p.add_argument("-t", "--tophits", required=False, type=int, default=15,
+                       help="Number of top hits in the tophits output (default: 15)")
+    run_p.add_argument("--mode", choices=("fidelity", "scale"), default="fidelity",
+                       help="sink mode: reference-exact CSVs or distributed writer")
+    run_p.set_defaults(func=_cmd_run)
+
+    mod_p = sub.add_parser("modify-reports", help="report completion preprocessor")
+    mod_p.add_argument("--species-reports", required=True, nargs="+",
+                       help="Species-level Kraken report files")
+    mod_p.add_argument("--dna-totalreads", required=True, help="DNA total reads TSV")
+    mod_p.add_argument("--rna-totalreads", required=True, help="RNA total reads TSV")
+    mod_p.add_argument("--output-dir", default="data/complete_reports",
+                       help="Output directory for complete reports")
+    mod_p.add_argument("--timestamp", default=None,
+                       help="preamble timestamp override (determinism)")
+    mod_p.set_defaults(func=_cmd_modify_reports)
+
+    frr_p = sub.add_parser("filter-rrpm", help="filter rrpm CSV by taxID set")
+    frr_p.add_argument("--rrpm", required=True)
+    frr_p.add_argument("--taxids", required=True)
+    frr_p.set_defaults(func=_cmd_filter_rrpm)
+
+    frep_p = sub.add_parser("filter-reports", help="filter report folder by taxID set")
+    frep_p.add_argument("--folder", required=True)
+    frep_p.add_argument("--taxids", required=True)
+    frep_p.set_defaults(func=_cmd_filter_reports)
+    return parser
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -86,20 +86,40 @@ def read_reports(
     )
 
 
+def read_lines_ordered(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """(path, row_order, line): every file's lines with their physical
+    line index, order-stable at any split configuration (wholetext: one
+    record per file). The fidelity primitive under every order-sensitive
+    text scan; empty lines are dropped."""
+    return (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .load(paths)
+        .select(
+            F.input_file_name().alias("path"),
+            F.posexplode(F.split(F.col("value"), "\n")).alias("row_order", "_raw"),
+        )
+        # universal-newline semantics (python text mode / csv module):
+        # \r\n-terminated rows lose the trailing \r
+        .select(
+            "path",
+            "row_order",
+            F.regexp_replace(F.col("_raw"), "\r$", "").alias("line"),
+        )
+        .filter(F.col("line") != "")
+    )
+
+
 def _read_reports_ordered(spark: SparkSession, paths: list[str] | str) -> DataFrame:
     """Wholetext + posexplode fidelity reader: row_order == physical line
     index within the file, at any split/partition configuration."""
     from pyspark.sql import Window
 
     raw = (
-        spark.read.format("text")
-        .option("wholetext", "true")
-        .load(paths)
-        .select(
-            F.input_file_name().alias("_path"),
-            F.posexplode(F.split(F.col("value"), "\n")).alias("row_order", "_line"),
-        )
-        .filter((F.col("_line") != "") & ~F.col("_line").startswith("#"))
+        read_lines_ordered(spark, paths)
+        .withColumnRenamed("path", "_path")
+        .withColumnRenamed("line", "_line")
+        .filter(~F.col("_line").startswith("#"))
     )
     # drop the header row: first non-comment line per file
     w = Window.partitionBy("_path").orderBy("row_order")
