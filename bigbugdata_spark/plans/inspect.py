@@ -1,0 +1,95 @@
+"""Physical-plan inspection: the assertions behind every scale claim made
+in operator docstrings. Scraped from `explain` output (the only stable
+public surface for plan shape), used by tests/test_plans.py to lock in:
+
+* predicate pushdown + column pruning reach the parquet scan
+  (PushedFilters / ReadSchema);
+* small sides broadcast (BroadcastHashJoin / BroadcastExchange), fact
+  sides don't shuffle for those joins;
+* shuffle counts stay at the operator's documented budget.
+
+A plan that silently regresses (filter stops pushing, broadcast flips to
+sort-merge, an extra exchange appears) fails a test here long before it
+fails a 100 TB run."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame, mode: str = "formatted") -> str:
+    """The physical plan as text (explain output captured)."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def scan_info(df: DataFrame) -> list[dict[str, str]]:
+    """One dict per file scan: relation name, pushed filters, read schema.
+
+    Formatted explain renders scans as:
+        (1) Scan parquet [...]
+        ...
+        PushedFilters: [IsNotNull(x), LessThan(x, y)]
+        ReadSchema: struct<a:bigint,b:double>
+    """
+    text = plan_string(df, "formatted")
+    scans = []
+    blocks = re.split(r"\n\n", text)
+    for block in blocks:
+        m = re.search(r"Scan (\w+)", block)
+        if not m or "PushedFilters" not in block and "ReadSchema" not in block:
+            continue
+        pushed = re.search(r"PushedFilters: \[(.*?)\]", block)
+        schema = re.search(r"ReadSchema: (struct<.*?>)", block)
+        loc = re.search(r"Location: \S+ \[(.*?)\]", block)
+        scans.append(
+            {
+                "format": m.group(1),
+                "pushed_filters": pushed.group(1) if pushed else "",
+                "read_schema": schema.group(1) if schema else "",
+                "location": loc.group(1) if loc else "",
+            }
+        )
+    return scans
+
+
+def read_columns(df: DataFrame) -> list[set[str]]:
+    """Column sets each scan actually reads (column-pruning audit)."""
+    out = []
+    for scan in scan_info(df):
+        cols = re.findall(r"(\w+):", scan["read_schema"])
+        out.append(set(cols))
+    return out
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    text = plan_string(df, "simple")
+    return "BroadcastHashJoin" in text or "BroadcastNestedLoopJoin" in text
+
+
+def join_kinds(df: DataFrame) -> list[str]:
+    """Physical join operators in plan order."""
+    text = plan_string(df, "simple")
+    return re.findall(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)",
+        text,
+    )
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Shuffle exchanges in the plan (BroadcastExchange excluded — that's
+    the cheap side of a broadcast join, not a data shuffle)."""
+    text = plan_string(df, "simple")
+    return len(re.findall(r"Exchange (?:hash|range|Single)partitioning", text))
+
+
+def codegen_span_count(df: DataFrame) -> int:
+    """WholeStageCodegen regions — wider spans mean more of the plan runs
+    fused JVM code rather than interpreted operators."""
+    return len(re.findall(r"WholeStageCodegen", plan_string(df, "simple")))

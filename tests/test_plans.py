@@ -1,0 +1,99 @@
+"""Plan-shape assertions: lock in the scale claims the operator
+docstrings make. A regression here (filter stops pushing down, broadcast
+flips to sort-merge, an extra shuffle appears) is a 100 TB incident that
+never shows up in row-level correctness tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigbugdata_spark.plans import inspect as I
+from bigbugdata_spark.registry import load_all
+
+SPECS = load_all()
+
+
+@pytest.fixture(scope="module")
+def sf(sf_oracle):
+    return sf_oracle
+
+
+def test_op01_pushdown_and_pruning(spark, sf):
+    df = SPECS["op01_scan_filter_project"].fn(spark, sf)
+    scans = I.scan_info(df)
+    assert len(scans) == 1
+    assert "LessThan(l_shipdate" in scans[0]["pushed_filters"]
+    # projection reaches the scan: the 4 output columns + the filter column
+    assert I.read_columns(df)[0] == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_shipdate",
+    }
+
+
+def test_op11_totals_side_broadcasts(spark, sf):
+    df = SPECS["op11_rpm_normalize"].fn(spark, sf)
+    assert I.has_broadcast_join(df)
+    assert "SortMergeJoin" not in I.join_kinds(df)
+    # two partial-agg shuffles (fact, totals); the join itself adds none
+    assert I.shuffle_count(df) <= 2
+
+
+def test_op18_semi_join_never_shuffles_fact(spark, sf):
+    df = SPECS["op18_semi_join"].fn(spark, sf)
+    assert I.has_broadcast_join(df)
+    assert I.shuffle_count(df) == 0
+
+
+def test_op13_single_window_no_self_join_recompute(spark, sf):
+    """The r1 fix: rpm computed once, control rpm via in-partition window.
+    Plan budget: fact agg + totals agg + window exchange + result agg
+    boundary — and only broadcast joins."""
+    df = SPECS["op13_floor_ratio_rrpm"].fn(spark, sf)
+    kinds = I.join_kinds(df)
+    assert kinds and set(kinds) == {"BroadcastHashJoin"}
+    assert I.shuffle_count(df) <= 4
+    # exactly one lineitem scan subtree would be ideal; Spark still scans
+    # per-agg, but the expensive rpm JOIN subtree must not be duplicated:
+    # the window formulation has no rpm-vs-rpm join, so at most 3 joins
+    # (totals, mapping build, mapping apply)
+    assert len(kinds) <= 3
+
+
+def test_text_ops_prune_scan(spark, sf):
+    df = SPECS["text_token_stats"].fn(spark, sf)
+    assert I.read_columns(df)[0] == {"doc_id", "lang", "text"}
+    df2 = SPECS["text_fingerprint"].fn(spark, sf)
+    assert I.read_columns(df2)[0] == {"doc_id", "text"}
+
+
+def test_dedup_exact_single_shuffle(spark, sf):
+    df = SPECS["dedup_exact"].fn(spark, sf)
+    assert I.shuffle_count(df) == 1
+    assert I.read_columns(df)[0] == {"doc_id", "text"}
+
+
+def test_sim_topk_queries_broadcast(spark, sf):
+    """The corpus never shuffles for the scoring join — only the window
+    top-k exchanges the |Q| x corpus scored rows."""
+    df = SPECS["sim_cosine_topk"].fn(spark, sf)
+    kinds = I.join_kinds(df)
+    assert all(k.startswith("Broadcast") for k in kinds)
+
+
+def test_evt_tumbling_single_shuffle(spark, sf):
+    df = SPECS["evt_tumbling_window"].fn(spark, sf)
+    assert I.shuffle_count(df) == 1
+    assert I.read_columns(df)[0] == {"ts", "event_type", "value"}
+
+
+def test_evt_asof_single_shuffle_no_range_join(spark, sf):
+    """Union-sort as-of: one shuffle on user_id for the window, zero
+    joins over time ranges."""
+    df = SPECS["evt_asof_join"].fn(spark, sf)
+    assert "CartesianProduct" not in I.join_kinds(df)
+    assert "BroadcastNestedLoopJoin" not in I.join_kinds(df)
+    # clicks-dedup agg + the union window share the user_id partitioning
+    assert I.shuffle_count(df) <= 2
