@@ -366,6 +366,86 @@ def dedup_emb_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cluster_keep",
+    oracle=f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+        edges AS (
+            SELECT d1 AS a, d2 AS b FROM pairs
+            UNION
+            SELECT d2 AS a, d1 AS b FROM pairs
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        )
+        SELECT doc_id,
+               CAST(LEAST(doc_id, COALESCE(MIN(r.b), doc_id)) AS BIGINT)
+                   AS cluster_rep,
+               CAST(doc_id = LEAST(doc_id, COALESCE(MIN(r.b), doc_id)) AS INT)
+                   AS keep
+        FROM documents LEFT JOIN reach r ON doc_id = r.a
+        GROUP BY doc_id
+    """,
+    tags=("dedup", "iterative"),
+)
+def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING — pairs to keep/drop decisions, the step an
+    actual dedup pipeline needs after candidate generation: connected
+    components over the verified near-dup pair graph, keep = the minimum
+    doc_id per component.
+
+    Iterative min-label propagation (the scalable CC algorithm: each
+    round, every node adopts the smallest label among itself and its
+    neighbors; converges in O(component diameter) rounds — near-dup
+    components are tiny cliques, so 2-3 rounds). The loop is
+    driver-CONTROLLED but executor-EXECUTED: each round is one bucketed
+    join + agg, localCheckpoint cuts the lineage so plans stay flat. The
+    oracle computes the same fixpoint as a DuckDB recursive CTE
+    (transitive closure -> min reachable id)."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    edges = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b")).unionByName(
+        pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b"))
+    ).localCheckpoint()
+    labels = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("cluster_rep"))
+        .localCheckpoint()
+    )
+    while True:
+        neighbor_min = (
+            labels.join(edges, labels.doc_id == edges.a)
+            .select(F.col("b").alias("doc_id"), F.col("cluster_rep").alias("_nl"))
+            .groupBy("doc_id")
+            .agg(F.min("_nl").alias("_nl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_rep"), F.coalesce(F.col("_nl"), F.col("cluster_rep"))
+                ).alias("cluster_rep"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_rep") < F.col("o.cluster_rep"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        "cluster_rep",
+        (F.col("doc_id") == F.col("cluster_rep")).cast("int").alias("keep"),
+    )
+
+
 def _hyperplane_bits(emb) -> "F.Column":
     """All 64 hyperplane sign bits as one array: transform over the
     literal plane matrix with a zip_with dot per plane. Consumers must

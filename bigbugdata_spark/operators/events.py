@@ -162,6 +162,75 @@ def evt_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "evt_range_join",
+    oracle="""
+        WITH errors AS (
+            SELECT event_id AS error_id, user_id, ts FROM events
+            WHERE event_type = 'error'
+        ),
+        signups AS (
+            SELECT event_id AS signup_id, user_id, ts FROM events
+            WHERE event_type = 'signup'
+        )
+        SELECT e.error_id, s.signup_id, e.user_id,
+               CAST(epoch_us(e.ts) - epoch_us(s.ts) AS BIGINT) AS delta_us
+        FROM errors e JOIN signups s
+          ON e.user_id = s.user_id
+         AND abs(epoch_us(e.ts) - epoch_us(s.ts)) <= 3600000000
+    """,
+    tags=("events", "join"),
+)
+def evt_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join — every (error, signup) pair of the same user
+    within +/-1 hour. Spark's naive plan for a pure inequality join is a
+    broadcast-nested-loop (quadratic); the scalable formulation BUCKETS
+    time: signups key on their hour bucket, errors explode to the 3
+    candidate buckets {h-1, h, h+1} that can contain a match, the join
+    becomes an equi-join on (user_id, bucket), and the exact +/-1h
+    predicate filters residuals. 3x row amplification on one side buys an
+    all-equi shuffle plan — the standard interval-join trick (bucket size
+    = interval width). Output deduped on the pair (a pair can share up to
+    two buckets)."""
+    ev = table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.unix_micros("ts").alias("e_us"),
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") / F.lit(hour_us)).cast("long").alias("bucket"),
+    )
+    probe = errors.select(
+        "error_id",
+        "user_id",
+        "e_us",
+        F.explode(
+            F.array(
+                *[
+                    ((F.col("e_us") / F.lit(hour_us)).cast("long") + F.lit(d))
+                    for d in (-1, 0, 1)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    return (
+        probe.join(signups, ["user_id", "bucket"])
+        .filter(F.abs(F.col("e_us") - F.col("s_us")) <= hour_us)
+        .select(
+            "error_id",
+            "signup_id",
+            "user_id",
+            (F.col("e_us") - F.col("s_us")).alias("delta_us"),
+        )
+        .distinct()
+    )
+
+
+@register(
     "evt_asof_join",
     oracle=f"""
         WITH clicks AS (
