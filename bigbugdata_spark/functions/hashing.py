@@ -74,24 +74,27 @@ def let_bound(expr: Column, body) -> Column:
     return F.element_at(F.transform(F.array(expr), body), 1)
 
 
-def shingle_hashes(whs: Column, n: int = 3) -> Column:
-    """Distinct hashes of word n-grams, combining word hashes positionally:
-    h(g_i) = (sum_j wh[i+j] * 31^(n-1-j)) mod P. Empty when < n tokens."""
-    coeffs = [31 ** (n - 1 - j) for j in range(n)]
+def shingle_hashes(whs: Column, n: int = 3, distinct: bool = True) -> Column:
+    """Hashes of word n-grams, combining word hashes positionally:
+    h(g_i) = (sum_j wh[i+j] * 31^(n-1-j)) mod P. Empty when < n tokens.
+    distinct=True gives the set form (Jaccard/MinHash); False keeps
+    positional multiplicity (occurrence counting). Horner evaluation
+    (mod at every step — the same residue as the positional-coefficient
+    sum, but intermediates stay < 32*P, overflow-safe for any n)."""
 
     def body(bound: Column) -> Column:
         def gram(i: Column) -> Column:
             acc = F.lit(0).cast("long")
-            for j, c in enumerate(coeffs):
-                acc = acc + F.element_at(bound, i + F.lit(j)) * F.lit(c)
-            return acc % F.lit(P)
+            for j in range(n):
+                acc = (acc * F.lit(31) + F.element_at(bound, i + F.lit(j))) % F.lit(P)
+            return acc
 
-        return F.when(
-            F.size(bound) >= n,
-            F.array_distinct(
-                F.transform(F.sequence(F.lit(1), F.size(bound) - (n - 1)), gram)
-            ),
-        ).otherwise(F.array().cast("array<bigint>"))
+        grams = F.transform(F.sequence(F.lit(1), F.size(bound) - (n - 1)), gram)
+        if distinct:
+            grams = F.array_distinct(grams)
+        return F.when(F.size(bound) >= n, grams).otherwise(
+            F.array().cast("array<bigint>")
+        )
 
     return let_bound(whs, body)
 
@@ -163,13 +166,12 @@ def sql_word_hashes(toks: str) -> str:
     )
 
 
-def sql_shingle_hashes(whs: str, n: int = 3) -> str:
-    coeffs = [31 ** (n - 1 - j) for j in range(n)]
-    terms = " + ".join(f"{whs}[i+{j}]*{c}" for j, c in enumerate(coeffs))
-    return (
-        f"list_distinct(list_transform(range(1, len({whs}) - {n - 2}), "
-        f"i -> ({terms}) % {P}))"
-    )
+def sql_shingle_hashes(whs: str, n: int = 3, distinct: bool = True) -> str:
+    expr = "0"
+    for j in range(n):
+        expr = f"(({expr})*31 + {whs}[i+{j}]) % {P}"
+    inner = f"list_transform(range(1, len({whs}) - {n - 2}), i -> {expr})"
+    return f"list_distinct({inner})" if distinct else inner
 
 
 def sql_minhash_signature(shingles: str, k: int = N_HASHES) -> str:

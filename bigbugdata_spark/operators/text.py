@@ -247,6 +247,100 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_SIZE, CHUNK_STRIDE = 32, 24  # 8-token overlap
+
+
+@register(
+    "text_chunk",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {H.sql_tokens('text')} AS t FROM documents
+        )
+        SELECT doc_id,
+               CAST(s AS BIGINT) AS start,
+               array_to_string(t[s+1 : s+{CHUNK_SIZE}], ' ') AS chunk_text,
+               CAST(len(t[s+1 : s+{CHUNK_SIZE}]) AS INT) AS n_tokens
+        FROM toks, unnest(range(0, len(t), {CHUNK_STRIDE})) AS u(s)
+    """,
+    tags=("text", "generate"),
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the training-data segmentation
+    step (fixed {size}-token chunks every {stride} tokens, {overlap}-token
+    overlap; the tail chunk may be short). Pure generate: one scan, a
+    per-row sequence explode, no shuffle; chunk identity is (doc_id,
+    start) so downstream stages can join back without ordering
+    assumptions. Scale note: output rows ~ tokens/stride per doc — the
+    amplification is the contract, and the chunker composes with
+    dedup/quality ops by treating chunks as documents."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", H.tokens(F.col("text")).alias("t")
+    )
+    chunks = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(0), F.size("t") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("s"),
+    )
+    piece = F.slice(F.col("t"), F.col("s") + 1, CHUNK_SIZE)
+    return chunks.select(
+        "doc_id",
+        F.col("s").cast("long").alias("start"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("int").alias("n_tokens"),
+    )
+
+
+text_chunk.__doc__ = text_chunk.__doc__.format(
+    size=CHUNK_SIZE, stride=CHUNK_STRIDE, overlap=CHUNK_SIZE - CHUNK_STRIDE
+)
+
+
+@register(
+    "text_dup_ngrams",
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id, unnest(g) AS gram_hash FROM (
+                SELECT doc_id,
+                       {H.sql_shingle_hashes(H.sql_word_hashes(H.sql_tokens('text')), n=8, distinct=False)} AS g
+                FROM documents
+            )
+        )
+        SELECT gram_hash,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM grams
+        GROUP BY gram_hash
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    tags=("text", "agg"),
+)
+def text_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-8-gram diagnostics — the corpus-contamination /
+    memorization audit: which long n-grams recur across distinct
+    documents, with document and occurrence counts. One explode + one
+    hash-agg shuffle on the gram hash; at 100 TB this is the standard
+    pre-dedup scan whose heavy hitters feed the stop-gram cap in
+    dedup_ngram_jaccard."""
+    grams = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            H.shingle_hashes(
+                H.word_hashes(H.tokens(F.col("text"))), n=8, distinct=False
+            )
+        ).alias("gram_hash"),
+    )
+    return (
+        grams.groupBy("gram_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 @register(
     "text_fingerprint",
     oracle=f"""
