@@ -45,6 +45,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # catalog tables (bucketed-layout support) live outside the repo
+        .config("spark.sql.warehouse.dir", "/tmp/bigbugdata-warehouse")
+        .config(
+            "spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/bigbugdata-derby"
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,83 @@
+"""Storage-layout and skew-tool guarantees: bucketed co-located joins
+drop both exchanges; salted join/agg are semantics-preserving."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigbugdata_spark.catalog import table
+from bigbugdata_spark.functions.skew import salted_agg, salted_join
+from bigbugdata_spark.plans import inspect as I
+from bigbugdata_spark.sources.bucketed import bucketed, write_bucketed
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force the non-broadcast path so the bucketed SMJ is observable."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_oracle, no_broadcast):
+    import shutil
+
+    # a fresh derby metastore can forget tables whose warehouse dirs
+    # survived a previous session — clear both sides
+    for t in ("bb_fact_bucketed", "bb_dim_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"/tmp/bigbugdata-warehouse/{t}", ignore_errors=True)
+
+    li = table(spark, sf_oracle, "lineitem")
+    fact = li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("qty"))
+    dim = li.groupBy("l_partkey").agg(F.sum("l_extendedprice").alias("price"))
+    write_bucketed(fact, "bb_fact_bucketed", "l_partkey", 8)
+    write_bucketed(dim, "bb_dim_bucketed", "l_partkey", 8)
+
+    j = bucketed(spark, "bb_fact_bucketed").join(
+        bucketed(spark, "bb_dim_bucketed"), "l_partkey"
+    )
+    # both sides pre-hashed at rest on the join key: zero Exchange
+    assert I.shuffle_count(j) == 0, I.plan_string(j, "simple")
+    assert "SortMergeJoin" in I.join_kinds(j)
+    # and the result is right
+    assert j.count() == fact.count()
+
+
+def test_salted_join_preserves_semantics(spark, sf_oracle):
+    li = table(spark, sf_oracle, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    parts = table(spark, sf_oracle, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_size"
+    )
+    plain = li.join(parts, "l_partkey")
+    salted = salted_join(
+        li, parts, "l_partkey", n_salts=4, salt_from=["l_orderkey", "l_quantity"]
+    )
+    assert salted.count() == plain.count()
+    a = {tuple(r) for r in plain.select("l_orderkey", "l_partkey", "p_size").collect()}
+    b = {tuple(r) for r in salted.select("l_orderkey", "l_partkey", "p_size").collect()}
+    assert a == b
+
+
+def test_salted_agg_preserves_semantics(spark, sf_oracle):
+    li = table(spark, sf_oracle, "lineitem")
+    plain = {
+        r["l_partkey"]: r["q"]
+        for r in li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("q")).collect()
+    }
+    salted = {
+        r["l_partkey"]: r["l_quantity"]
+        for r in salted_agg(
+            li,
+            "l_partkey",
+            n_salts=4,
+            salt_from=["l_orderkey", "l_linenumber"],
+            sum_cols=["l_quantity"],
+        ).collect()
+    }
+    assert salted == plain
