@@ -176,8 +176,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale, ultra-frequent shingles are the skew hazard — cap document
     frequency (drop grams appearing in >0.1% of docs) before the join;
     this corpus has none, so the cap is not applied here."""
+    # persist: the exploded gram frame feeds three branches (sizes + both
+    # join sides) — without it the tokenize/hash lineage runs three times
     sh = _doc_shingles(spark, sf_dir)
-    grams = sh.select("doc_id", F.explode("grams").alias("g"))
+    grams = sh.select("doc_id", F.explode("grams").alias("g")).persist()
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = grams.alias("a"), grams.alias("b")
     common = (
@@ -223,7 +225,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (65-bit-ish strings), verification touches only candidate pairs;
     corpus-size crossJoin never happens.
     """
-    sh = _doc_shingles(spark, sf_dir)
+    # persist: shingle sets feed the band path and both verify sides
+    sh = _doc_shingles(spark, sf_dir).persist()
     # signature as 64 MIN-aggregates over exploded shingles: materialized
     # behind the Aggregate, computed exactly once (see H.minhash_term)
     ex = sh.select("doc_id", F.explode("grams").alias("h"))
