@@ -46,12 +46,14 @@ def scan_info(df: DataFrame) -> list[dict[str, str]]:
         if not m or "PushedFilters" not in block and "ReadSchema" not in block:
             continue
         pushed = re.search(r"PushedFilters: \[(.*?)\]", block)
+        part = re.search(r"PartitionFilters: \[(.*?)\]", block)
         schema = re.search(r"ReadSchema: (struct<.*?>)", block)
         loc = re.search(r"Location: \S+ \[(.*?)\]", block)
         scans.append(
             {
                 "format": m.group(1),
                 "pushed_filters": pushed.group(1) if pushed else "",
+                "partition_filters": part.group(1) if part else "",
                 "read_schema": schema.group(1) if schema else "",
                 "location": loc.group(1) if loc else "",
             }

@@ -47,6 +47,30 @@ def test_bucketed_join_is_shuffle_free(spark, sf_oracle, no_broadcast):
     assert j.count() == fact.count()
 
 
+def test_date_partitioned_layout_prunes(spark, sf_oracle, tmp_path):
+    """The at-rest layout for a 100 TB events table: partition by date;
+    a day-filtered query must hit only that day's files (PartitionFilters
+    at the scan, and file listing bounded by the partition)."""
+    ev = table(spark, sf_oracle, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_by_date")
+    ev.write.partitionBy("event_date").mode("overwrite").parquet(out)
+
+    got = (
+        spark.read.parquet(out)
+        .filter(F.col("event_date") == "2024-01-05")
+        .select("event_id", "event_type")
+    )
+    scans = I.scan_info(got)
+    assert len(scans) == 1
+    assert "event_date" in scans[0]["partition_filters"]
+    # correctness of the pruned read
+    want = ev.filter(F.to_date("ts") == "2024-01-05").count()
+    assert got.count() == want
+    assert want > 0
+
+
 def test_salted_join_preserves_semantics(spark, sf_oracle):
     li = table(spark, sf_oracle, "lineitem").select(
         "l_orderkey", "l_partkey", "l_quantity"
