@@ -26,6 +26,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # modules that register queries at import time
 _QUERY_MODULES = (
     "bigbugdata_spark.operators.relational",
+    "bigbugdata_spark.operators.tpch",
     "bigbugdata_spark.operators.dedup",
     "bigbugdata_spark.operators.similarity",
     "bigbugdata_spark.operators.text",
