@@ -166,6 +166,94 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "tpch_q10_returned_items",
+    oracle="""
+        SELECT c_custkey, c_name,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
+                   AS revenue_e4,
+               CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_cents
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal
+        ORDER BY revenue_e4 DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    tags=("tpch", "join", "topk"),
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 returned-item reporting: quarter-filtered orders join returned
+    lineitems (one shuffle on orderkey), customer broadcasts for the
+    final enrichment, top-20 via TakeOrderedAndProject with a custkey
+    tiebreak."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    ep, dc = _cents("l_extendedprice"), _cents("l_discount")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(F.sum(ep * (F.lit(100) - dc)).alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue_e4",
+            _cents("c_acctbal").alias("acctbal_cents"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle="""
+        SELECT CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+                        THEN CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                             * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                        ELSE 0 END) AS BIGINT) AS promo_e4,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
+                   AS total_e4
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 promo revenue share: month-filtered lineitem joins the part
+    dimension (broadcast), conditional vs total revenue in one pass —
+    zero shuffles beyond the final 1-row agg exchange."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    ep, dc = _cents("l_extendedprice"), _cents("l_discount")
+    rev = ep * (F.lit(100) - dc)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0).cast("long"))
+            ).alias("promo_e4"),
+            F.sum(rev).alias("total_e4"),
+        )
+    )
+
+
+@register(
     "tpch_q6_revenue_forecast",
     oracle="""
         SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
