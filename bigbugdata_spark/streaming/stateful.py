@@ -80,3 +80,110 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(tracked, "update")
+
+
+# ---------------------------------------------------------------------------
+# event-time sessionizer: custom session semantics with watermark timeouts
+# ---------------------------------------------------------------------------
+
+_SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+# open sessions carried across batches: (start_us, last_us, n)
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+_GAP_US = 5 * 60 * 1_000_000
+
+
+def _sessionize_user(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Close a session when the next event arrives >= gap after the last
+    (emitting it), or when the event-time timeout fires with no successor
+    (watermark passed last_ts + gap). Matches evt_session_window's
+    half-open merge semantics."""
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us + _GAP_US, unit="us")],
+                "n_events": [n],
+            }
+        )
+        return
+
+    ts_list: list[int] = []
+    for pdf in batches:
+        ts_list.extend(int(v) // 1000 for v in pdf["ts"].astype("int64"))
+    ts_list.sort()
+
+    closed: list[tuple[int, int, int]] = []
+    if state.exists:
+        start_us, last_us, n = state.get
+        have = True
+    else:
+        have = False
+        start_us = last_us = n = 0
+    for t in ts_list:
+        if not have:
+            start_us, last_us, n = t, t, 1
+            have = True
+        elif t - last_us >= _GAP_US:
+            closed.append((start_us, last_us, n))
+            start_us, last_us, n = t, t, 1
+        else:
+            last_us, n = t, n + 1
+    state.update((start_us, last_us, n))
+    # ask to be timed out once the watermark passes the session's close
+    state.setTimeoutTimestamp(last_us // 1000 + _GAP_US // 1000)
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                "session_end": [
+                    pd.Timestamp(l + _GAP_US, unit="us") for _, l, _ in closed
+                ],
+                "n_events": [c for _, _, c in closed],
+            }
+        )
+
+
+def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sessionization as a CUSTOM stateful operator: 5-minute
+    inactivity gap, sessions closed either by a successor event beyond
+    the gap or by an EventTimeTimeout once the watermark passes. The
+    operator state is O(1) per user; expired state is dropped by the
+    state store. Sessions still open when the availableNow stream drains
+    (no watermark advance past them) are intentionally unemitted — the
+    same finalization contract as append-mode windows."""
+    events = stream_events(spark, sf_dir).select("user_id", "ts")
+    sessions = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_user,
+            outputStructType=_SESSION_OUTPUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return _run_to_memory(sessions, "append")

@@ -50,6 +50,46 @@ def test_stream_append_emits_watermark_finalized_windows(spark, sf_oracle):
     assert 0 < len(streamed) < len(batch)
 
 
+def test_stateful_sessionizer_matches_batch_sessions(spark, sf_oracle):
+    """The custom EventTimeTimeout sessionizer emits exactly the batch
+    session windows, minus each user's final session when the final
+    watermark hasn't passed its close (the append-mode finalization
+    contract)."""
+    from bigbugdata_spark.streaming.stateful import stream_sessions
+
+    fmt = "%Y-%m-%d %H:%M:%S.%f"
+    streamed = {
+        (
+            r["user_id"],
+            r["session_start"].strftime(fmt),
+            r["session_end"].strftime(fmt),
+            r["n_events"],
+        )
+        for r in stream_sessions(spark, sf_oracle).collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in SPECS["evt_session_window"].fn(spark, sf_oracle).collect()
+    }
+    assert streamed <= batch
+
+    max_ts = (
+        table(spark, sf_oracle, "events").agg(F.max("ts").alias("m")).first()["m"]
+    )
+    watermark = max_ts - dt.timedelta(minutes=10)
+    finals: dict[int, tuple] = {}
+    for row in batch:
+        if row[0] not in finals or row[1] > finals[row[0]][1]:
+            finals[row[0]] = row
+    held_back = {
+        row
+        for row in finals.values()
+        if dt.datetime.strptime(row[2], fmt) >= watermark
+    }
+    assert batch - streamed == held_back
+    assert len(streamed) > 0
+
+
 def test_stateful_user_totals_match_batch(spark, sf_oracle):
     """The applyInPandasWithState tracker's final state equals the batch
     per-user aggregate (count, exact centi-sum, last event time)."""
