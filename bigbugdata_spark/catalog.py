@@ -32,6 +32,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # when the caller's session wasn't built by session.get_spark
         # (the round driver passes its own SparkSession)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp->string formatting renders in the session timezone;
+        # the oracle's timestamps are naive (effectively UTC), so pin it —
+        # a non-UTC caller session would shift every formatted window edge
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read via nanosAsLong (session.py): exact

@@ -49,9 +49,10 @@ _name_counter = itertools.count()
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as an unbounded file-source stream (nanos -> micros
     conversion identical to the batch catalog)."""
-    # nanos conf is runtime-settable — required even on sessions not built
-    # by session.get_spark (e.g. the round driver's own session)
+    # nanos + UTC confs are runtime-settable — required even on sessions
+    # not built by session.get_spark (e.g. the round driver's own session)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # glob form: the streaming file source requires a directory or glob,
     # not a bare file path
     raw = (
