@@ -174,14 +174,6 @@ def sql_shingle_hashes(whs: str, n: int = 3, distinct: bool = True) -> str:
     return f"list_distinct({inner})" if distinct else inner
 
 
-def sql_minhash_signature(shingles: str, k: int = N_HASHES) -> str:
-    comps = ", ".join(
-        f"list_min(list_transform({shingles}, h -> ({MINHASH_A[j]}*h + {MINHASH_B[j]}) % {P}))"
-        for j in range(k)
-    )
-    return f"[{comps}]"
-
-
 def sql_simhash32(whs: str) -> str:
     terms = " + ".join(
         f"(CASE WHEN list_sum(list_transform({whs}, "

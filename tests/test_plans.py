@@ -89,6 +89,42 @@ def test_evt_tumbling_single_shuffle(spark, sf):
     assert I.read_columns(df)[0] == {"ts", "event_type", "value"}
 
 
+def test_tpch_q5_one_shuffle_join(spark, sf):
+    """Six tables, one real shuffle join: every dimension broadcasts;
+    only lineitem x orders exchanges data."""
+    df = SPECS["tpch_q5_local_supplier_volume"].fn(spark, sf)
+    kinds = I.join_kinds(df)
+    assert kinds.count("SortMergeJoin") + kinds.count("ShuffledHashJoin") <= 1
+    assert kinds.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in kinds
+
+
+def test_tpch_q6_full_pushdown(spark, sf):
+    """Every Q6 predicate reaches the parquet scan (row-group pruning on
+    the date range via min/max stats)."""
+    df = SPECS["tpch_q6_revenue_forecast"].fn(spark, sf)
+    scans = I.scan_info(df)
+    assert len(scans) == 1
+    pushed = scans[0]["pushed_filters"]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, pushed
+    assert I.read_columns(df)[0] == {
+        "l_shipdate",
+        "l_discount",
+        "l_quantity",
+        "l_extendedprice",
+    }
+
+
+def test_evt_range_join_all_equi(spark, sf):
+    """The interval join plans as an equi-join on (user, bucket) — no
+    nested-loop operator anywhere."""
+    df = SPECS["evt_range_join"].fn(spark, sf)
+    kinds = I.join_kinds(df)
+    assert "BroadcastNestedLoopJoin" not in kinds
+    assert "CartesianProduct" not in kinds
+
+
 def test_evt_asof_single_shuffle_no_range_join(spark, sf):
     """Union-sort as-of: one shuffle on user_id for the window, zero
     joins over time ranges."""
