@@ -141,6 +141,97 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 @register(
+    "mm_frame_sample",
+    oracle="""
+        WITH meta AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CAST(octet_length(encode(text)) % 7 + 1 AS INT) AS n_frames
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(u.f AS INT) AS frame_idx,
+               CAST((u.f * n_bytes) // n_frames AS BIGINT) AS byte_offset
+        FROM meta, unnest(range(0, n_frames, 2)) AS u(f)
+    """,
+    tags=("multimodal", "generate"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over 'video' payloads: every 2nd frame index from
+    the decoded frame count, with its byte offset into the payload —
+    the plumbing a real video pipeline needs (seekable offsets per
+    sampled frame) with the decode itself stubbed (see mm_decode_stub).
+    Pure generate: sequence + explode per row, no shuffle, payload bytes
+    never move — only (doc_id, frame_idx, offset) triples flow on."""
+    docs = table(spark, sf_dir, "documents")
+    blob_len = F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long")
+    meta = docs.select(
+        "doc_id",
+        blob_len.alias("n_bytes"),
+        (blob_len % 7 + 1).cast("int").alias("n_frames"),
+    )
+    return meta.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(2))
+        ).alias("frame_idx"),
+        "n_bytes",
+        "n_frames",
+    ).select(
+        "doc_id",
+        "frame_idx",
+        ((F.col("frame_idx") * F.col("n_bytes")) / F.col("n_frames"))
+        .cast("long")
+        .alias("byte_offset"),
+    )
+
+
+@register(
+    "mm_resize_meta",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) % 317 + 1 AS BIGINT) AS width,
+                   CAST(octet_length(encode(text)) * 7919 % 211 + 1 AS BIGINT) AS height
+            FROM documents
+        )
+        SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+               CAST(CASE WHEN width >= height
+                         THEN LEAST(width, 64)
+                         ELSE (width * LEAST(height, 64)) // height END AS INT) AS out_w,
+               CAST(CASE WHEN width >= height
+                         THEN (height * LEAST(width, 64)) // width
+                         ELSE LEAST(height, 64) END AS INT) AS out_h
+        FROM dims
+    """,
+    tags=("multimodal", "project"),
+)
+def mm_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning: target dimensions for a max-side-64 downscale
+    preserving aspect ratio, computed in exact integer arithmetic from
+    the (stub-)decoded dimensions. The actual pixel resample would run in
+    the same mapInPandas stage as the decode; the dimension plan is what
+    the scheduler/cost model needs and it never touches the payload."""
+    docs = table(spark, sf_dir, "documents")
+    n = F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long")
+    w, h = (n % 317 + 1), (n * 7919 % 211 + 1)
+    max_side = F.lit(64)
+    out_w = F.when(w >= h, F.least(w, max_side)).otherwise(
+        (w * F.least(h, max_side) - (w * F.least(h, max_side)) % h) / h
+    )
+    out_h = F.when(w >= h, (h * F.least(w, max_side) - (h * F.least(w, max_side)) % w) / w).otherwise(
+        F.least(h, max_side)
+    )
+    return docs.select(
+        "doc_id",
+        w.cast("int").alias("width"),
+        h.cast("int").alias("height"),
+        out_w.cast("int").alias("out_w"),
+        out_h.cast("int").alias("out_h"),
+    )
+
+
+@register(
     "mm_decode_stub",
     oracle="""
         SELECT doc_id,

@@ -33,6 +33,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.multimodal",
     "bigbugdata_spark.operators.events",
     "bigbugdata_spark.streaming.windows",
+    "bigbugdata_spark.operators.pipeline",
 )
 
 
