@@ -109,6 +109,36 @@ def test_scale_sink_matches_fidelity(golden, spark, tmp_path):
         _assert_rows_match(ref_rows, got_rows, float_cols=float_cols, where=name)
 
 
+def test_genus_rank_golden(golden, spark, tmp_path):
+    """Non-default rank (-R genus): the rank filter, aggregation and all
+    three sinks must match the reference on the same fixture corpus."""
+    from bigbugdata_spark.operators.kraken import run_pipeline, write_outputs
+    from tests.kraken_fixtures import load_reference
+
+    report_paths = sorted(str(p) for p in (golden / "reports").glob("*_report.txt"))
+    ref = load_reference()
+    ref.run(
+        report_paths=report_paths,
+        results_path=str(tmp_path / "ref"),
+        rank="genus",
+        n_tophits=15,
+        group_patterns=GROUP_PATTERNS,
+    )
+    result = run_pipeline(
+        spark, report_paths, rank="genus", n_tophits=15, group_patterns=GROUP_PATTERNS
+    )
+    write_outputs(result, str(tmp_path / "ours"), "genus")
+    for name in ("combined_genus", "rrpm_genus", "tophits_genus"):
+        ref_rows = _read_csv(tmp_path / "ref" / f"{name}.csv")
+        our_rows = _read_csv(tmp_path / "ours" / f"{name}.csv")
+        float_cols = (
+            FLOAT_COLS
+            if name.startswith("tophits")
+            else {k for k in ref_rows[0] if k not in ("taxID", "taxName")}
+        )
+        _assert_rows_match(ref_rows, our_rows, float_cols=float_cols, where=name)
+
+
 def test_tophits_has_rank_gaps(golden):
     """The reference's TODO quirk (bigbugdata.py:183-188): ranks are
     assigned before the presence filter, so at least one sample should
