@@ -56,6 +56,24 @@ def test_ivf_recall(spark, sf_oracle):
     assert recall >= 0.7, f"IVF recall collapsed: {recall:.3f}"
 
 
+def test_op09_orders_numerically(spark, sf_oracle):
+    """VERDICT r1 note: the op09 oracle can't pin ordering (the driver
+    compare is order-insensitive) — assert it locally: string ids come
+    back in numeric order."""
+    vals = [
+        r["sample_id"]
+        for r in SPECS["op09_numeric_aware_sort"].fn(spark, sf_oracle).collect()
+    ]
+    assert vals == sorted(vals, key=int)
+
+
+def test_op10_orders_by_key(spark, sf_oracle):
+    vals = [
+        r["l_partkey"] for r in SPECS["op10_ordered_output"].fn(spark, sf_oracle).collect()
+    ]
+    assert vals == sorted(vals)
+
+
 def test_minhash_equals_ngram_jaccard(spark, sf_oracle):
     """Two independent formulations (LSH-bucketed minhash + verify vs
     inverted-index exact) must agree pair-for-pair on this corpus."""
