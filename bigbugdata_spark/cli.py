@@ -84,6 +84,8 @@ def _cmd_filter_rrpm(args) -> None:
     # string-typed taxID set, broadcast semi-join (op 18), input order kept
     taxids = spark.read.option("header", True).csv(args.taxids).select("taxID")
     lines = read_lines_ordered(spark, args.rrpm).orderBy("row_order").collect()
+    if not lines:
+        return  # reference emits nothing for an empty rrpm file
     header = lines[0]["line"].split(",")
     tax_idx = header.index("taxID")
     body = spark.createDataFrame(
@@ -116,7 +118,16 @@ def _cmd_filter_reports(args) -> None:
 
     w = Window.partitionBy("path").orderBy("row_order")
     body = lines.withColumn("_rn", F.row_number().over(w))
-    header = body.filter(F.col("_rn") == 1).select("line").first()["line"].split("\t")
+    # one header per file (tiny collect); all files must agree — a
+    # reordered header would silently misindex taxID otherwise
+    headers = {
+        r["line"] for r in body.filter(F.col("_rn") == 1).select("line").collect()
+    }
+    if not headers:
+        return
+    if len(headers) > 1:
+        raise ValueError(f"reports disagree on header: {sorted(headers)}")
+    header = headers.pop().split("\t")
     tax_idx = header.index("taxID")
     f = F.split(F.col("line"), "\t")
     kept = (

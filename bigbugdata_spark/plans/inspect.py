@@ -86,9 +86,17 @@ def join_kinds(df: DataFrame) -> list[str]:
 
 def shuffle_count(df: DataFrame) -> int:
     """Shuffle exchanges in the plan (BroadcastExchange excluded — that's
-    the cheap side of a broadcast join, not a data shuffle)."""
+    the cheap side of a broadcast join, not a data shuffle). Matches the
+    actual operator spellings: `Exchange hashpartitioning(...)`,
+    `Exchange rangepartitioning(...)`, `Exchange SinglePartition` (global
+    aggregates — the earlier `Singlepartitioning` pattern never matched
+    and undercounted plans with global exchanges)."""
     text = plan_string(df, "simple")
-    return len(re.findall(r"Exchange (?:hash|range|Single)partitioning", text))
+    return len(
+        re.findall(
+            r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", text
+        )
+    )
 
 
 def codegen_span_count(df: DataFrame) -> int:
