@@ -90,6 +90,21 @@ def test_stateful_sessionizer_matches_batch_sessions(spark, sf_oracle):
     assert len(streamed) > 0
 
 
+def test_streaming_dedup_matches_batch_distinct(spark, sf_oracle):
+    """Watermarked dropDuplicates over the full stream == batch distinct
+    (every event's time is within the single availableNow batch, so no
+    key state expires before its duplicates arrive)."""
+    from bigbugdata_spark.streaming.dedup import (
+        batch_dedup_events,
+        stream_dedup_events,
+    )
+
+    streamed = {tuple(r) for r in stream_dedup_events(spark, sf_oracle).collect()}
+    batch = {tuple(r) for r in batch_dedup_events(spark, sf_oracle).collect()}
+    assert streamed == batch
+    assert len(streamed) > 0
+
+
 def test_stateful_user_totals_match_batch(spark, sf_oracle):
     """The applyInPandasWithState tracker's final state equals the batch
     per-user aggregate (count, exact centi-sum, last event time)."""
