@@ -30,7 +30,10 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bigbugdata_spark.sources.kraken_reports import read_lines_ordered
+from bigbugdata_spark.sources.kraken_reports import (
+    read_lines_ordered,
+    write_tsv_with_preamble,
+)
 
 CANONICAL_HEADER = "%\treads\ttaxReads\tkmers\tdup\tcov\ttaxID\trank\ttaxName"
 FIELDNAMES = CANONICAL_HEADER.split("\t")
@@ -139,28 +142,29 @@ def complete_reports(
             )
             unclassified = 0
         path = out_dir / f"{sample}_species-level-report.tsv"
-        with open(path, "w") as fh:
-            fh.write(
+        body: list[str] = []
+        if unclassified > 0:
+            pct = (unclassified / total) * 100
+            body.append(
+                f"{pct:.4f}\t{unclassified}\t{unclassified}\t0\t0\t0\t0"
+                f"\tunclassified\tunclassified"
+            )
+        pct = (classified / total) * 100
+        body.append(
+            f"{pct:.4f}\t{classified}\t{classified}\t{sum_kmers}\t0\t0"
+            f"\t1\troot\troot"
+        )
+        body.extend(s["line"] for s in echo)
+        write_tsv_with_preamble(
+            path,
+            preamble=[
                 f"# kraken2 --db /path/to/krakendb --threads 8 --paired "
                 f"--output {sample}_kraken.out --report "
-                f"{sample}_species-level-report.tsv\n"
-            )
-            fh.write(f"# {timestamp}\n")
-            # csv.DictWriter line terminator is \r\n (ref writes the TSV
-            # body through it); the '#' preamble lines above use \n
-            fh.write(CANONICAL_HEADER + "\r\n")
-            if unclassified > 0:
-                pct = (unclassified / total) * 100
-                fh.write(
-                    f"{pct:.4f}\t{unclassified}\t{unclassified}\t0\t0\t0\t0"
-                    f"\tunclassified\tunclassified\r\n"
-                )
-            pct = (classified / total) * 100
-            fh.write(
-                f"{pct:.4f}\t{classified}\t{classified}\t{sum_kmers}\t0\t0"
-                f"\t1\troot\troot\r\n"
-            )
-            for s in echo:
-                fh.write(s["line"] + "\r\n")
+                f"{sample}_species-level-report.tsv",
+                f"# {timestamp}",
+            ],
+            header=CANONICAL_HEADER,
+            body_lines=body,
+        )
         written.append(str(path))
     return written, skipped

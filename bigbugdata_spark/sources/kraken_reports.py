@@ -173,14 +173,21 @@ def write_csv_scale(df: DataFrame, directory: str, single_file: bool = False) ->
 
 
 def write_tsv_with_preamble(
-    file_path: Path, rows: list[dict], fieldnames: list[str], preamble: list[str]
+    file_path: Path,
+    preamble: list[str],
+    header: str,
+    body_lines: list[str],
 ) -> None:
     """TSV sink with '#' comment preamble (op 23, ref
-    scripts/modify_reports.py:95-107). Timestamp lines come from the caller
-    for determinism."""
+    scripts/modify_reports.py:95-107): preamble lines end with \\n, the
+    header and every body row with \\r\\n (the csv-module terminator the
+    reference's DictWriter emits). Timestamp lines come from the caller
+    for determinism; body rows are pre-rendered tab-joined lines (the
+    completion pipeline echoes raw input bytes). Used by
+    operators/modify_reports.complete_reports."""
     with open(file_path, "w") as fh:
         for line in preamble:
             fh.write(line.rstrip("\n") + "\n")
-        writer = csv.DictWriter(fh, fieldnames=fieldnames, delimiter="\t")
-        writer.writeheader()
-        writer.writerows(rows)
+        fh.write(header + "\r\n")
+        for line in body_lines:
+            fh.write(line + "\r\n")
