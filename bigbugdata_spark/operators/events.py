@@ -162,6 +162,119 @@ def evt_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "evt_funnel",
+    oracle="""
+        WITH signups AS (
+            SELECT user_id, MIN(ts) AS signup_ts FROM events
+            WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        clicked AS (
+            SELECT DISTINCT s.user_id
+            FROM signups s JOIN events e
+              ON e.user_id = s.user_id AND e.event_type = 'click'
+             AND e.ts > s.signup_ts
+             AND epoch_us(e.ts) - epoch_us(s.signup_ts) <= 3600000000
+        ),
+        purchased AS (
+            SELECT DISTINCT s.user_id
+            FROM signups s JOIN events e
+              ON e.user_id = s.user_id AND e.event_type = 'purchase'
+             AND e.ts > s.signup_ts
+             AND epoch_us(e.ts) - epoch_us(s.signup_ts) <= 3600000000
+        )
+        SELECT CAST((SELECT COUNT(*) FROM signups) AS BIGINT) AS n_signup,
+               CAST((SELECT COUNT(*) FROM clicked) AS BIGINT) AS n_clicked_1h,
+               CAST((SELECT COUNT(*) FROM purchased) AS BIGINT) AS n_purchased_1h
+    """,
+    tags=("events", "join"),
+)
+def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion: of users who signed up (first signup event),
+    how many clicked / purchased within the following hour. Each stage is
+    one agg + one equi-join on user_id with the time predicate as a
+    residual filter — the interval never becomes a join explosion because
+    the signup side is pre-collapsed to one row per user."""
+    ev = table(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+
+    def stage(event_type: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .join(signups, "user_id")
+            .filter(
+                (F.col("ts") > F.col("signup_ts"))
+                & (
+                    F.unix_micros("ts") - F.unix_micros("signup_ts")
+                    <= 3_600_000_000
+                )
+            )
+            .select("user_id")
+            .distinct()
+        )
+
+    n_signup = signups.count()
+    n_clicked = stage("click").count()
+    n_purchased = stage("purchase").count()
+    return spark.createDataFrame(
+        [(n_signup, n_clicked, n_purchased)],
+        "n_signup bigint, n_clicked_1h bigint, n_purchased_1h bigint",
+    )
+
+
+@register(
+    "evt_retention",
+    oracle="""
+        WITH active AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) // 7 AS BIGINT)
+                       AS week
+            FROM events
+        )
+        SELECT a.week,
+               CAST(COUNT(*) AS BIGINT) AS n_active,
+               CAST(COUNT(*) FILTER (b.user_id IS NOT NULL) AS BIGINT) AS n_retained
+        FROM active a
+        LEFT JOIN active b ON a.user_id = b.user_id AND b.week = a.week + 1
+        GROUP BY a.week
+    """,
+    tags=("events", "join"),
+)
+def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retention cohorts: distinct active users per week,
+    self-joined to week+1 — the bucketed self-join over a pre-distincted
+    frame (one shuffle on user, the week predicate an equi-key). Counts
+    only; fully deterministic."""
+    ev = table(spark, sf_dir, "events")
+    active = (
+        ev.select(
+            "user_id",
+            (
+                F.datediff(F.col("ts"), F.lit("2024-01-01").cast("timestamp"))
+                / F.lit(7)
+            )
+            .cast("long")
+            .alias("week"),
+        )
+        .distinct()
+    )
+    nxt = active.select(
+        F.col("user_id"), (F.col("week") - 1).alias("week"), F.lit(1).alias("_hit")
+    )
+    return (
+        active.join(nxt, ["user_id", "week"], "left")
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_retained"),
+        )
+    )
+
+
+@register(
     "evt_value_quantiles",
     oracle=f"""
         WITH ranked AS (

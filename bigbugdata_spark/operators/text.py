@@ -342,6 +342,33 @@ def text_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_scrub",
+    oracle="""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+                              '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g') AS scrubbed,
+               CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_runs
+        FROM documents
+    """,
+    tags=("text", "project"),
+)
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction scrubbing — the PII-hygiene stage of a training-data
+    pipeline: digit runs -> <NUM>, email-shaped tokens -> <EMAIL>, with a
+    per-doc redaction count for audit. Pure per-row regexp_replace (JVM
+    regex == RE2 semantics for these patterns); no shuffle. On this
+    synthetic corpus the patterns rarely fire — the audit count proves
+    the negative."""
+    digits = F.regexp_replace(F.col("text"), r"[0-9]+", "<NUM>")
+    scrubbed = F.regexp_replace(digits, r"[a-z0-9._]+@[a-z0-9.]+", "<EMAIL>")
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.regexp_count(F.col("text"), F.lit(r"[0-9]+")).cast("long").alias("n_num_runs"),
+    )
+
+
+@register(
     "text_fingerprint",
     oracle=f"""
         SELECT doc_id, {H.sql_text_fingerprint('text')} AS fingerprint
