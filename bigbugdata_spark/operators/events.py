@@ -162,6 +162,50 @@ def evt_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "evt_rollup",
+    oracle=f"""
+        SELECT COALESCE(event_type, '<all>') AS event_type,
+               COALESCE(strftime(time_bucket(INTERVAL '1 week', ts), '%Y-%m-%d'), '<all>') AS week_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM({_CENTS}) AS BIGINT) AS value_cents
+        FROM events
+        GROUP BY ROLLUP (event_type, time_bucket(INTERVAL '1 week', ts))
+    """,
+    tags=("events", "agg"),
+)
+def evt_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP (event_type, week) — subtotals per
+    type and a grand total in one pass (the reference has no grouping
+    sets at all, SURVEY §2.1; Spark plans this as a single expand +
+    aggregate, one shuffle). NULL grouping keys are labeled '<all>' on
+    both sides so the hash compare can't confuse a subtotal row with a
+    genuinely-null key."""
+    ev = table(spark, sf_dir, "events")
+    # Spark windows anchor at the epoch (a Thursday); DuckDB time_bucket
+    # weeks anchor at 2000-01-03 (a Monday) — the 4-day startTime offset
+    # puts both on the same Monday lattice
+    week = F.window("ts", "1 week", "1 week", "4 days").getField("start")
+    return (
+        ev.select(
+            "event_type",
+            F.date_format(week, "yyyy-MM-dd").alias("week_start"),
+            _cents_col().alias("cents"),
+        )
+        .rollup("event_type", "week_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("value_cents"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("week_start"), F.lit("<all>")).alias("week_start"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+@register(
     "evt_funnel",
     oracle="""
         WITH signups AS (
