@@ -86,20 +86,23 @@ def _cmd_filter_rrpm(args) -> None:
     lines = read_lines_ordered(spark, args.rrpm).orderBy("row_order").collect()
     if not lines:
         return  # reference emits nothing for an empty rrpm file
-    header = lines[0]["line"].split(",")
+    # csv-module parse (quote-aware — taxNames may contain commas, which
+    # write_csv_fidelity quotes; a naive split(',') would misindex taxID).
+    # Embedded newlines inside quoted fields are out of scope for the
+    # line-oriented reader, as they are for kraken report data.
+    reader = csv.reader(r["line"] for r in lines)
+    header = next(reader)
+    parsed = list(reader)
     tax_idx = header.index("taxID")
     body = spark.createDataFrame(
-        [(r["row_order"], r["line"]) for r in lines[1:]],
-        "row_order long, line string",
+        [(i, row[tax_idx]) for i, row in enumerate(parsed)],
+        "idx long, taxID string",
     )
-    f = F.split(F.col("line"), ",")
-    kept = (
-        body.withColumn("taxID", f.getItem(tax_idx))
-        .join(F.broadcast(taxids), "taxID", "left_semi")
-        .orderBy("row_order")
-        .collect()
-    )
-    rows = [dict(zip(header, r["line"].split(","))) for r in kept]
+    kept_idx = {
+        r["idx"]
+        for r in body.join(F.broadcast(taxids), "taxID", "left_semi").collect()
+    }
+    rows = [dict(zip(header, row)) for i, row in enumerate(parsed) if i in kept_idx]
     _write_stdout_csv(rows, header)
 
 

@@ -43,7 +43,13 @@ def salted_join(
     n_salts sub-partitions and the small side replicated to meet them.
     Semantically identical to big.join(small, key, how) — asserted in
     tests — but the shuffle key becomes (key, _salt), so one hot key
-    lands on n_salts reducers instead of one."""
+    lands on n_salts reducers instead of one.
+
+    Only inner/left are supported: under right/full-outer joins, an
+    unmatched small-side row would survive once per salt replica (n_salts
+    duplicates) — the replication trick is not outer-join-preserving."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left only, got {how!r}")
     b = with_salt(big, salt_from, n_salts)
     s = replicate_salts(small, n_salts)
     return b.join(s, [key, "_salt"], how).drop("_salt")

@@ -296,9 +296,11 @@ def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     active = (
         ev.select(
             "user_id",
-            # floor (not truncate-toward-zero) so a pre-epoch event lands
-            # in the same negative week bucket as the oracle's `// 7`
-            F.floor(
+            # DuckDB `//` TRUNCATES toward zero (verified: -9 // 7 = -1),
+            # and cast('long') of the double quotient truncates the same
+            # way — so a pre-epoch event lands in the same week bucket on
+            # both sides
+            (
                 F.datediff(F.col("ts"), F.lit("2024-01-01").cast("timestamp"))
                 / F.lit(7)
             )

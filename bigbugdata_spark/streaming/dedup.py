@@ -21,10 +21,12 @@ DEDUP_KEYS = ["user_id", "event_type", "value_cents"]
 
 
 def _keyed(events: DataFrame) -> DataFrame:
+    from bigbugdata_spark.operators.events import _cents_col
+
     return events.select(
         "user_id",
         "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        _cents_col().alias("value_cents"),
         "ts",
     )
 

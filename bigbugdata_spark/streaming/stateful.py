@@ -53,7 +53,10 @@ def _track_user(
     n, cents, last_us = state.get if state.exists else (0, 0, 0)
     for pdf in batches:
         n += len(pdf)
-        cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        # floor(x+0.5): HALF-AWAY rounding for the positive cent values,
+        # matching Spark F.round / DuckDB ROUND — pandas .round() is
+        # half-to-even and would diverge on exact .5 ties
+        cents += int((pdf["value"].mul(100) + 0.5).astype("int64").sum())
         batch_max_us = int(pdf["ts"].astype("int64").max()) // 1000
         last_us = max(last_us, batch_max_us)
     state.update((n, cents, last_us))

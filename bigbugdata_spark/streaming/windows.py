@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from bigbugdata_spark.operators.events import TS_FMT
+from bigbugdata_spark.operators.events import TS_FMT, _cents_col
 from bigbugdata_spark.registry import register
 
 # physical schema of events.parquet under nanosAsLong (session.py): the
@@ -70,7 +70,7 @@ def _tumbling_agg(events: DataFrame) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+            F.sum(_cents_col()).alias("value_cents"),
         )
     )
 

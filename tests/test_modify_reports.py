@@ -182,6 +182,15 @@ def test_filter_rrpm_matches_reference(tmp_path, spark):
         for t in rng.sample(range(2000, 2050), 12):
             w.writerow([t])
 
+    # quoted field containing a comma: csv.DictWriter quotes it; both the
+    # reference's DictReader and our quote-aware parse must keep columns
+    # aligned (a naive split(',') would misindex taxID)
+    with open(rrpm, "a", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow([2050, "Severe virus, strain B", 3, 4])
+    with open(taxids, "a", newline="") as fh:
+        csv.writer(fh).writerow([2050])
+
     ref_mod = _load_ref_script("filter_rrpm_by_taxid")
     want = _capture_stdout(
         ref_mod.main, ["x", "--rrpm", str(rrpm), "--taxids", str(taxids)]
