@@ -68,6 +68,11 @@ def compare(spark_df, con, oracle_sql: str):
         cs = canon_rows(s_rows, s_cols)
         cd = canon_rows(d_rows, d_cols)
         if cs != cd:
-            diffs = [(a, b) for a, b in zip(cs, cd) if a != b][:5]
-            problems.append(f"values differ; first diffs (spark, duckdb): {diffs}")
+            # symmetric-difference samples (zip-pairing two sorted lists
+            # misaligns everything after the first insertion/deletion)
+            only_s = [r for r in cs if r not in set(cd)][:3]
+            only_d = [r for r in cd if r not in set(cs)][:3]
+            problems.append(
+                f"values differ; spark-only rows: {only_s}; duckdb-only rows: {only_d}"
+            )
     return (not problems, "; ".join(problems) or "ok")
