@@ -56,6 +56,36 @@ def test_ivf_recall(spark, sf_oracle):
     assert recall >= 0.7, f"IVF recall collapsed: {recall:.3f}"
 
 
+def test_chunker_covers_every_token(spark, sf_oracle):
+    """Chunk accounting invariant: for each doc, the chunk sizes must
+    equal sum(min(SIZE, n - s)) over starts s in range(0, n, STRIDE),
+    chunk starts must be exactly the stride lattice, and the first chunk
+    must begin at 0 — i.e. no token is ever skipped."""
+    from bigbugdata_spark.catalog import table
+    from bigbugdata_spark.functions.hashing import tokens
+    from bigbugdata_spark.operators.text import CHUNK_SIZE, CHUNK_STRIDE
+
+    from pyspark.sql import functions as F
+
+    n_tokens = {
+        r["doc_id"]: r["n"]
+        for r in table(spark, sf_oracle, "documents")
+        .select("doc_id", F.size(tokens(F.col("text"))).alias("n"))
+        .collect()
+    }
+    chunks: dict[int, list[tuple[int, int]]] = {}
+    for r in SPECS["text_chunk"].fn(spark, sf_oracle).collect():
+        chunks.setdefault(r["doc_id"], []).append((r["start"], r["n_tokens"]))
+    assert chunks.keys() == n_tokens.keys()
+    for doc_id, pairs in chunks.items():
+        n = n_tokens[doc_id]
+        starts = sorted(s for s, _ in pairs)
+        assert starts == list(range(0, n, CHUNK_STRIDE))
+        got = {s: c for s, c in pairs}
+        for s in starts:
+            assert got[s] == min(CHUNK_SIZE, n - s)
+
+
 def test_op09_orders_numerically(spark, sf_oracle):
     """VERDICT r1 note: the op09 oracle can't pin ordering (the driver
     compare is order-insensitive) — assert it locally: string ids come
