@@ -1,0 +1,54 @@
+"""Shared constants and DuckDB-oracle SQL fragments used by more than one
+operator module.
+
+This module exists for a registration-order reason, not just hygiene: the
+driver's correctness gate checks queries in REGISTRATION order with a cap
+(see registry._QUERY_MODULES), so `operators.pipeline` must be importable
+WITHOUT transitively importing (and therefore registering) the whole
+dedup/text families first.  Everything here is pure — no `register()`
+calls, no Spark session use — so importing it never perturbs the
+registry.
+"""
+
+from __future__ import annotations
+
+from bigbugdata_spark.functions import hashing as H
+
+# --- dedup family ----------------------------------------------------------
+
+JACCARD_T = 0.5
+
+_SHINGLES_SQL = (
+    f"SELECT doc_id, {H.sql_shingle_hashes(H.sql_word_hashes(H.sql_tokens('text')))} "
+    "AS grams FROM documents"
+)
+
+# ground-truth pairwise Jaccard >= t via the inverted index (exact)
+JACCARD_PAIRS_SQL = f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    grams AS (
+        SELECT doc_id, unnest(grams) AS g FROM sh WHERE len(grams) > 0
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM grams GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS c
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d1, d2,
+           CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) AS jaccard
+    FROM common
+    JOIN sizes s1 ON common.d1 = s1.doc_id
+    JOIN sizes s2 ON common.d2 = s2.doc_id
+    WHERE CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) >= {JACCARD_T}
+"""
+
+# --- text family -----------------------------------------------------------
+
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "it", "on", "for")
+
+CHUNK_SIZE, CHUNK_STRIDE = 32, 24  # 8-token overlap
+
+
+def sql_list(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"

@@ -36,9 +36,11 @@ from pyspark.sql import functions as F
 
 from bigbugdata_spark.catalog import table
 from bigbugdata_spark.functions import hashing as H
+from bigbugdata_spark.functions.fragments import (
+    JACCARD_PAIRS_SQL as _JACCARD_PAIRS_SQL,
+    JACCARD_T,
+)
 from bigbugdata_spark.registry import register
-
-JACCARD_T = 0.5
 SIMHASH_D = 3  # max hamming distance; 8 x 4-bit blocks are exact for d <= 7
 COSINE_T = 0.4  # this corpus' near-dup band (max observed pair cos ~0.51)
 LSH_BANDS, LSH_ROWS = 16, 4  # 64 minhash components
@@ -100,32 +102,6 @@ def _bucket_pairs(keyed: DataFrame, bucket_cols: list[str], id_col: str) -> Data
         .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .distinct()
     )
-
-
-_SHINGLES_SQL = (
-    f"SELECT doc_id, {H.sql_shingle_hashes(H.sql_word_hashes(H.sql_tokens('text')))} "
-    "AS grams FROM documents"
-)
-
-# ground-truth pairwise Jaccard >= t via the inverted index (exact)
-_JACCARD_PAIRS_SQL = f"""
-    WITH sh AS ({_SHINGLES_SQL}),
-    grams AS (
-        SELECT doc_id, unnest(grams) AS g FROM sh WHERE len(grams) > 0
-    ),
-    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM grams GROUP BY doc_id),
-    common AS (
-        SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS c
-        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT d1, d2,
-           CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) AS jaccard
-    FROM common
-    JOIN sizes s1 ON common.d1 = s1.doc_id
-    JOIN sizes s2 ON common.d2 = s2.doc_id
-    WHERE CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) >= {JACCARD_T}
-"""
 
 
 # ---------------------------------------------------------------------------

@@ -21,13 +21,18 @@ from pyspark.sql import functions as F
 
 from bigbugdata_spark.catalog import table
 from bigbugdata_spark.functions import hashing as H
-from bigbugdata_spark.operators.dedup import _JACCARD_PAIRS_SQL, dedup_cluster_keep
-from bigbugdata_spark.operators.text import (
+
+# Only pure fragments at module level: importing operators.dedup /
+# operators.text here would register their whole families ahead of this
+# one, pushing pipe_training_corpus past the driver's correctness-report
+# cap (see registry._QUERY_MODULES).  The stage functions themselves are
+# imported lazily inside the query body.
+from bigbugdata_spark.functions.fragments import (
     CHUNK_SIZE,
     CHUNK_STRIDE,
-    _STOPWORDS,
-    _sql_list,
-    text_quality_score,
+    JACCARD_PAIRS_SQL as _JACCARD_PAIRS_SQL,
+    STOPWORDS as _STOPWORDS,
+    sql_list as _sql_list,
 )
 from bigbugdata_spark.registry import register
 
@@ -91,6 +96,9 @@ def pipe_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup rep set is the CC fixpoint (bounded rounds over the tiny
     pair graph); the final join chain broadcasts the survivor keys into
     one documents scan, and the chunk explosion feeds a single lang agg."""
+    from bigbugdata_spark.operators.dedup import dedup_cluster_keep
+    from bigbugdata_spark.operators.text import text_quality_score
+
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     quality_ok = (
         text_quality_score(spark, sf_dir)

@@ -20,6 +20,12 @@ from pyspark.sql import functions as F
 
 from bigbugdata_spark.catalog import table
 from bigbugdata_spark.functions import hashing as H
+from bigbugdata_spark.functions.fragments import (
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+    STOPWORDS as _STOPWORDS,
+    sql_list as _sql_list,
+)
 from bigbugdata_spark.registry import register
 
 # language marker words for the n-gram/stopword heuristic (tiny fixed
@@ -30,13 +36,6 @@ _MARKERS = {
     "fr": ("le", "la", "les", "et", "est"),
     "es": ("el", "los", "las", "y", "es"),
 }
-_STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "it", "on", "for")
-
-
-def _sql_list(words: tuple[str, ...]) -> str:
-    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
-
-
 @register(
     "text_token_stats",
     oracle=f"""
@@ -245,9 +244,6 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bpe_ish_tokens"),
     )
-
-
-CHUNK_SIZE, CHUNK_STRIDE = 32, 24  # 8-token overlap
 
 
 @register(
