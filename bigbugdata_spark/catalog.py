@@ -3,12 +3,44 @@
 All queries go through ``table()`` so scans stay declarative: Catalyst gets
 the parquet relation directly and can push filters / prune columns into the
 scan (verify with plans.inspect.scan_info).
+
+SESSION-CONFIG CONTRACT (the one documented side effect): reading the
+``events`` table sets ``spark.sql.session.timeZone=UTC`` and
+``spark.sql.legacy.parquet.nanosAsLong=true`` on the session, and the
+UTC zone must still hold when the returned (lazy) frame executes — the
+event queries format timestamps to strings, and a non-UTC zone would
+shift every window edge away from the oracle's naive timestamps.  A
+caller that needs a different session zone for its own plans should run
+them on a separate session.  The change is logged (once per distinct
+overwrite) instead of silent; it cannot be save/restored around the read
+because execution happens later, at the caller's action.
 """
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
+_warned: set[tuple[str, str]] = set()
+
+
+def _set_logged(spark: SparkSession, key: str, value: str) -> None:
+    """conf.set that announces a real overwrite instead of silently
+    changing session-wide behavior (ADVICE r2 #3)."""
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    if old is not None and old != value and (key, old) not in _warned:
+        _warned.add((key, old))
+        _log.warning(
+            "bigbugdata_spark.catalog: overriding session conf %s=%r with %r "
+            "for the events table (see catalog module docstring)", key, old, value
+        )
+    spark.conf.set(key, value)
 
 TABLES = (
     "region",
@@ -31,11 +63,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # runtime-settable; required by the TIMESTAMP(NANOS) column even
         # when the caller's session wasn't built by session.get_spark
         # (the round driver passes its own SparkSession)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _set_logged(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
         # timestamp->string formatting renders in the session timezone;
         # the oracle's timestamps are naive (effectively UTC), so pin it —
         # a non-UTC caller session would shift every formatted window edge
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        _set_logged(spark, "spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read via nanosAsLong (session.py): exact

@@ -26,6 +26,7 @@ from __future__ import annotations
 import argparse
 import csv
 import glob
+import logging
 import os
 import sys
 
@@ -37,8 +38,11 @@ VERSION = "0.2.0+spark"
 
 
 def _cmd_run(args) -> None:
+    from bigbugdata_spark.caching import release_pinned
     from bigbugdata_spark.operators.kraken import run_pipeline, write_outputs
 
+    # startup version line, matching ref bigbugdata.py:421
+    logging.info(f"bigbugdata v{VERSION}")
     spark = get_spark("bigbugdata-run")
     result = run_pipeline(
         spark,
@@ -47,7 +51,10 @@ def _cmd_run(args) -> None:
         n_tophits=args.tophits,
         group_patterns=[tuple(p) for p in args.nc_group] if args.nc_group else None,
     )
-    paths = write_outputs(result, args.output, args.rank, mode=args.mode)
+    try:
+        paths = write_outputs(result, args.output, args.rank, mode=args.mode)
+    finally:
+        release_pinned(spark)
     for p in paths:
         print(p)
 
@@ -56,16 +63,17 @@ def _cmd_modify_reports(args) -> None:
     from bigbugdata_spark.operators.modify_reports import complete_reports
 
     spark = get_spark("bigbugdata-modify-reports")
-    written, _ = complete_reports(
+    # per-report summary lines print inside, matching ref
+    # scripts/modify_reports.py:141-146
+    complete_reports(
         spark,
         species_reports=args.species_reports,
         dna_totalreads=args.dna_totalreads,
         rna_totalreads=args.rna_totalreads,
         output_dir=args.output_dir,
         timestamp=args.timestamp,
+        adapt_headers=args.adapt_headers,
     )
-    for p in written:
-        print(f"Created complete report: {p}")
 
 
 def _write_stdout_csv(rows: list[dict], fieldnames: list[str]) -> None:
@@ -184,6 +192,10 @@ def build_parser() -> argparse.ArgumentParser:
                        help="Output directory for complete reports")
     mod_p.add_argument("--timestamp", default=None,
                        help="preamble timestamp override (determinism)")
+    mod_p.add_argument("--adapt-headers", action="store_true",
+                       help="parse each report by its own header row "
+                            "(the reference's DictReader behavior) instead "
+                            "of requiring the canonical header")
     mod_p.set_defaults(func=_cmd_modify_reports)
 
     frr_p = sub.add_parser("filter-rrpm", help="filter rrpm CSV by taxID set")

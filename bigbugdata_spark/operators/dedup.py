@@ -34,6 +34,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigbugdata_spark.caching import pin
 from bigbugdata_spark.catalog import table
 from bigbugdata_spark.functions import hashing as H
 from bigbugdata_spark.functions.fragments import (
@@ -144,20 +145,44 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_JACCARD_PAIRS_SQL,
     tags=("dedup", "join", "headline"),
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, max_gram_df: int | None = None
+) -> DataFrame:
     """Exact pairwise word-3-gram Jaccard >= 0.5 via an INVERTED INDEX:
     explode shingles -> self-equi-join on the shingle -> count common per
     pair -> |A u B| = |A| + |B| - common. No crossJoin anywhere; the only
     shuffles are the equi-join on the shingle hash and the (d1,d2) agg.
-    At scale, ultra-frequent shingles are the skew hazard — cap document
-    frequency (drop grams appearing in >0.1% of docs) before the join;
-    this corpus has none, so the cap is not applied here."""
-    # persist: the exploded gram frame feeds three branches (sizes + both
+
+    `max_gram_df` is the STOP-GRAM CAP, the skew valve for 100 TB: an
+    ultra-frequent shingle (boilerplate shared by m documents) expands to
+    m^2/2 pairs in the self-join — one hot gram in a million docs is a
+    5e11-row skew key. With the cap, grams whose document frequency
+    exceeds the threshold are dropped from BOTH join sides before the
+    join (one extra hash-agg on the gram key + a broadcast-able semi
+    filter), bounding every gram's pair expansion at max_gram_df^2/2,
+    exactly like a search engine drops stopwords. Capped grams still
+    count toward |A| and |B| (sizes are computed pre-cap), so reported
+    Jaccard is an underestimate for affected pairs — the conservative
+    direction for dedup (never merges documents the exact measure would
+    not). The default (None) applies no cap and is exact; this corpus
+    has no hot grams, so the registered query is cap-free and
+    oracle-identical. `tests/test_extensions.py` proves the bound on a
+    synthetic hot-gram corpus."""
+    # pin: the exploded gram frame feeds three branches (sizes + both
     # join sides) — without it the tokenize/hash lineage runs three times
     sh = _doc_shingles(spark, sf_dir)
-    grams = sh.select("doc_id", F.explode("grams").alias("g")).persist()
+    grams = pin(sh.select("doc_id", F.explode("grams").alias("g")))
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = grams.alias("a"), grams.alias("b")
+    joinable = grams
+    if max_gram_df is not None:
+        keep = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("gram_df"))
+            .filter(F.col("gram_df") <= max_gram_df)
+            .select("g")
+        )
+        joinable = grams.join(keep, "g")
+    a, b = joinable.alias("a"), joinable.alias("b")
     common = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
@@ -201,8 +226,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (65-bit-ish strings), verification touches only candidate pairs;
     corpus-size crossJoin never happens.
     """
-    # persist: shingle sets feed the band path and both verify sides
-    sh = _doc_shingles(spark, sf_dir).persist()
+    # pin: shingle sets feed the band path and both verify sides
+    sh = pin(_doc_shingles(spark, sf_dir))
     # signature as 64 MIN-aggregates over exploded shingles: materialized
     # behind the Aggregate, computed exactly once (see H.minhash_term)
     ex = sh.select("doc_id", F.explode("grams").alias("h"))

@@ -234,38 +234,40 @@ def evt_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel conversion: of users who signed up (first signup event),
-    how many clicked / purchased within the following hour. Each stage is
-    one agg + one equi-join on user_id with the time predicate as a
-    residual filter — the interval never becomes a join explosion because
-    the signup side is pre-collapsed to one row per user."""
+    how many clicked / purchased within the following hour — as ONE lazy
+    plan over ONE events scan (r2 fix: the first cut ran three eager
+    .count() jobs at plan-construction time, breaking the registry's
+    lazy-plan contract and re-scanning events per stage).
+
+    Shape: a per-user window pins signup_ts = min(signup ts) onto every
+    row (one shuffle on user_id), per-row conditionals mark in-window
+    click/purchase rows, a per-user agg collapses to three booleans
+    (exchange reuse: already hash-partitioned on user_id, no second
+    shuffle), and a single-row conditional sum finishes. No join at all —
+    the window replaces the signups-side equi-join."""
     ev = table(spark, sf_dir, "events")
-    signups = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("signup_ts"))
+    w_user = Window.partitionBy("user_id")
+    signup_ts = F.min(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w_user)
+    with_signup = ev.select("user_id", "event_type", "ts").withColumn(
+        "signup_ts", signup_ts
     )
-
-    def stage(event_type: str) -> DataFrame:
-        return (
-            ev.filter(F.col("event_type") == event_type)
-            .join(signups, "user_id")
-            .filter(
-                (F.col("ts") > F.col("signup_ts"))
-                & (
-                    F.unix_micros("ts") - F.unix_micros("signup_ts")
-                    <= 3_600_000_000
-                )
-            )
-            .select("user_id")
-            .distinct()
-        )
-
-    n_signup = signups.count()
-    n_clicked = stage("click").count()
-    n_purchased = stage("purchase").count()
-    return spark.createDataFrame(
-        [(n_signup, n_clicked, n_purchased)],
-        "n_signup bigint, n_clicked_1h bigint, n_purchased_1h bigint",
+    in_hour = (
+        F.col("signup_ts").isNotNull()
+        & (F.col("ts") > F.col("signup_ts"))
+        & (F.unix_micros("ts") - F.unix_micros("signup_ts") <= 3_600_000_000)
+    )
+    per_user = with_signup.groupBy("user_id").agg(
+        F.max(F.col("signup_ts").isNotNull()).alias("signed_up"),
+        F.max(in_hour & (F.col("event_type") == "click")).alias("clicked"),
+        F.max(in_hour & (F.col("event_type") == "purchase")).alias("purchased"),
+    )
+    as_count = lambda c: F.sum(F.col(c).cast("long")).cast("long")
+    return per_user.agg(
+        as_count("signed_up").alias("n_signup"),
+        as_count("clicked").alias("n_clicked_1h"),
+        as_count("purchased").alias("n_purchased_1h"),
     )
 
 

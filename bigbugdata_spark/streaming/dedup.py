@@ -1,9 +1,21 @@
 """Streaming deduplication — exact dedup at ingest time, the streaming
-twin of operators/dedup.dedup_exact. `dropDuplicates` over a watermarked
-stream keeps one row per key in the state store and expires key state
-once the watermark passes (bounded state: only keys seen within the
-delay window are retained — the standard exactly-once ingest-dedup
-pattern for a feed that can redeliver).
+twin of operators/dedup.dedup_exact. `dropDuplicatesWithinWatermark`
+over a watermarked stream keeps one row per key in the state store and
+expires that key's state once the watermark passes its first-seen event
+time (bounded state: only keys seen within the delay window are
+retained — the standard exactly-once ingest-dedup pattern for a feed
+that can redeliver).
+
+Why not plain `dropDuplicates(keys)`: when the event-time column is NOT
+part of the dedup key subset, `dropDuplicates` never evicts — Spark only
+purges dedup state when the watermark column is one of the keys — so on
+an unbounded redelivering feed state grows without bound (ADVICE r2 #1).
+`dropDuplicatesWithinWatermark` exists precisely for this case: dedup on
+a key subset with eviction driven by the stream's watermark. Semantics:
+duplicates are guaranteed dropped when they arrive within the watermark
+delay of the first sighting — redeliveries later than the delay can
+resurface, which is the correct contract for at-least-once feeds whose
+redelivery lag is bounded by the delay.
 
 Demo keys on (user_id, event_type, value) — the events table has no
 natural duplicate key, so the test dedups a stream of REDELIVERED events
@@ -32,12 +44,15 @@ def _keyed(events: DataFrame) -> DataFrame:
 
 
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked streaming dedup: one surviving row per key among
-    events whose event times fall within the watermark horizon; state
-    for keys older than (max event time - 10 min) is dropped, which is
-    what makes this run forever on an unbounded feed."""
+    """Watermarked streaming dedup: one surviving row per key, with key
+    state evicted once the watermark passes 10 minutes beyond the key's
+    first event time — bounded state on an unbounded feed (see module
+    docstring for why dropDuplicatesWithinWatermark, not
+    dropDuplicates)."""
     events = _keyed(stream_events(spark, sf_dir))
-    deduped = events.withWatermark("ts", "10 minutes").dropDuplicates(DEDUP_KEYS)
+    deduped = events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        DEDUP_KEYS
+    )
     return _run_to_memory(deduped.select(*DEDUP_KEYS), "append")
 
 

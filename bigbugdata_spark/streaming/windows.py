@@ -50,9 +50,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as an unbounded file-source stream (nanos -> micros
     conversion identical to the batch catalog)."""
     # nanos + UTC confs are runtime-settable — required even on sessions
-    # not built by session.get_spark (e.g. the round driver's own session)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # not built by session.get_spark (e.g. the round driver's own session).
+    # Logged-not-silent session mutation; contract documented in
+    # bigbugdata_spark.catalog's module docstring.
+    from bigbugdata_spark.catalog import _set_logged
+
+    _set_logged(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
+    _set_logged(spark, "spark.sql.session.timeZone", "UTC")
     # glob form: the streaming file source requires a directory or glob,
     # not a bare file path
     raw = (

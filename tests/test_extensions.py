@@ -41,8 +41,11 @@ def test_emb_lsh_recall(spark, sf_oracle, exact_cos_pairs):
 
 
 def test_ivf_recall(spark, sf_oracle):
-    """IVF@nprobe=8 measured at 0.80 recall@10 on this near-isotropic
-    corpus; assert a floor that catches quantizer/probe regressions."""
+    """IVF@nprobe=8 with the fixed k=16 hash codebook and top-2 redundant
+    assignment measures 0.863 recall@10 on this near-isotropic corpus;
+    assert a floor that catches quantizer/probe regressions. The whole
+    computation is deterministic (hash-sampled codebook, fixed data) so
+    the floor can sit close to the measurement."""
     exact = {
         (r["query_id"], r["neighbor_id"])
         for r in SPECS["sim_cosine_topk"].fn(spark, sf_oracle).collect()
@@ -53,7 +56,7 @@ def test_ivf_recall(spark, sf_oracle):
     }
     assert len(exact) > 0
     recall = len(ivf & exact) / len(exact)
-    assert recall >= 0.7, f"IVF recall collapsed: {recall:.3f}"
+    assert recall >= 0.8, f"IVF recall collapsed: {recall:.3f}"
 
 
 def test_chunker_covers_every_token(spark, sf_oracle):
@@ -117,3 +120,38 @@ def test_minhash_equals_ngram_jaccard(spark, sf_oracle):
     }
     assert mh == ng
     assert len(mh) > 0, "corpus should contain near-dup pairs"
+
+
+def test_stop_gram_cap_bounds_hot_gram_blowup(tmp_path, spark):
+    """The max_gram_df valve for dedup_ngram_jaccard: a boilerplate gram
+    shared by m documents expands to m^2/2 rows in the inverted-index
+    self-join; with the cap, grams over the DF threshold are dropped from
+    both join sides BEFORE the join. On a corpus with a hot gram:
+    (a) the capped result equals the uncapped one when the hot grams
+        never carried a qualifying pair (the boilerplate pairs sit far
+        below the Jaccard threshold);
+    (b) a cap of 1 empties the join universe entirely — proof the valve
+        gates the join input, not just the output."""
+    from bigbugdata_spark.operators.dedup import dedup_ngram_jaccard
+
+    boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    for i in range(12):
+        filler = " ".join(f"w{i}x{j}" for j in range(20))
+        rows.append((i, boiler + " " + filler, "en", "syn", 0))
+    twin = "one two three four five six seven eight nine ten eleven twelve"
+    rows.append((100, twin, "en", "syn", 0))
+    rows.append((101, twin, "en", "syn", 0))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    uncapped = {(r["d1"], r["d2"]) for r in dedup_ngram_jaccard(spark, sf).collect()}
+    capped = {
+        (r["d1"], r["d2"])
+        for r in dedup_ngram_jaccard(spark, sf, max_gram_df=5).collect()
+    }
+    assert (100, 101) in uncapped
+    assert capped == uncapped  # hot boilerplate grams never made a pair
+    assert dedup_ngram_jaccard(spark, sf, max_gram_df=1).count() == 0

@@ -155,6 +155,136 @@ def test_two_step_e2e_matches_reference(completed, spark):
         _assert_rows_match(ref_rows, our_rows, float_cols=float_cols, where=name)
 
 
+REORDERED_HEADER = "taxID\trank\treads\tkmers\ttaxReads\tdup\tcov\t%\ttaxName"
+
+
+def _gen_reordered_report(base, sample, n_taxa=40, seed=23):
+    """A report whose header (and row layout) is a permutation of the
+    canonical columns — the older-KrakenUniq shape the reference absorbs
+    via DictReader (ref scripts/modify_reports.py:59-73)."""
+    base.mkdir(parents=True, exist_ok=True)
+    rng = random.Random(seed)
+    lines = [REORDERED_HEADER]
+    classified = 0
+    for t in range(n_taxa):
+        reads = rng.randint(1, 10_000)
+        classified += reads
+        lines.append(
+            f"{3000 + t}\tspecies\t{reads}\t{rng.randint(1, 99)}\t{reads}"
+            f"\t1.0\t0.5\t0.01\t  Sp {3000 + t}"
+        )
+    p = base / f"{sample}_report.tsv"
+    p.write_text("\n".join(lines) + "\n")
+    totals = classified * 2 + 123
+    dna = base / "dna_totalreads.tsv"
+    dna.write_text(f"{sample}_L001\tx\t{totals}\n")
+    rna = base / "rna_totalreads.tsv"
+    rna.write_text("")
+    return str(p), str(dna), str(rna)
+
+
+def test_adapt_headers_matches_reference(tmp_path, spark, capsys):
+    """Reordered-header report: reference parses/writes by the file's own
+    header; ours must be byte-identical under adapt_headers=True — and
+    the per-report summary stdout must match line for line."""
+    report, dna, rna = _gen_reordered_report(tmp_path / "in", "CF_RNA_S900")
+
+    ref_mod = _load_ref_script("modify_reports")
+    ref_mod.datetime = _FrozenDatetime
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ref_mod.create_complete_reports(
+            species_reports=[report],
+            dna_totalreads=dna,
+            rna_totalreads=rna,
+            output_dir=str(tmp_path / "ref_out"),
+        )
+    ref_stdout = buf.getvalue()
+
+    capsys.readouterr()  # drain
+    ours, skipped = complete_reports(
+        spark,
+        species_reports=[report],
+        dna_totalreads=dna,
+        rna_totalreads=rna,
+        output_dir=str(tmp_path / "our_out"),
+        timestamp=FROZEN_TS,
+        adapt_headers=True,
+    )
+    our_stdout = capsys.readouterr().out
+    assert skipped == []
+    ref_file = tmp_path / "ref_out" / "CF_RNA_S900_species-level-report.tsv"
+    our_file = tmp_path / "our_out" / "CF_RNA_S900_species-level-report.tsv"
+    assert our_file.read_bytes() == ref_file.read_bytes()
+    # stdout parity modulo the differing output directories
+    norm = lambda s, d: s.replace(str(d) + "/", "")
+    assert norm(our_stdout, tmp_path / "our_out") == norm(
+        ref_stdout, tmp_path / "ref_out"
+    )
+
+
+def test_reordered_header_fails_fast_by_default(tmp_path, spark):
+    report, dna, rna = _gen_reordered_report(tmp_path / "in", "CF_RNA_S901")
+    with pytest.raises(ValueError, match="non-canonical report header"):
+        complete_reports(
+            spark,
+            species_reports=[report],
+            dna_totalreads=dna,
+            rna_totalreads=rna,
+            output_dir=str(tmp_path / "out"),
+            timestamp=FROZEN_TS,
+        )
+
+
+def test_duplicate_sample_last_file_wins(tmp_path, spark):
+    """Two inputs resolving to the same sample: the reference processes
+    each independently and the later file overwrites the earlier one's
+    output — no cross-file merging (ADVICE r2 #5)."""
+    rng = random.Random(31)
+    paths = []
+    for d, reads0 in (("one", 100), ("two", 555)):
+        sub = tmp_path / d
+        sub.mkdir()
+        lines = [HEADER]
+        for t in range(5):
+            reads = reads0 + t
+            lines.append(
+                f"0.01\t{reads}\t{reads}\t{rng.randint(1, 99)}\t1.0\t0.5"
+                f"\t{4000 + t}\tspecies\t  Sp {4000 + t}"
+            )
+        p = sub / "CF_DNA_S777_report.tsv"
+        p.write_text("\n".join(lines) + "\n")
+        paths.append(str(p))
+    dna = tmp_path / "dna.tsv"
+    dna.write_text("CF_DNA_S777_L001\tx\t99999\n")
+    rna = tmp_path / "rna.tsv"
+    rna.write_text("")
+
+    ref_mod = _load_ref_script("modify_reports")
+    ref_mod.datetime = _FrozenDatetime
+    with contextlib.redirect_stdout(io.StringIO()):
+        ref_mod.create_complete_reports(
+            species_reports=paths,
+            dna_totalreads=str(dna),
+            rna_totalreads=str(rna),
+            output_dir=str(tmp_path / "ref_out"),
+        )
+    ours, skipped = complete_reports(
+        spark,
+        species_reports=paths,
+        dna_totalreads=str(dna),
+        rna_totalreads=str(rna),
+        output_dir=str(tmp_path / "our_out"),
+        timestamp=FROZEN_TS,
+    )
+    assert skipped == [] and len(ours) == 2  # both processed, same path
+    ref_file = tmp_path / "ref_out" / "CF_DNA_S777_species-level-report.tsv"
+    our_file = tmp_path / "our_out" / "CF_DNA_S777_species-level-report.tsv"
+    assert our_file.read_bytes() == ref_file.read_bytes()
+    # the surviving content is the SECOND file's (classified sum 555..559)
+    assert "2785" in our_file.read_text()  # 555+556+557+558+559
+
+
 def _capture_stdout(fn, argv):
     buf = io.StringIO()
     old = sys.argv
