@@ -171,7 +171,7 @@ def evt_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         GROUP BY ROLLUP (event_type, time_bucket(INTERVAL '1 week', ts))
     """,
-    tags=("events", "agg"),
+    tags=("events", "agg", "headline"),
 )
 def evt_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals via ROLLUP (event_type, week) — subtotals per
@@ -230,7 +230,7 @@ def evt_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST((SELECT COUNT(*) FROM clicked) AS BIGINT) AS n_clicked_1h,
                CAST((SELECT COUNT(*) FROM purchased) AS BIGINT) AS n_purchased_1h
     """,
-    tags=("events", "join"),
+    tags=("events", "join", "headline"),
 )
 def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel conversion: of users who signed up (first signup event),
@@ -287,7 +287,7 @@ def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN active b ON a.user_id = b.user_id AND b.week = a.week + 1
         GROUP BY a.week
     """,
-    tags=("events", "join"),
+    tags=("events", "join", "headline"),
 )
 def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Week-over-week retention cohorts: distinct active users per week,
@@ -341,7 +341,7 @@ def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(MAX(n) AS BIGINT) AS n_events
         FROM ranked GROUP BY event_type
     """,
-    tags=("events", "window", "agg"),
+    tags=("events", "window", "agg", "headline"),
 )
 def evt_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete quantiles (p50/p90/p99) of the event value per
@@ -398,7 +398,7 @@ def evt_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON e.user_id = s.user_id
          AND abs(epoch_us(e.ts) - epoch_us(s.ts)) <= 3600000000
     """,
-    tags=("events", "join"),
+    tags=("events", "join", "headline"),
 )
 def evt_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-range join — every (error, signup) pair of the same user
