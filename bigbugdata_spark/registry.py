@@ -46,6 +46,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.similarity",
     "bigbugdata_spark.operators.multimodal",
     "bigbugdata_spark.operators.text",
+    "bigbugdata_spark.operators.tpch_ext",
 )
 
 

@@ -133,3 +133,41 @@ def test_evt_asof_single_shuffle_no_range_join(spark, sf):
     assert "BroadcastNestedLoopJoin" not in I.join_kinds(df)
     # clicks-dedup agg + the union window share the user_id partitioning
     assert I.shuffle_count(df) <= 2
+
+
+def test_evt_funnel_one_scan_no_join(spark, sf):
+    """The r3 single-pass funnel: a per-user window replaces the signups
+    equi-join; one shuffle on user_id (the groupBy reuses the window's
+    partitioning) plus the single-row result exchange."""
+    df = SPECS["evt_funnel"].fn(spark, sf)
+    assert I.join_kinds(df) == []
+    assert I.shuffle_count(df) <= 2
+    assert len(I.scan_info(df)) == 1  # exactly one events scan
+
+
+def test_tpch_q4_semi_join_no_explosion(spark, sf):
+    """EXISTS plans as a semi join (each order emitted at most once) with
+    the quarter predicate pushed into the orders scan."""
+    df = SPECS["tpch_q4_priority_exists"].fn(spark, sf)
+    plan = I.plan_string(df, "formatted")
+    assert "LeftSemi" in plan or "left_semi" in plan.lower()
+    orders_scan = [s for s in I.scan_info(df) if "orders" in s["location"]]
+    assert orders_scan and "o_orderdate" in orders_scan[0]["pushed_filters"]
+
+
+def test_tpch_q18_preagg_before_joins(spark, sf):
+    """The quantity HAVING filter runs on the pre-aggregated lineitem
+    side before any join, and customer broadcasts."""
+    df = SPECS["tpch_q18_large_orders"].fn(spark, sf)
+    kinds = I.join_kinds(df)
+    assert kinds.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in kinds
+
+
+def test_tpch_q22_anti_join_and_lazy_scalar(spark, sf):
+    """NOT EXISTS plans as an anti join; the scalar-subquery average is a
+    broadcast one-row frame, not a driver-side collect."""
+    df = SPECS["tpch_q22_idle_rich_customers"].fn(spark, sf)
+    plan = I.plan_string(df, "formatted")
+    assert "LeftAnti" in plan or "left_anti" in plan.lower()
+    assert "CartesianProduct" not in I.join_kinds(df)
