@@ -47,6 +47,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.multimodal",
     "bigbugdata_spark.operators.text",
     "bigbugdata_spark.operators.tpch_ext",
+    "bigbugdata_spark.operators.quantize",
 )
 
 

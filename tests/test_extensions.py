@@ -155,3 +155,36 @@ def test_stop_gram_cap_bounds_hot_gram_blowup(tmp_path, spark):
     assert (100, 101) in uncapped
     assert capped == uncapped  # hot boilerplate grams never made a pair
     assert dedup_ngram_jaccard(spark, sf, max_gram_df=1).count() == 0
+
+
+def test_int8_quantization_preserves_neighbor_order(spark, sf_oracle):
+    """Int8 scalar quantization (emb_quantize_int8's transform) must not
+    disturb nearest-neighbor ordering: top-10 by quantized cosine vs
+    exact cosine measures recall 1.0 at sf0.01 (int8 distortion is tiny
+    at dim 64); assert a 0.9 floor against scale/rounding regressions."""
+    import numpy as np
+
+    from bigbugdata_spark.catalog import table
+
+    rows = (
+        table(spark, sf_oracle, "embeddings").select("vec_id", "embedding").collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Q = np.round(X * (127 / np.abs(X).max(axis=1, keepdims=True)))
+
+    def topk(M, k=10):
+        n = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = n @ n.T
+        np.fill_diagonal(S, -2)
+        return {
+            ids[qi]: set(ids[np.lexsort((ids, -S[qi]))[:k]])
+            for qi in range(len(ids))
+            if ids[qi] < 8
+        }
+
+    exact, quant = topk(X), topk(Q)
+    recall = sum(len(exact[q] & quant[q]) for q in exact) / sum(
+        len(exact[q]) for q in exact
+    )
+    assert recall >= 0.9, f"quantized ordering collapsed: {recall:.3f}"
