@@ -19,6 +19,18 @@ def spark():
     yield spark
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _release_pinned_frames():
+    """Release operator-pinned cache blocks at each module boundary (the
+    caching contract in bigbugdata_spark.caching): within a module the
+    warm cache is the legitimate steady state, across modules it would
+    accumulate."""
+    yield
+    from bigbugdata_spark.caching import release_pinned
+
+    release_pinned()
+
+
 @pytest.fixture(scope="session")
 def sf_small():
     return SF_SMALL
