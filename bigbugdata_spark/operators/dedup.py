@@ -42,6 +42,7 @@ from bigbugdata_spark.functions.fragments import (
     JACCARD_T,
 )
 from bigbugdata_spark.registry import register
+
 SIMHASH_D = 3  # max hamming distance; 8 x 4-bit blocks are exact for d <= 7
 COSINE_T = 0.4  # this corpus' near-dup band (max observed pair cos ~0.51)
 LSH_BANDS, LSH_ROWS = 16, 4  # 64 minhash components
@@ -72,19 +73,37 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_pairs(keyed: DataFrame, bucket_cols: list[str], id_col: str) -> DataFrame:
+def _bucket_pairs(
+    keyed: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket_width: int | None = None,
+) -> DataFrame:
     """(d1, d2) candidate pairs from bucket membership: groupBy bucket ->
     sorted member set -> per-bucket pair expansion -> distinct.
 
     This computes the (expensive) bucket-key lineage ONCE — a self-join of
     `keyed` with itself would evaluate the whole signature subtree twice.
     The per-bucket expansion is the only quadratic step; bucket width is
-    the LSH tuning knob and skewed buckets the documented hazard."""
+    the LSH tuning knob and skewed buckets the documented hazard.
+
+    `max_bucket_width` is the MEGA-BUCKET GUARD, the `_bucket_pairs` twin
+    of dedup_ngram_jaccard's stop-gram cap: a degenerate bucket holding m
+    members (near-constant simhash blocks, a hyperplane table where the
+    corpus is one-sided, a hash collision storm) expands to m^2/2 pairs
+    AND collects an m-element array in one task. Buckets wider than the
+    threshold are dropped wholesale — standard LSH practice (a bucket
+    that dense carries no discriminative signal; true near-dup pairs in
+    it almost surely co-occur in another, selective, bucket/band). The
+    default (None) applies no guard: at oracle scales every bucket is
+    narrow, and the registered queries stay exactly oracle-matched."""
     buckets = (
         keyed.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket_width is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_width)
     n = F.size(F.col("ids"))
     pair_structs = F.flatten(
         F.transform(
@@ -212,7 +231,9 @@ def dedup_ngram_jaccard(
     oracle=_JACCARD_PAIRS_SQL,
     tags=("dedup", "join", "headline"),
 )
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, max_bucket_width: int | None = None
+) -> DataFrame:
     """Near-dup pairs via MinHash signatures + LSH band bucketing:
     shingle-hash -> 64-component MinHash -> 16 bands x 4 rows -> bucket
     equi-join on (band, key) -> exact-Jaccard verification of candidates.
@@ -243,7 +264,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     bands = sig.select("doc_id", F.posexplode(band_arr).alias("band", "key"))
-    cand = _bucket_pairs(bands, ["band", "key"], "doc_id")
+    cand = _bucket_pairs(bands, ["band", "key"], "doc_id", max_bucket_width)
     g1 = sh.select(F.col("doc_id").alias("d1"), F.col("grams").alias("g1"))
     g2 = sh.select(F.col("doc_id").alias("d2"), F.col("grams").alias("g2"))
     jac = F.size(F.array_intersect("g1", "g2")).cast("double") / F.size(
@@ -275,7 +296,9 @@ _SIMHASH_SQL = H.sql_simhash32(H.sql_word_hashes(H.sql_tokens("text")))
     """,
     tags=("dedup", "join"),
 )
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash(
+    spark: SparkSession, sf_dir: str, max_bucket_width: int | None = None
+) -> DataFrame:
     """SimHash near-dup: 32-bit weighted-bit fingerprints, candidate pairs
     from 8 x 4-bit block buckets, verified at hamming <= 3.
 
@@ -313,7 +336,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("blk", "val"),
     )
-    cand = _bucket_pairs(blocks, ["blk", "val"], "doc_id")
+    cand = _bucket_pairs(blocks, ["blk", "val"], "doc_id", max_bucket_width)
     s1 = s.select(F.col("doc_id").alias("d1"), F.col("sim").alias("sim1"))
     s2 = s.select(F.col("doc_id").alias("d2"), F.col("sim").alias("sim2"))
     ham = F.bit_count(F.col("sim1").bitwiseXOR(F.col("sim2")))
@@ -461,7 +484,9 @@ def _hyperplane_bits(emb) -> "F.Column":
 
 
 @register("dedup_emb_lsh", tags=("dedup", "join"))
-def dedup_emb_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_emb_lsh(
+    spark: SparkSession, sf_dir: str, max_bucket_width: int | None = None
+) -> DataFrame:
     """Embedding near-dup, LSH-BUCKETED scale path: 64 fixed Rademacher
     hyperplanes -> sign bits -> 16 hash tables x 4 bits -> bucket
     equi-join -> exact cosine verification at >= 0.4.
@@ -494,7 +519,7 @@ def dedup_emb_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     keyed = bits_df.select("vec_id", F.posexplode(table_keys).alias("tbl", "key"))
-    cand = _bucket_pairs(keyed, ["tbl", "key"], "vec_id").select(
+    cand = _bucket_pairs(keyed, ["tbl", "key"], "vec_id", max_bucket_width).select(
         F.col("d1").alias("v1"), F.col("d2").alias("v2")
     )
     e1 = e.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))

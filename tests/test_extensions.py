@@ -188,3 +188,22 @@ def test_int8_quantization_preserves_neighbor_order(spark, sf_oracle):
         len(exact[q]) for q in exact
     )
     assert recall >= 0.9, f"quantized ordering collapsed: {recall:.3f}"
+
+
+def test_mega_bucket_guard_gates_bucket_joins(tmp_path, spark):
+    """max_bucket_width on the LSH bucket-pair expansion: 30 identical
+    documents land in ONE simhash bucket per block (30^2/2 pair blowup);
+    with the guard below that width the degenerate buckets are dropped
+    wholesale and the pair set is empty, while the ungated run emits all
+    435 pairs. (A real pipeline catches exact dups in dedup_exact before
+    any LSH stage — the guard is for the skew, not the semantics.)"""
+    from bigbugdata_spark.operators.dedup import dedup_simhash
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, text, "en", "syn", 0) for i in range(30)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+    assert dedup_simhash(spark, sf).count() == 30 * 29 // 2
+    assert dedup_simhash(spark, sf, max_bucket_width=10).count() == 0
