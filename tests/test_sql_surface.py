@@ -42,3 +42,24 @@ def test_oracle_sql_runs_on_spark(spark, sf_oracle, name):
     df_rows = canon_rows([tuple(r) for r in via_df.collect()], via_df.columns)
     assert sorted(via_sql.columns) == sorted(via_df.columns)
     assert sql_rows == df_rows
+
+
+# TPC-H oracles ANSI enough that Spark parses them verbatim — the same
+# text DuckDB hash-verifies also executes on Spark's parser, covering
+# EXISTS / NOT EXISTS / scalar subqueries / HAVING as SQL-surface shapes.
+TPCH_SQL = sorted(
+    n
+    for n, s in SPECS.items()
+    if n.startswith("tpch") and s.oracle and "strftime" not in s.oracle
+)
+
+
+@pytest.mark.parametrize("name", TPCH_SQL)
+def test_tpch_oracle_sql_runs_on_spark(spark, sf_oracle, name):
+    spec = SPECS[name]
+    via_sql = spark.sql(spec.oracle)
+    via_df = spec.fn(spark, sf_oracle)
+    sql_rows = canon_rows([tuple(r) for r in via_sql.collect()], via_sql.columns)
+    df_rows = canon_rows([tuple(r) for r in via_df.collect()], via_df.columns)
+    assert sorted(via_sql.columns) == sorted(via_df.columns)
+    assert sql_rows == df_rows
