@@ -1,0 +1,41 @@
+"""Events round-3 additions — the SKETCH-BASED scale paths whose exact
+twins live in operators/events.py.  Registered after every other family
+(see registry._QUERY_MODULES): sketch outputs are engine-specific, so
+these are rows-only queries verified by error-bound tests against their
+exact baselines instead of a DuckDB hash compare."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigbugdata_spark.catalog import table
+from bigbugdata_spark.operators.events import _cents_col
+from bigbugdata_spark.registry import register
+
+APPROX_ACC = 10_000  # GK sketch accuracy: rank error <= n / APPROX_ACC
+
+
+@register("evt_value_quantiles_approx", tags=("events", "agg"))
+def evt_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90/p99 of the event value per type via
+    percentile_approx (Greenwald-Khanna sketch) — the 100 TB twin of
+    evt_value_quantiles: the exact query's per-group sort stops scaling
+    when one group outgrows a partition, while the sketch is a bounded-
+    memory mergeable state whose aggregation stays map-side partial +
+    one shuffle, like any hash agg.
+
+    Rows-only by design: GK results are Spark-specific (DuckDB's
+    approx_quantile is a t-digest — a different sketch), so the contract
+    is the rank-error bound, asserted against the exact baseline in
+    tests/test_extensions.py: each reported quantile q must lie between
+    the exact quantiles at q +/- 1/ACC-ish rank tolerance."""
+    ev = table(spark, sf_dir, "events")
+    cents = ev.select("event_type", _cents_col().alias("cents"))
+    pct = F.percentile_approx("cents", [0.5, 0.9, 0.99], APPROX_ACC)
+    return cents.groupBy("event_type").agg(
+        pct.getItem(0).cast("long").alias("p50_cents"),
+        pct.getItem(1).cast("long").alias("p90_cents"),
+        pct.getItem(2).cast("long").alias("p99_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.text",
     "bigbugdata_spark.operators.tpch_ext",
     "bigbugdata_spark.operators.quantize",
+    "bigbugdata_spark.operators.events_ext",
 )
 
 

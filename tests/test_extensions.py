@@ -207,3 +207,36 @@ def test_mega_bucket_guard_gates_bucket_joins(tmp_path, spark):
     sf = str(tmp_path)
     assert dedup_simhash(spark, sf).count() == 30 * 29 // 2
     assert dedup_simhash(spark, sf, max_bucket_width=10).count() == 0
+
+
+def test_approx_quantiles_within_rank_error(spark, sf_oracle):
+    """evt_value_quantiles_approx (GK sketch) vs the exact rank-based
+    baseline: every reported quantile's rank in the true sorted values
+    must sit within a generous tolerance of the target percentile (GK
+    with accuracy 10000 guarantees rank error <= n/10000)."""
+    import bisect
+
+    from bigbugdata_spark.operators.events import _cents_col
+    from bigbugdata_spark.catalog import table
+
+    approx = {
+        r["event_type"]: r
+        for r in SPECS["evt_value_quantiles_approx"].fn(spark, sf_oracle).collect()
+    }
+    vals = (
+        table(spark, sf_oracle, "events")
+        .select("event_type", _cents_col().alias("cents"))
+        .collect()
+    )
+    by_type: dict[str, list[int]] = {}
+    for r in vals:
+        by_type.setdefault(r["event_type"], []).append(r["cents"])
+    assert set(approx) == set(by_type)
+    for et, cents in by_type.items():
+        cents.sort()
+        n = len(cents)
+        for p, col in ((0.5, "p50_cents"), (0.9, "p90_cents"), (0.99, "p99_cents")):
+            v = approx[et][col]
+            lo = bisect.bisect_left(cents, v) / n
+            hi = bisect.bisect_right(cents, v) / n
+            assert lo - 0.005 <= p <= hi + 0.005, (et, col, v, lo, hi)
