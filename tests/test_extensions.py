@@ -240,3 +240,24 @@ def test_approx_quantiles_within_rank_error(spark, sf_oracle):
             lo = bisect.bisect_left(cents, v) / n
             hi = bisect.bisect_right(cents, v) / n
             assert lo - 0.005 <= p <= hi + 0.005, (et, col, v, lo, hi)
+
+
+def test_hll_vocab_within_rsd(spark, sf_oracle):
+    """text_vocab_approx (HLL++, rsd 0.01) vs the exact text_token_stats:
+    both distinct counts must land within 5 sigma of exact, and the
+    non-sketch column (total_tokens) must be exactly equal."""
+    exact = {
+        r["lang"]: r for r in SPECS["text_token_stats"].fn(spark, sf_oracle).collect()
+    }
+    approx = {
+        r["lang"]: r for r in SPECS["text_vocab_approx"].fn(spark, sf_oracle).collect()
+    }
+    assert set(exact) == set(approx)
+    for lang in exact:
+        assert approx[lang]["total_tokens"] == exact[lang]["total_tokens"]
+        for a_col, e_col in (
+            ("n_docs_approx", "n_docs"),
+            ("distinct_terms_approx", "distinct_terms"),
+        ):
+            a, e = approx[lang][a_col], exact[lang][e_col]
+            assert abs(a - e) <= max(5, 0.05 * e), (lang, a_col, a, e)
