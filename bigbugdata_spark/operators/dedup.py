@@ -11,12 +11,23 @@ Scale design (the 100 TB contract):
   join Spark scales horizontally.
 * The only quadratic step is per-bucket pair expansion; bucket width is
   the tuning knob (bands x rows, block bits, gram document frequency) and
-  skewed buckets are the known hazard — at scale, drop ultra-frequent
-  shingles (stop-gram cap) exactly like a search engine drops stopwords.
+  skewed buckets are the known hazard. Both skew valves are implemented:
+  `dedup_ngram_jaccard(max_gram_df=...)` drops ultra-frequent shingles
+  before the inverted-index join (the stop-gram cap), and every
+  LSH-bucketed query takes `max_bucket_width=...` to drop degenerate
+  mega-buckets before pair expansion. Defaults are None so the
+  registered oracle-checked queries stay exact.
 * `dedup_emb_cosine` alone is the documented brute-force BASELINE
   (correctness anchor per the north star: "brute-force cosine as the
   baseline; LSH-bucketed variant as the scale path" — the scale path is
   `dedup_emb_lsh`).
+* Measured scaling (r3, local[32], sf0.1 documents replicated 10x to
+  50k docs with ~250k true near-dup pairs): `dedup_minhash_lsh` 4.9s ->
+  3.8s (sublinear — the extra data amortizes fixed costs across cores)
+  while `dedup_ngram_jaccard` 2.6s -> 44.9s (the exact inverted-index
+  join grows with gram-DF^2 when duplicates multiply document
+  frequency). That is the quantitative case for MinHash as the 100 TB
+  path with the exact join as the per-bucket/verification-scale tool.
 
 Correctness: MinHash/SimHash signatures use functions/hashing.py, which
 computes bit-identical values in DuckDB — so even the probabilistic

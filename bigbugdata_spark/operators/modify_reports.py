@@ -6,11 +6,15 @@ and write completed per-sample TSV reports with the kraken preamble
 (op 23 sink).
 
 Spark does the data work — ordered multi-file scan, last-wins merge,
-classified/kmers aggregation — distributed; the driver only formats the
-TWO synthesized rows per report and writes the per-report files
-(O(files) scalars, never data-sized). Echoed species rows are the raw
-input line bytes, which is exactly what the reference's DictWriter
-re-emits for tab-free fields.
+classified/kmers aggregation — distributed; the driver formats the TWO
+synthesized rows per report and writes the per-report files. The echoed
+species rows DO transit the driver (collected per file to be written
+into local per-sample TSVs — the sink the reference defines), so driver
+memory is bounded by reports x report size: KrakenUniq reports are
+taxonomy-bounded (<=10^5 rows / a few MB each), the same bound the
+wholetext ordered reader already assumes. Echoed rows are the raw input
+line bytes, which is exactly what the reference's DictWriter re-emits
+for tab-free fields.
 
 Fidelity notes:
 * reports are processed PER FILE in input order, exactly like the
