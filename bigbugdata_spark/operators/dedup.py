@@ -428,11 +428,21 @@ def dedup_emb_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("dedup", "iterative"),
 )
-def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_cluster_keep(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """Near-dup CLUSTERING — pairs to keep/drop decisions, the step an
     actual dedup pipeline needs after candidate generation: connected
     components over the verified near-dup pair graph, keep = the minimum
     doc_id per component.
+
+    `pairs` selects the edge source: default None uses the exact
+    inverted-index Jaccard join (matching the recursive-CTE oracle); at
+    100 TB pass `dedup_minhash_lsh(spark, sf_dir)` instead — the LSH
+    path scales sublinearly where the exact join grows with gram-DF^2
+    (measured numbers in the module docstring), and on this corpus the
+    two pair sets are provably identical (tests assert it, banding miss
+    probability <= 4e-8 at the corpus' J >= 0.9 level).
 
     Iterative min-label propagation (the scalable CC algorithm: each
     round, every node adopts the smallest label among itself and its
@@ -442,7 +452,9 @@ def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     join + agg, localCheckpoint cuts the lineage so plans stay flat. The
     oracle computes the same fixpoint as a DuckDB recursive CTE
     (transitive closure -> min reachable id)."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    if pairs is None:
+        pairs = dedup_ngram_jaccard(spark, sf_dir)
+    pairs = pairs.select("d1", "d2")
     edges = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b")).unionByName(
         pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b"))
     ).localCheckpoint()

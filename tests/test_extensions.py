@@ -261,3 +261,21 @@ def test_hll_vocab_within_rsd(spark, sf_oracle):
         ):
             a, e = approx[lang][a_col], exact[lang][e_col]
             assert abs(a - e) <= max(5, 0.05 * e), (lang, a_col, a, e)
+
+
+def test_cluster_keep_accepts_lsh_pair_source(spark, sf_oracle):
+    """dedup_cluster_keep(pairs=dedup_minhash_lsh(...)) — the 100 TB
+    composition — must produce exactly the default (exact-join) result on
+    this corpus, where the two pair sets are provably identical."""
+    from bigbugdata_spark.operators.dedup import dedup_cluster_keep, dedup_minhash_lsh
+
+    default = {
+        tuple(r) for r in dedup_cluster_keep(spark, sf_oracle).collect()
+    }
+    via_lsh = {
+        tuple(r)
+        for r in dedup_cluster_keep(
+            spark, sf_oracle, pairs=dedup_minhash_lsh(spark, sf_oracle)
+        ).collect()
+    }
+    assert via_lsh == default
