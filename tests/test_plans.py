@@ -6,6 +6,7 @@ never shows up in row-level correctness tests."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from bigbugdata_spark.plans import inspect as I
 from bigbugdata_spark.registry import load_all
@@ -171,3 +172,22 @@ def test_tpch_q22_anti_join_and_lazy_scalar(spark, sf):
     plan = I.plan_string(df, "formatted")
     assert "LeftAnti" in plan or "left_anti" in plan.lower()
     assert "CartesianProduct" not in I.join_kinds(df)
+
+
+def test_partitioned_layout_prunes_partitions(tmp_path, spark, sf):
+    """The 100 TB claim behind every 'date/source-partitioned parquet'
+    docstring: a lang-partitioned documents layout + a lang predicate
+    must produce PartitionFilters at the scan (directory pruning — the
+    scan never opens non-matching partitions)."""
+    from bigbugdata_spark.catalog import table
+
+    out = str(tmp_path / "documents_by_lang.parquet")
+    table(spark, sf, "documents").write.partitionBy("lang").mode(
+        "overwrite"
+    ).parquet(out)
+    df = spark.read.parquet(out).filter(F.col("lang") == "en").select("doc_id")
+    scans = I.scan_info(df)
+    assert scans and "lang" in scans[0]["partition_filters"], scans
+    en_rows = df.count()
+    all_rows = spark.read.parquet(out).count()
+    assert 0 < en_rows < all_rows
