@@ -39,3 +39,47 @@ def evt_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct.getItem(2).cast("long").alias("p99_cents"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "evt_cube",
+    oracle="""
+        SELECT COALESCE(event_type, '<all>') AS event_type,
+               COALESCE(CAST(user_id % 8 AS VARCHAR), '<all>') AS user_shard,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM events
+        GROUP BY CUBE (event_type, CAST(user_id % 8 AS VARCHAR))
+    """,
+    tags=("events", "agg"),
+)
+def evt_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, user shard) — all four grouping sets in one
+    expand + aggregate pass (evt_rollup covers the hierarchical subset;
+    CUBE completes the grouping-sets surface). The shard key keeps the
+    cross dimension low-cardinality; '<all>' labels disambiguate subtotal
+    rows from genuine NULL keys, as in evt_rollup. One shuffle; the
+    expand multiplies input rows by the number of grouping sets (4) —
+    the documented cost of cube at scale, which is why the shard
+    dimension is bounded."""
+    from bigbugdata_spark.operators.events import _cents_col
+
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            (F.col("user_id") % 8).cast("string").alias("user_shard"),
+            _cents_col().alias("cents"),
+        )
+        .cube("event_type", "user_shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("value_cents"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("user_shard"), F.lit("<all>")).alias("user_shard"),
+            "n_events",
+            "value_cents",
+        )
+    )

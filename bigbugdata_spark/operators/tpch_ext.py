@@ -200,3 +200,77 @@ def tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal_cents").alias("total_bal_cents"),
         )
     )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle="""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(volume_e4) AS BIGINT) AS revenue_e4
+        FROM (
+            SELECT n1.n_name AS supp_nation,
+                   n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS volume_e4
+            FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+               OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("tpch", "join"),
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 volume shipping between two nations: the DISJUNCTIVE pair
+    predicate ((A,B) or (B,A)) over two roles of the same dimension —
+    the join shape Q5 and friends never hit. The shipdate-band predicate
+    of classic Q7 is dropped (full date range) since the adapted schema's
+    interest is the join shape.
+
+    Plan: both nation role-copies broadcast and their name filters prune
+    BEFORE the pair disjunction (each side keeps only the two named
+    nations); supplier and customer broadcast; lineitem x orders stays
+    the single shuffle join. The disjunction is a residual filter on the
+    already-joined pair of names — two rows x two rows — never a
+    join-order obstacle."""
+    two = ["NATION_3", "NATION_7"]
+    n1 = (
+        table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(two))
+        .select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(two))
+        .select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem")
+    ep, dc = _cents("l_extendedprice"), _cents("l_discount")
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            (ep * (F.lit(100) - dc)).alias("volume_e4"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(
+            ((F.col("supp_nation") == two[0]) & (F.col("cust_nation") == two[1]))
+            | ((F.col("supp_nation") == two[1]) & (F.col("cust_nation") == two[0]))
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("volume_e4").alias("revenue_e4"))
+    )
