@@ -83,3 +83,53 @@ def evt_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_cents",
         )
     )
+
+
+_SPLIT = "2024-01-16"  # events span 2024-01; halves on either side
+
+
+@register(
+    "evt_cohort_setops",
+    oracle=f"""
+        WITH w1 AS (SELECT DISTINCT user_id FROM events
+                    WHERE ts < TIMESTAMP '{_SPLIT}'),
+             w2 AS (SELECT DISTINCT user_id FROM events
+                    WHERE ts >= TIMESTAMP '{_SPLIT}')
+        SELECT 'retained' AS cohort, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM (SELECT user_id FROM w1 INTERSECT SELECT user_id FROM w2)
+        UNION ALL
+        SELECT 'churned', CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT user_id FROM w1 EXCEPT SELECT user_id FROM w2)
+        UNION ALL
+        SELECT 'new', CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT user_id FROM w2 EXCEPT SELECT user_id FROM w1)
+    """,
+    tags=("events", "setop"),
+)
+def evt_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort movement via SET OPERATIONS — INTERSECT (retained), EXCEPT
+    both ways (churned / new) between the two halves of the event range;
+    the set-op surface SURVEY §2.1 notes the reference lacks entirely
+    (its only set op is union-by-concatenation, op 19).
+
+    Plan: Spark rewrites INTERSECT/EXCEPT into left-semi/left-anti
+    aggregated joins on the already-distinct user sets — the same
+    bucketed equi-join machinery as everything else; one shuffle per
+    distinct + per set op, all on the user_id key, so at scale the three
+    counts co-partition. The two halves scan the same events table with
+    disjoint pushed predicates."""
+    ev = table(spark, sf_dir, "events")
+    split = F.lit(_SPLIT).cast("timestamp")
+    w1 = ev.filter(F.col("ts") < split).select("user_id").distinct()
+    w2 = ev.filter(F.col("ts") >= split).select("user_id").distinct()
+
+    def count_as(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(label).alias("cohort"), "n_users"
+        )
+
+    return (
+        count_as(w1.intersect(w2), "retained")
+        .unionAll(count_as(w1.exceptAll(w2), "churned"))
+        .unionAll(count_as(w2.exceptAll(w1), "new"))
+    )
