@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.quantize",
     "bigbugdata_spark.operators.events_ext",
     "bigbugdata_spark.operators.text_ext",
+    "bigbugdata_spark.operators.tpch_full",
 )
 
 
