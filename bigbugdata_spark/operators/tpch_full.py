@@ -75,7 +75,7 @@ _VOLUME_E4_SQL = (
         ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
         LIMIT 100
     """,
-    tags=("tpch", "join", "subquery"),
+    tags=("tpch", "join", "subquery", "headline"),
 )
 def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 minimum-cost supplier: the correlated-MIN subquery shape
@@ -149,7 +149,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) all_nations
         GROUP BY o_year
     """,
-    tags=("tpch", "join"),
+    tags=("tpch", "join", "headline"),
 )
 def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8 national market share: conditional-fraction-of-total over a
@@ -221,7 +221,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) profit
         GROUP BY nation, o_year
     """,
-    tags=("tpch", "join"),
+    tags=("tpch", "join", "headline"),
 )
 def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 product-type profit: revenue minus cost over a LIKE-filtered
@@ -345,11 +345,15 @@ def tpch_q12_late_lines_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped >60 days after ordering; l_linestatus stands in for the
     two-valued shipmode axis).
 
-    Plan: the year filter prunes lineitem at the scan; the 60-day lag
-    predicate is a post-join residual (it references both sides, so no
-    pushdown is possible — exactly Q12's point); one shuffle join on
-    orderkey, one 2-group aggregate."""
-    li = table(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1997)
+    Plan: the year filter is spelled as a shipdate RANGE so it pushes to
+    the parquet scan as min/max row-group pruning (a year() call would
+    not push); the 60-day lag predicate is a post-join residual (it
+    references both sides, so no pushdown is possible — exactly Q12's
+    point); one shuffle join on orderkey, one 2-group aggregate."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
@@ -651,7 +655,7 @@ def tpch_q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
         ORDER BY numwait DESC, s_name
         LIMIT 100
     """,
-    tags=("tpch", "join", "subquery"),
+    tags=("tpch", "join", "subquery", "headline"),
 )
 def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 suppliers who kept orders waiting: the EXISTS + NOT-EXISTS
@@ -659,19 +663,31 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     stands in for receipt>commit lateness).
 
     Plan: instead of two residual-condition self-joins (each a shuffle of
-    the full lineitem against itself with a <> residual), ONE per-order
+    the full lineitem against itself with a <> residual), a per-order
     aggregate computes n_suppliers and n_flagged_suppliers; a line
     qualifies iff n_suppliers >= 2 AND n_flagged_suppliers = 1 — the
     sole flagged supplier in a multi-supplier order, provably equivalent
     to the EXISTS pair (l1 is flagged, so its supplier IS the one
-    flagged supplier). The SQL oracle keeps the EXISTS shape; the plan
-    keeps one orderkey shuffle reused by the l1 join."""
-    li = table(spark, sf_dir, "lineitem")
-    per_order = li.groupBy(F.col("l_orderkey").alias("agg_ok")).agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_flagged"),
+    flagged supplier). The distinct counts are built as TWO stacked
+    aggregates — per (order, supplier) then per order — because a single
+    multi-COUNT(DISTINCT) aggregate plans an Expand that doubles every
+    lineitem row through the shuffle. The per-(order,supplier) frame
+    also carries each supplier's R-line count, so the qualifying lines
+    come from that aggregate too: lineitem is scanned ONCE, no raw-row
+    self-join survives, and numwait is the sum of R-line counts over the
+    qualifying (order, supplier) pairs. The SQL oracle keeps the EXISTS
+    shape."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    r_line = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(r_line).alias("has_r"),
+        F.sum(r_line).alias("n_r_lines"),
+    )
+    per_order = per_supp.groupBy(F.col("l_orderkey").alias("agg_ok")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("has_r").alias("n_flagged"),
     )
     supp = (
         table(spark, sf_dir, "supplier")
@@ -688,14 +704,14 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey")
     )
-    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
     return (
-        l1.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        per_supp.filter(F.col("has_r") == 1)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(per_order, F.col("l_orderkey") == F.col("agg_ok"))
         .filter((F.col("n_supp") >= 2) & (F.col("n_flagged") == 1))
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_r_lines").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(100)
     )

@@ -191,3 +191,61 @@ def test_partitioned_layout_prunes_partitions(tmp_path, spark, sf):
     en_rows = df.count()
     all_rows = spark.read.parquet(out).count()
     assert 0 < en_rows < all_rows
+
+
+def test_tpch_q2_dims_broadcast_no_cartesian(spark, sf):
+    """Offers meet their per-part minimum in the one shuffle join; every
+    dimension (part, supplier, nation, region) broadcasts."""
+    df = SPECS["tpch_q2_min_cost_supplier"].fn(spark, sf)
+    kinds = I.join_kinds(df)
+    assert kinds.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in kinds
+    assert kinds.count("SortMergeJoin") + kinds.count("ShuffledHashJoin") <= 1
+
+
+def test_tpch_q8_single_shuffle_join_tree(spark, sf):
+    """Seven-way tree: filtered part + supplier + both nation roles +
+    region broadcast; at most the orders/customer edges shuffle."""
+    df = SPECS["tpch_q8_market_share"].fn(spark, sf)
+    kinds = I.join_kinds(df)
+    assert kinds.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in kinds
+    assert kinds.count("SortMergeJoin") + kinds.count("ShuffledHashJoin") <= 2
+
+
+def test_tpch_q9_like_prunes_before_broadcast(spark, sf):
+    """The %red% LIKE runs inside the part scan subtree (broadcast side
+    carries only matching parts); lineitem x orders is the one shuffle."""
+    df = SPECS["tpch_q9_product_profit"].fn(spark, sf)
+    kinds = I.join_kinds(df)
+    assert kinds.count("BroadcastHashJoin") >= 3
+    assert kinds.count("SortMergeJoin") + kinds.count("ShuffledHashJoin") <= 1
+    part_scan = [s for s in I.scan_info(df) if "part" in s["location"]]
+    assert part_scan and "p_name" in part_scan[0]["pushed_filters"]
+
+
+def test_tpch_q12_range_pushdown_residual_lag(spark, sf):
+    """The year-range predicate reaches the lineitem scan; the 60-day
+    cross-table lag stays a residual (it cannot push — that's the Q12
+    shape)."""
+    df = SPECS["tpch_q12_late_lines_priority"].fn(spark, sf)
+    li_scan = [s for s in I.scan_info(df) if "lineitem" in s["location"]]
+    assert li_scan and "l_shipdate" in li_scan[0]["pushed_filters"]
+
+
+def test_tpch_q17_all_joins_broadcast(spark, sf):
+    """Correlated-AVG formulation: brand partkeys semi-prune both sides,
+    then averages broadcast back — no shuffle join anywhere."""
+    df = SPECS["tpch_q17_small_qty_revenue"].fn(spark, sf)
+    kinds = I.join_kinds(df)
+    assert kinds and all(k.startswith("Broadcast") for k in kinds)
+
+
+def test_tpch_q21_no_self_join_explosion(spark, sf):
+    """The EXISTS/NOT-EXISTS pair is folded into one per-order aggregate:
+    no residual <>-condition self-join, no nested-loop operator, and the
+    per-order agg joins l1 on the same orderkey partitioning."""
+    df = SPECS["tpch_q21_waiting_suppliers"].fn(spark, sf)
+    kinds = I.join_kinds(df)
+    assert "CartesianProduct" not in kinds
+    assert "BroadcastNestedLoopJoin" not in kinds
