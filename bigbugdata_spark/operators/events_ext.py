@@ -6,7 +6,7 @@ exact baselines instead of a DuckDB hash compare."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigbugdata_spark.catalog import table
@@ -132,4 +132,69 @@ def evt_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_as(w1.intersect(w2), "retained")
         .unionAll(count_as(w1.exceptAll(w2), "churned"))
         .unionAll(count_as(w2.exceptAll(w1), "new"))
+    )
+
+
+@register(
+    "evt_user_window_funcs",
+    oracle="""
+        SELECT user_id, event_id,
+               CAST(ROW_NUMBER() OVER seq_w AS BIGINT) AS seq,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER seq_w AS gap_us,
+               LEAD(event_type) OVER seq_w AS next_type,
+               CAST(RANK() OVER
+                    (PARTITION BY user_id
+                     ORDER BY CAST(ROUND(value*100) AS BIGINT) DESC)
+                    AS BIGINT) AS value_rank,
+               CAST(NTILE(4) OVER seq_w AS BIGINT) AS quartile,
+               CUME_DIST() OVER
+                   (PARTITION BY user_id
+                    ORDER BY CAST(ROUND(value*100) AS BIGINT)) AS value_cume,
+               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS running_cents
+        FROM events
+        WINDOW seq_w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("events", "window"),
+)
+def evt_user_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full analytic window-function surface in one per-user
+    sequencing query: ROW_NUMBER / LAG / LEAD over the time order,
+    RANK over the value order, NTILE(4) sessions-of-equal-size,
+    CUME_DIST, and a running sum with an explicit ROWS frame (SURVEY
+    §2.1 records the reference has no window functions at all — op14/15
+    became the first two; this completes the catalog).
+
+    Determinism discipline: the time ordering carries event_id as a
+    unique tiebreak, so every ranking/frame is total-order deterministic;
+    gaps are exact integer microseconds (unix_micros vs DuckDB epoch_us);
+    values rank as exact integer cents; CUME_DIST divides two exact ints
+    in fp64.
+
+    Scale: ONE shuffle on user_id serves the time-ordered windows; the
+    value-ordered rank/cume re-sort within the same partitions without a
+    second exchange (same partition key, different ORDER BY)."""
+    ev = table(spark, sf_dir, "events")
+    cents = _cents_col()
+    seq_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val_desc = Window.partitionBy("user_id").orderBy(F.col("cents").desc())
+    val_asc = Window.partitionBy("user_id").orderBy(F.col("cents").asc())
+    run_w = seq_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.select("user_id", "event_id", "ts", "event_type", cents.alias("cents"))
+        .select(
+            "user_id",
+            "event_id",
+            F.row_number().over(seq_w).cast("long").alias("seq"),
+            (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(seq_w)
+            ).alias("gap_us"),
+            F.lead("event_type").over(seq_w).alias("next_type"),
+            F.rank().over(val_desc).cast("long").alias("value_rank"),
+            F.ntile(4).over(seq_w).cast("long").alias("quartile"),
+            F.cume_dist().over(val_asc).alias("value_cume"),
+            F.sum("cents").over(run_w).cast("long").alias("running_cents"),
+        )
     )

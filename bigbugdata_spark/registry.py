@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.events_ext",
     "bigbugdata_spark.operators.text_ext",
     "bigbugdata_spark.operators.tpch_full",
+    "bigbugdata_spark.streaming.joins",
 )
 
 

@@ -124,3 +124,18 @@ def test_stateful_user_totals_match_batch(spark, sf_oracle):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, sf_oracle):
+    """Inner stream-stream interval join == the batch join: the
+    watermark bounds state, never the inner-join output."""
+    from bigbugdata_spark.streaming.joins import (
+        batch_click_attribution,
+        evt_stream_click_attribution,
+    )
+
+    got = evt_stream_click_attribution(spark, sf_oracle)
+    want = batch_click_attribution(spark, sf_oracle)
+    key = lambda r: (r.user_id, r.click_id, r.view_id)  # noqa: E731
+    assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
+    assert got.count() > 0
