@@ -35,3 +35,96 @@ def text_vocab_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("total_tokens"),
         F.approx_count_distinct("term", HLL_RSD).alias("distinct_terms_approx"),
     )
+
+
+# BM25 constants: k1/b are the standard defaults; the idf is the
+# rational Robertson form WITHOUT the log so both engines compute it as
+# a ratio of exact integers (the log is monotone, so ranking order is
+# unchanged; the substitution is documented in the docstring).
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_TERMS_SQL = "('spark', 'join', 'window')"
+
+
+@register(
+    "text_bm25_rank",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({H.sql_tokens('text')}) AS term
+            FROM documents
+        ), dl AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+            FROM toks GROUP BY doc_id
+        ), corpus AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS total_tokens
+            FROM dl
+        ), tf AS (
+            SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks WHERE term IN {_BM25_TERMS_SQL}
+            GROUP BY term, doc_id
+        ), dfreq AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tf GROUP BY term
+        )
+        SELECT term, doc_id, tf, dl,
+               (CAST(2*n_docs - 2*df + 1 AS DOUBLE)
+                  / CAST(2*df + 1 AS DOUBLE))
+               * ((CAST(tf AS DOUBLE) * 2.2)
+                  / (CAST(tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                         / (CAST(total_tokens AS DOUBLE)
+                            / CAST(n_docs AS DOUBLE))))))
+                   AS bm25_score
+        FROM tf
+        JOIN dl USING (doc_id)
+        CROSS JOIN corpus
+        JOIN dfreq USING (term)
+    """,
+    tags=("text", "join", "agg"),
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed query-term set —
+    the classic search-scoring operator over the documents table
+    (k1=1.2, b=0.75). The idf uses the rational Robertson form
+    (2N-2df+1)/(2df+1) INSTEAD of its logarithm: log differs in final
+    ulps across math libraries, while the rational form is a ratio of
+    exact integers — bit-identical cross-engine and monotone in the
+    same direction, so ranking order is preserved.
+
+    Every input to the score is an exact integer (tf, dl, df, N, token
+    totals); the score expression is the same parenthesized tree on both
+    engines, so fp64 evaluation is bit-identical.
+
+    Plan: one explode feeds BOTH aggregates (per-doc length and
+    term-filtered tf); the term filter cuts the tf shuffle to the query
+    vocabulary; df and the one-row corpus stats broadcast back; the only
+    full-corpus shuffle is the per-doc length agg (map-side combinable)."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(H.tokens(F.col("text"))).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+    idf = (2 * F.col("n_docs") - 2 * F.col("df") + 1).cast("double") / (
+        2 * F.col("df") + 1
+    ).cast("double")
+    tf_d = F.col("tf").cast("double")
+    score = idf * (
+        (tf_d * F.lit(2.2))
+        / (tf_d + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / avgdl)))
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(corpus))
+        .join(F.broadcast(dfreq), "term")
+        .select("term", "doc_id", "tf", "dl", score.alias("bm25_score"))
+    )
