@@ -52,6 +52,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.text_ext",
     "bigbugdata_spark.operators.tpch_full",
     "bigbugdata_spark.streaming.joins",
+    "bigbugdata_spark.operators.profile",
 )
 
 

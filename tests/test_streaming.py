@@ -139,3 +139,19 @@ def test_stream_stream_join_matches_batch(spark, sf_oracle):
     key = lambda r: (r.user_id, r.click_id, r.view_id)  # noqa: E731
     assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
     assert got.count() > 0
+
+
+def test_foreach_batch_incremental_sink_is_idempotent(tmp_path, spark, sf_oracle):
+    """The foreachBatch upsert sink materializes the stream exactly once:
+    a full replay (fresh checkpoint, same source) appends nothing."""
+    from bigbugdata_spark.catalog import table
+    from bigbugdata_spark.streaming.sink import run_incremental_dedup_sink
+
+    out = str(tmp_path / "events_table")
+    run_incremental_dedup_sink(spark, sf_oracle, out, str(tmp_path / "ckpt1"))
+    n_events = table(spark, sf_oracle, "events").select("event_id").distinct().count()
+    assert spark.read.parquet(out).count() == n_events
+
+    # replay with a fresh checkpoint: the anti-join makes it a no-op
+    run_incremental_dedup_sink(spark, sf_oracle, out, str(tmp_path / "ckpt2"))
+    assert spark.read.parquet(out).count() == n_events
