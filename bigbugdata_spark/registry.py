@@ -53,6 +53,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.tpch_full",
     "bigbugdata_spark.streaming.joins",
     "bigbugdata_spark.operators.profile",
+    "bigbugdata_spark.operators.similarity_ext",
 )
 
 

@@ -279,3 +279,22 @@ def test_cluster_keep_accepts_lsh_pair_source(spark, sf_oracle):
         ).collect()
     }
     assert via_lsh == default
+
+
+def test_sim_cosine_topk_np_matches_exact_baseline(spark, sf_oracle):
+    """The Arrow/numpy blocked-matmul path returns the identical
+    (query, neighbor, rank) result as the oracle-checked JVM baseline —
+    fp sums differ only in final ulps, far below this corpus' score
+    separations."""
+    from bigbugdata_spark.operators.similarity import sim_cosine_topk
+    from bigbugdata_spark.operators.similarity_ext import sim_cosine_topk_np
+
+    want = {
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in sim_cosine_topk(spark, sf_oracle).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in sim_cosine_topk_np(spark, sf_oracle).collect()
+    }
+    assert got == want
