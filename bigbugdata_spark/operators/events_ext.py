@@ -198,3 +198,59 @@ def evt_user_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").over(run_w).cast("long").alias("running_cents"),
         )
     )
+
+
+@register(
+    "evt_cohort_fullouter",
+    oracle="""
+        WITH first_week AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_early
+            FROM events
+            WHERE ts < TIMESTAMP '2024-01-08' GROUP BY user_id
+        ), last_week AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_late
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-22' GROUP BY user_id
+        )
+        SELECT COALESCE(f.user_id, l.user_id) AS user_id,
+               COALESCE(n_early, 0) AS n_early,
+               COALESCE(n_late, 0) AS n_late,
+               CASE WHEN f.user_id IS NULL THEN 'late_only'
+                    WHEN l.user_id IS NULL THEN 'early_only'
+                    ELSE 'both' END AS presence
+        FROM first_week f FULL OUTER JOIN last_week l
+          ON f.user_id = l.user_id
+    """,
+    tags=("events", "join"),
+)
+def evt_cohort_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-week vs last-week activity per user via FULL OUTER join —
+    the one join type the rest of the surface doesn't exercise (inner /
+    left / semi / anti / cross and set-ops are covered elsewhere);
+    COALESCE folds the two key columns and null-extends the counts.
+
+    Plan: both cohort aggregates prune their scan with the pushable date
+    predicate; the full outer join shuffles two already-aggregated
+    per-user frames (tiny relative to raw events), one exchange each."""
+    ev = table(spark, sf_dir, "events")
+    first = (
+        ev.filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_early"))
+        .select(F.col("user_id").alias("u1"), "n_early")
+    )
+    last = (
+        ev.filter(F.col("ts") >= F.lit("2024-01-22").cast("timestamp"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_late"))
+        .select(F.col("user_id").alias("u2"), "n_late")
+    )
+    return first.join(last, F.col("u1") == F.col("u2"), "full_outer").select(
+        F.coalesce(F.col("u1"), F.col("u2")).alias("user_id"),
+        F.coalesce(F.col("n_early"), F.lit(0)).alias("n_early"),
+        F.coalesce(F.col("n_late"), F.lit(0)).alias("n_late"),
+        F.when(F.col("u1").isNull(), "late_only")
+        .when(F.col("u2").isNull(), "early_only")
+        .otherwise("both")
+        .alias("presence"),
+    )

@@ -128,3 +128,51 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dfreq), "term")
         .select("term", "doc_id", "tf", "dl", score.alias("bm25_score"))
     )
+
+
+# Per-language keep quotas in permille — the "data mixing" knob: a
+# training corpus rarely takes every language at its natural rate.
+_MIX_PERMILLE = {"en": 800, "de": 500, "fr": 250, "es": 125, "zh": 60}
+_MIX_A, _MIX_B = 48_271, 11_213  # fixed affine-hash parameters, mod P
+
+
+@register(
+    "corpus_mix_sample",
+    oracle=f"""
+        WITH quota(lang, permille) AS (
+            VALUES {", ".join(f"('{lang}', {pm})" for lang, pm in sorted(_MIX_PERMILLE.items()))}
+        )
+        SELECT doc_id, documents.lang AS lang, source, permille
+        FROM documents
+        JOIN quota ON documents.lang = quota.lang
+        WHERE ({_MIX_A} * doc_id + {_MIX_B}) % {H.P} % 1000 < permille
+    """,
+    tags=("text", "sample"),
+)
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language quota downsampling — the corpus-mixing
+    operator: each language keeps its configured permille of documents,
+    selected by an affine hash of doc_id (NOT df.sample(): rng-based
+    sampling is engine- and partitioning-dependent, while the hash
+    condition is a pure row predicate — reproducible across engines,
+    re-runs and repartitions, and stable under incremental ingest: a doc
+    kept today is kept tomorrow).
+
+    Plan: broadcast the 5-row quota table into one corpus scan; the keep
+    predicate is a scan-side filter — no shuffle at all. At 100 TB the
+    same predicate runs inside the scan of each partition and composes
+    with partition pruning on lang-partitioned layouts
+    (sources/jsonl.write_corpus_partitioned)."""
+    quota = spark.createDataFrame(
+        sorted(_MIX_PERMILLE.items()), "lang string, permille int"
+    )
+    keep = (
+        (F.lit(_MIX_A) * F.col("doc_id") + F.lit(_MIX_B)) % F.lit(H.P) % 1000
+        < F.col("permille")
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .join(F.broadcast(quota), "lang")
+        .filter(keep)
+        .select("doc_id", "lang", "source", "permille")
+    )
