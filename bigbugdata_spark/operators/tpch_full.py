@@ -85,8 +85,10 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one shuffle on partkey for the MIN, one more to join offers
     back against their per-part minimum (AQE can co-locate the two —
-    same key); every dimension (filtered part, supplier, nation, region)
-    broadcasts; DISTINCT collapses equal-cost duplicate offers before
+    same key); nation/region carry explicit broadcast hints (constant-size),
+    while the data-proportional sides (filtered part, supplier) are left to
+    the size-based planner — broadcast at test scale, shuffle at 100 TB;
+    DISTINCT collapses equal-cost duplicate offers before
     the TakeOrderedAndProject top-100."""
     offers = table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", _cents("l_extendedprice").alias("cost_cents")
@@ -110,8 +112,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (offers.l_partkey == mincost.mp)
             & (offers.cost_cents == mincost.min_cost),
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_acctbal_cents", "s_name", "n_name", "p_partkey", "p_type", "cost_cents")
@@ -155,10 +157,12 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8 national market share: conditional-fraction-of-total over a
     7-way join, the widest join tree in the suite.
 
-    Plan: the filtered part scan (~1/6 of parts) broadcasts and prunes
-    lineitem FIRST — the selective dimension drives the tree; supplier /
-    nation / region broadcast; orders<->customer is left unhinted so AQE
-    picks broadcast at test scale and shuffle at 100 TB. The share
+    Plan: the filtered part scan (~1/6 of parts) prunes lineitem FIRST —
+    the selective dimension drives the tree. Only the constant-size
+    frames (both nation roles, region) carry explicit broadcast hints;
+    part / supplier / customer / orders are data-proportional and left
+    to the size-based planner — broadcast at test scale, shuffle at
+    100 TB. The share
     divides two exact integer sums in fp64, bit-identical across
     engines."""
     li = table(spark, sf_dir, "lineitem").select(
@@ -186,12 +190,12 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total_vol = F.sum("volume_e4")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("nk1"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("nk2"))
         .groupBy("o_year")
         .agg(
@@ -229,8 +233,10 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     doesn't exist here, so unit cost is p_retailprice (broadcast with the
     part row — no extra join).
 
-    Plan: the LIKE filter prunes part before its broadcast; supplier and
-    nation broadcast; lineitem x orders is the one shuffle join; profit
+    Plan: the LIKE filter prunes part before the join; nation carries the
+    only explicit broadcast hint (constant-size) — part and supplier are
+    data-proportional, planner-chosen; lineitem x orders is the one
+    big shuffle join; profit
     stays exact integer e4 (cents x cents-scale) until the final sum."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_partkey",
@@ -252,8 +258,8 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .withColumn(
@@ -290,8 +296,9 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery (partsupp value becomes shipped lineitem value for one
     nation's suppliers).
 
-    Plan: the nation's supplier keys broadcast as a semi-join into the
-    lineitem scan; ONE shuffle builds the per-part sums; the total is a
+    Plan: the nation's supplier keys semi-join into the lineitem scan
+    (planner-broadcast at test scale — the frame is data-proportional,
+    so no forced hint); ONE shuffle builds the per-part sums; the total is a
     one-row aggregate of that same frame cross-joined by broadcast —
     lazy, no driver collect, and the per-part frame computes once under
     AQE exchange reuse (persist would pin it; at 100 TB the rewrite is
@@ -309,7 +316,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = (
         table(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey", _cents("l_extendedprice").alias("ep_cents"))
-        .join(F.broadcast(natsupp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(natsupp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(F.sum("ep_cents").alias("value_cents"))
     )
@@ -406,7 +413,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(best))
         .filter(F.col("total_revenue_e4") == F.col("best_rev"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue_e4")
     )
 
@@ -431,9 +438,10 @@ def tpch_q16_supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame
     """Q16 supplier counts per part class: COUNT(DISTINCT) under a
     NOT-IN exclusion (complaint suppliers become negative-balance ones).
 
-    Plan: the three part predicates prune the broadcast side; the NOT IN
-    is a LEFT ANTI broadcast join (s_suppkey is non-null, so anti-join
-    and NOT IN agree); the distinct count is Spark's two-phase
+    Plan: the three part predicates prune the part side before the join;
+    the NOT IN is a LEFT ANTI join on a filtered supplier set
+    (s_suppkey is non-null, so anti-join and NOT IN agree) — both sides
+    data-proportional, so the broadcast choice is the planner's; the distinct count is Spark's two-phase
     partial-distinct aggregate — one shuffle on the group keys."""
     part = (
         table(spark, sf_dir, "part")
@@ -452,8 +460,8 @@ def tpch_q16_supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         table(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -484,12 +492,12 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17 small-quantity-order revenue: the correlated per-part AVG
     subquery — each line compares against ITS part's average quantity.
 
-    Plan: the brand's partkeys broadcast-semi-prune the per-part average
-    aggregate BEFORE it computes (the oracle averages every part;
-    restricting to the joined parts is value-identical and skips >95% of
-    the agg work); both the brand lines and the averages then meet in a
-    broadcast join on partkey — zero shuffles beyond the one partial
-    agg. The average divides exact integer sum/count in fp64."""
+    Plan: the brand's partkeys semi-prune the per-part average aggregate
+    BEFORE it computes (the oracle averages every part; restricting to
+    the joined parts is value-identical and skips >95% of the agg
+    work); the brand lines and the averages then meet on partkey. All
+    frames here are data-proportional, so broadcasts are planner-chosen
+    (taken at test scale). The average divides exact integer sum/count in fp64."""
     part = (
         table(spark, sf_dir, "part")
         .filter(F.col("p_brand") == "Brand#1")
@@ -498,15 +506,15 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     brand_lines = li.select(
         "l_partkey", "l_quantity", _cents("l_extendedprice").alias("ep_cents")
-    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    ).join(part, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
     per_part = (
         li.select("l_partkey", F.col("l_quantity").cast("long").alias("qty"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy(F.col("l_partkey").alias("ap"))
         .agg((F.sum("qty").cast("double") / F.count(F.lit(1))).alias("avg_qty"))
     )
     return (
-        brand_lines.join(F.broadcast(per_part), F.col("l_partkey") == F.col("ap"))
+        brand_lines.join(per_part, F.col("l_partkey") == F.col("ap"))
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg(
             (F.sum("ep_cents").cast("double") / F.lit(7.0)).alias("avg_yearly_cents")
@@ -550,7 +558,7 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & qty.between(qlo, qhi)
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .filter(arm("Brand#1", 5, 1, 11) | arm("Brand#2", 10, 10, 20) | arm("Brand#3", 15, 20, 30))
         .agg(F.sum("volume_e4").alias("revenue_e4"))
     )
@@ -591,8 +599,9 @@ def tpch_q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
 
     Plan: one shuffle on (partkey, suppkey) builds supplier shares; the
     per-part totals REUSE that aggregate (second agg is a rollup of the
-    first, map-side combinable); name-filtered part and the single
-    nation's suppliers broadcast; DISTINCT collapses multi-part
+    first, map-side combinable); the name-filtered part semi-join and the
+    single nation's supplier join are planner-broadcast at test scale
+    (data-proportional, no forced hints); DISTINCT collapses multi-part
     qualifiers."""
     shipped = (
         table(spark, sf_dir, "lineitem")
@@ -623,11 +632,11 @@ def tpch_q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
     )
     return (
         shipped.join(part_total, F.col("l_partkey") == F.col("tp"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .filter(
             F.col("supp_qty").cast("double") > F.lit(0.3) * F.col("total_qty").cast("double")
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name")
         .distinct()
     )
@@ -706,7 +715,7 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_supp.filter(F.col("has_r") == 1)
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(per_order, F.col("l_orderkey") == F.col("agg_ok"))
         .filter((F.col("n_supp") >= 2) & (F.col("n_flagged") == 1))
         .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
