@@ -81,7 +81,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "join", "topk"),
 )
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q3 shipping priority: filtered customer side broadcasts into
+    """Q3 shipping priority: the filtered customer side joins into
     orders, the join result shuffles once on orderkey for the revenue
     agg, and the top-10 is a TakeOrderedAndProject (no full sort).
     Deterministic LIMIT via the orderkey tiebreak."""
@@ -98,7 +98,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ep, dc = _cents("l_extendedprice"), _cents("l_discount")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(ep * (F.lit(100) - dc)).alias("revenue_e4"))
@@ -136,7 +136,8 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 local supplier volume: the 6-table join. nation x region
     collapse driver-free into a broadcast filter; customer and supplier
-    broadcast; lineitem x orders is the one real shuffle join (on
+    are data-proportional, so their broadcast is planner-chosen (taken
+    at test scale); lineitem x orders is the one real shuffle join (on
     orderkey). Catalyst reorders the filters into the scans — the plan a
     hand-written optimizer would pick, for free."""
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -153,9 +154,9 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     ep, dc = _cents("l_extendedprice"), _cents("l_discount")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(sup),
+            sup,
             (li.l_suppkey == sup.s_suppkey)
             & (cust.c_nationkey == sup.s_nationkey),
         )
@@ -187,7 +188,8 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10 returned-item reporting: quarter-filtered orders join returned
-    lineitems (one shuffle on orderkey), customer broadcasts for the
+    lineitems (one shuffle on orderkey), customer joins (planner-chosen
+    broadcast at test scale) for the
     final enrichment, top-20 via TakeOrderedAndProject with a custkey
     tiebreak."""
     cust = table(spark, sf_dir, "customer").select(
@@ -201,7 +203,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     ep, dc = _cents("l_extendedprice"), _cents("l_discount")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "c_acctbal")
         .agg(F.sum(ep * (F.lit(100) - dc)).alias("revenue_e4"))
         .orderBy(F.desc("revenue_e4"), F.asc("c_custkey"))
@@ -233,7 +235,8 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14 promo revenue share: month-filtered lineitem joins the part
-    dimension (broadcast), conditional vs total revenue in one pass —
+    dimension (planner-broadcast at test scale), conditional vs total
+    revenue in one pass —
     zero shuffles beyond the final 1-row agg exchange."""
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
@@ -243,7 +246,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ep, dc = _cents("l_extendedprice"), _cents("l_discount")
     rev = ep * (F.lit(100) - dc)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.sum(
                 F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0).cast("long"))

@@ -128,7 +128,8 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: lineitem pre-aggregates per orderkey FIRST (map-side partial
     agg collapses before the one big shuffle) and the >300 filter runs on
     that aggregate — ~0.1% of orders survive — so the joins to orders and
-    customer move thousands of rows, not millions. customer broadcasts;
+    customer move thousands of rows, not millions. The broadcast choice
+    for customer is the planner's (the tiny qty side wins at scale);
     the top-100 is a TakeOrderedAndProject with an orderkey tiebreak for
     a deterministic LIMIT."""
     qty = (
@@ -141,7 +142,7 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         qty.join(orders, qty.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -235,7 +236,8 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: both nation role-copies broadcast and their name filters prune
     BEFORE the pair disjunction (each side keeps only the two named
-    nations); supplier and customer broadcast; lineitem x orders stays
+    nations); supplier and customer are planner-chosen (broadcast at
+    test scale); lineitem x orders stays
     the single shuffle join. The disjunction is a residual filter on the
     already-joined pair of names — two rows x two rows — never a
     join-order obstacle."""
@@ -262,10 +264,10 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("long").alias("l_year"),
             (ep * (F.lit(100) - dc)).alias("volume_e4"),
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
         .filter(
             ((F.col("supp_nation") == two[0]) & (F.col("cust_nation") == two[1]))
