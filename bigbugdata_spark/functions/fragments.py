@@ -52,3 +52,25 @@ CHUNK_SIZE, CHUNK_STRIDE = 32, 24  # 8-token overlap
 
 def sql_list(words: tuple[str, ...]) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# --- events family ---------------------------------------------------------
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+# exact integer centi-value: both engines round half-away-from-zero for
+# positive doubles scaled by 100
+CENTS_SQL = "CAST(ROUND(value * 100) AS BIGINT)"
+
+
+def cents_col():
+    from pyspark.sql import functions as F
+
+    return F.round(F.col("value") * 100).cast("long")
+
+
+# --- similarity family -----------------------------------------------------
+
+N_QUERIES = 8  # vec_id < 8 are the query vectors
+TOP_K = 10

@@ -135,6 +135,61 @@ def _bucket_pairs(
     )
 
 
+# Shared by the exact and LSH cluster-keep registrations: connected
+# components over the verified near-dup pair graph, as a DuckDB
+# recursive CTE (transitive closure -> min reachable id). Both Spark
+# variants produce the identical pair set on this corpus (banding miss
+# probability <= 4e-8 at its J >= 0.9 level; tests assert set equality),
+# so one ground-truth oracle serves both.
+_CLUSTER_KEEP_SQL = f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+        SELECT d1 AS a, d2 AS b FROM pairs
+        UNION
+        SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT doc_id,
+           CAST(LEAST(doc_id, COALESCE(MIN(r.b), doc_id)) AS BIGINT)
+               AS cluster_rep,
+           CAST(doc_id = LEAST(doc_id, COALESCE(MIN(r.b), doc_id)) AS INT)
+               AS keep
+    FROM documents LEFT JOIN reach r ON doc_id = r.a
+    GROUP BY doc_id
+"""
+
+
+# Registered FIRST in this module on purpose: the driver's correctness
+# report caps at the first ~50 registered queries (registry.py), and this
+# is the one dedup entry that has never held a driver row — the other
+# seven are multi-round green and rotate behind the cap.
+@register(
+    "dedup_cluster_keep_lsh",
+    oracle=_CLUSTER_KEEP_SQL,
+    tags=("dedup", "iterative", "headline"),
+)
+def dedup_cluster_keep_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering over the MINHASH-LSH pair source — the
+    registered scale-safe default for a duplication-heavy corpus.
+
+    `dedup_cluster_keep`'s default edge source is the exact inverted-
+    index join, whose cost grows with gram-DF^2 as duplicates multiply
+    document frequency (measured in the module docstring: 2.6s -> 44.9s
+    under 10x duplication, while the LSH path went 4.9s -> 3.8s). This
+    variant feeds the connected-components keep/drop step from
+    `dedup_minhash_lsh` candidates instead: same oracle (pair sets are
+    identical on this corpus — banding miss probability <= 4e-8 at its
+    J >= 0.9 level, asserted by tests/test_extensions.py), sublinear
+    candidate generation. At 100 TB this is the query to run."""
+    return dedup_cluster_keep(
+        spark, sf_dir, pairs=dedup_minhash_lsh(spark, sf_dir)
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -406,26 +461,7 @@ def dedup_emb_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_cluster_keep",
-    oracle=f"""
-        WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
-        edges AS (
-            SELECT d1 AS a, d2 AS b FROM pairs
-            UNION
-            SELECT d2 AS a, d1 AS b FROM pairs
-        ),
-        reach(a, b) AS (
-            SELECT a, b FROM edges
-            UNION
-            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-        )
-        SELECT doc_id,
-               CAST(LEAST(doc_id, COALESCE(MIN(r.b), doc_id)) AS BIGINT)
-                   AS cluster_rep,
-               CAST(doc_id = LEAST(doc_id, COALESCE(MIN(r.b), doc_id)) AS INT)
-                   AS keep
-        FROM documents LEFT JOIN reach r ON doc_id = r.a
-        GROUP BY doc_id
-    """,
+    oracle=_CLUSTER_KEEP_SQL,
     tags=("dedup", "iterative"),
 )
 def dedup_cluster_keep(

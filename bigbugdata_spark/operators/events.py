@@ -22,18 +22,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigbugdata_spark.catalog import table
+from bigbugdata_spark.functions.fragments import (
+    CENTS_SQL as _CENTS,
+    TS_FMT,
+    TS_FMT_DUCK as _TS_FMT_DUCK,
+    cents_col as _cents_col,
+)
 from bigbugdata_spark.registry import register
-
-TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
-
-# exact integer centi-value: both engines round half-away-from-zero for
-# positive doubles scaled by 100
-_CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
-
-
-def _cents_col():
-    return F.round(F.col("value") * 100).cast("long")
 
 
 @register(

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigbugdata_spark.catalog import table
-from bigbugdata_spark.operators.events import _cents_col
+from bigbugdata_spark.functions.fragments import cents_col as _cents_col
 from bigbugdata_spark.registry import register
 
 APPROX_ACC = 10_000  # GK sketch accuracy: rank error <= n / APPROX_ACC
@@ -62,7 +62,7 @@ def evt_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     expand multiplies input rows by the number of grouping sets (4) —
     the documented cost of cube at scale, which is why the shard
     dimension is bounded."""
-    from bigbugdata_spark.operators.events import _cents_col
+    from bigbugdata_spark.functions.fragments import cents_col as _cents_col
 
     ev = table(spark, sf_dir, "events")
     return (

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigbugdata_spark.catalog import table
-from bigbugdata_spark.operators.similarity import N_QUERIES, TOP_K
+from bigbugdata_spark.functions.fragments import N_QUERIES, TOP_K
 from bigbugdata_spark.registry import register
 
 

@@ -27,13 +27,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigbugdata_spark.streaming.windows import _run_to_memory, stream_events
+from bigbugdata_spark.streaming.core import _run_to_memory, stream_events
 
 DEDUP_KEYS = ["user_id", "event_type", "value_cents"]
 
 
 def _keyed(events: DataFrame) -> DataFrame:
-    from bigbugdata_spark.operators.events import _cents_col
+    from bigbugdata_spark.functions.fragments import cents_col as _cents_col
 
     return events.select(
         "user_id",

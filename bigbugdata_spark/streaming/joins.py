@@ -29,9 +29,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigbugdata_spark.catalog import table
-from bigbugdata_spark.operators.events import TS_FMT, _TS_FMT_DUCK
+from bigbugdata_spark.functions.fragments import TS_FMT, TS_FMT_DUCK as _TS_FMT_DUCK
 from bigbugdata_spark.registry import register
-from bigbugdata_spark.streaming.windows import _run_to_memory, stream_events
+from bigbugdata_spark.streaming.core import _run_to_memory, stream_events
 
 _RANGE = "30 minutes"
 _DELAY = "10 minutes"

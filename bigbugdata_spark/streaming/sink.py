@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.utils import AnalysisException
 
-from bigbugdata_spark.streaming.windows import stream_events
+from bigbugdata_spark.streaming.core import stream_events
 
 
 def upsert_batch(

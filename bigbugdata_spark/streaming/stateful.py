@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from bigbugdata_spark.streaming.windows import _run_to_memory, stream_events
+from bigbugdata_spark.streaming.core import _run_to_memory, stream_events
 
 _OUTPUT_SCHEMA = T.StructType(
     [

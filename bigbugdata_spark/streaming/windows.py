@@ -21,49 +21,12 @@ Semantics notes (asserted in tests/test_streaming.py):
 
 from __future__ import annotations
 
-import itertools
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-from bigbugdata_spark.operators.events import TS_FMT, _cents_col
+from bigbugdata_spark.functions.fragments import TS_FMT, cents_col as _cents_col
 from bigbugdata_spark.registry import register
-
-# physical schema of events.parquet under nanosAsLong (session.py): the
-# streaming source needs an explicit schema
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-_name_counter = itertools.count()
-
-
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as an unbounded file-source stream (nanos -> micros
-    conversion identical to the batch catalog)."""
-    # nanos + UTC confs are runtime-settable — required even on sessions
-    # not built by session.get_spark (e.g. the round driver's own session).
-    # Logged-not-silent session mutation; contract documented in
-    # bigbugdata_spark.catalog's module docstring.
-    from bigbugdata_spark.catalog import _set_logged
-
-    _set_logged(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
-    _set_logged(spark, "spark.sql.session.timeZone", "UTC")
-    # glob form: the streaming file source requires a directory or glob,
-    # not a bare file path
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .parquet(f"{sf_dir}/events.parque[t]")
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+from bigbugdata_spark.streaming.core import _run_to_memory, stream_events
 
 
 def _tumbling_agg(events: DataFrame) -> DataFrame:
