@@ -56,24 +56,49 @@ TABLES = (
 )
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to a plain TIMESTAMP regardless of
+    the parquet file's physical layout — THE single normalization point for
+    event time (batch ``table()`` and the streaming source both route
+    through it; nothing else in the repo may interpret the raw layout).
+
+    Layouts the test-data generator has shipped across rounds:
+      * TIMESTAMP(NANOS) read via nanosAsLong=true -> bigint nanoseconds:
+        integer div to microseconds, the same truncation DuckDB applies
+        when it reads the nanos column as its native us TIMESTAMP;
+      * timestamp[us] without UTC adjustment -> TIMESTAMP_NTZ: cast to
+        TIMESTAMP — identical instants under the pinned UTC session zone;
+      * timestamp[us] UTC-adjusted -> TIMESTAMP: already normalized.
+    Pinned across all three by tests/test_ts_layouts.py.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def _events_session_confs(spark: SparkSession) -> None:
+    # runtime-settable; required by the TIMESTAMP(NANOS) layout even when
+    # the caller's session wasn't built by session.get_spark (the round
+    # driver passes its own SparkSession); harmless for other layouts
+    _set_logged(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamp->string formatting renders in the session timezone; the
+    # oracle's timestamps are naive (effectively UTC), so pin it — a
+    # non-UTC caller session would shift every formatted window edge, and
+    # the NTZ->TIMESTAMP cast above is instant-preserving only under UTC
+    _set_logged(spark, "spark.sql.session.timeZone", "UTC")
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # runtime-settable; required by the TIMESTAMP(NANOS) column even
-        # when the caller's session wasn't built by session.get_spark
-        # (the round driver passes its own SparkSession)
-        _set_logged(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
-        # timestamp->string formatting renders in the session timezone;
-        # the oracle's timestamps are naive (effectively UTC), so pin it —
-        # a non-UTC caller session would shift every formatted window edge
-        _set_logged(spark, "spark.sql.session.timeZone", "UTC")
+        _events_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read via nanosAsLong (session.py): exact
-        # integer div to microseconds — the same truncation DuckDB applies
-        # when it reads the nanos column as its native us TIMESTAMP.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_events_ts(df)
     return df
 
 

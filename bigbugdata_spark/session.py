@@ -38,9 +38,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        # events.parquet carries TIMESTAMP(NANOS) which vanilla Spark
-        # rejects; read as long and convert in catalog.table (div 1000 ->
-        # microseconds, identical to DuckDB's nanos truncation)
+        # events.parquet's ts physical layout varies by generator round
+        # (TIMESTAMP(NANOS) / timestamp[us] NTZ / timestamp[us] UTC);
+        # nanosAsLong lets the NANOS layout load at all, and
+        # catalog.normalize_events_ts is the single point that maps every
+        # layout to a plain TIMESTAMP
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -42,21 +42,6 @@ def _tumbling_agg(events: DataFrame) -> DataFrame:
     )
 
 
-def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
-    """Drive a streaming frame to completion into a memory sink and
-    return the materialized table."""
-    name = f"bb_stream_{next(_name_counter)}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return result.sparkSession.table(name)
-
-
 def stream_tumbling_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling counts, COMPLETE mode: equals the batch
     result exactly once the stream drains."""
