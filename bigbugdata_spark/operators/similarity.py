@@ -19,10 +19,10 @@ from pyspark.sql import functions as F
 
 from bigbugdata_spark.catalog import table
 from bigbugdata_spark.functions import hashing as H
+from bigbugdata_spark.functions.fragments import N_QUERIES, TOP_K
 from bigbugdata_spark.registry import register
 
 _DIM = 64
-from bigbugdata_spark.functions.fragments import N_QUERIES, TOP_K  # noqa: E402
 IVF_K = 16  # FIXED codebook size — independent of corpus size
 IVF_ASSIGN = 2  # redundant assignment: each vector lands in its top-2 cells
 N_PROBE = 8  # probed cells per query (see measured recall in sim_ivf_topk)
