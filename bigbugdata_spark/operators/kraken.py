@@ -28,7 +28,9 @@ Divergences (each fail-fast or documented):
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -87,27 +89,32 @@ def side_stats(rows: DataFrame) -> DataFrame:
     Raw string copies of dup/cov (and str-equivalent reads/kmers) are kept
     so the tophits sink echoes input text exactly as the reference does
     (it stores the csv strings, ref :279-282).
+
+    last-wins = max_by(stats, row_order): a hash aggregate with map-side
+    partial combine — each scan partition reduces its duplicates before
+    the exchange, so the shuffle carries ~one row per (sample, taxID)
+    instead of every raw row sorted under a row_number window.
     """
-    w = Window.partitionBy("sample_id", "taxID").orderBy(F.desc("row_order"))
-    return (
-        rows.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "sample_id",
-            "taxID",
-            F.col("kmers"),
-            F.col("dup").alias("dup_raw"),
-            F.col("reads").alias("sample_reads"),
-            F.col("cov").alias("cov_raw"),
-            # try_divide: Spark 4 runs ANSI mode, where `/` throws
-            # DIVIDE_BY_ZERO on reads == 0; the reference crashes there too
-            # (ZeroDivisionError, ref :275) — our documented divergence is
-            # NULL, which try_divide yields (ADVICE r1).
-            (
-                F.try_divide(F.col("kmers"), F.col("reads"))
-                * F.col("cov").cast("double")
-            ).alias("e_val"),
-        )
+    picked = rows.groupBy("sample_id", "taxID").agg(
+        F.max_by(
+            F.struct("kmers", "dup", "reads", "cov"), F.col("row_order")
+        ).alias("_s")
+    )
+    return picked.select(
+        "sample_id",
+        "taxID",
+        F.col("_s.kmers").alias("kmers"),
+        F.col("_s.dup").alias("dup_raw"),
+        F.col("_s.reads").alias("sample_reads"),
+        F.col("_s.cov").alias("cov_raw"),
+        # try_divide: Spark 4 runs ANSI mode, where `/` throws
+        # DIVIDE_BY_ZERO on reads == 0; the reference crashes there too
+        # (ZeroDivisionError, ref :275) — our documented divergence is
+        # NULL, which try_divide yields (ADVICE r1).
+        (
+            F.try_divide(F.col("_s.kmers"), F.col("_s.reads"))
+            * F.col("_s.cov").cast("double")
+        ).alias("e_val"),
     )
 
 
@@ -164,8 +171,10 @@ def zscores(rpm_df: DataFrame, n_samples: int) -> DataFrame:
     z = F.when(var <= F.lit(1e-18) * mean * mean, F.lit(float("nan"))).otherwise(
         (F.col("rpm") - mean) / F.sqrt(var)
     )
+    # moments is one row per taxon (bounded by taxonomy size, ~10^4-10^5,
+    # never by corpus size) — broadcast keeps the fact rows unshuffled
     return (
-        rpm_df.join(moments, "taxID")
+        rpm_df.join(F.broadcast(moments), "taxID")
         .withColumn("z_score", z)
         .drop("_s", "_ss")
     )
@@ -183,15 +192,22 @@ def rrpm(
     """
     spark = rpm_df.sparkSession
     map_df = spark.createDataFrame(mapping, "sample_id string, control_id string")
-    ctrl = rpm_df.select(
-        F.col("taxID").alias("c_taxID"),
-        F.col("sample_id").alias("c_sample_id"),
-        F.col("rpm").alias("ctrl_rpm"),
+    # the control side is bounded by (taxa x #control-samples): controls
+    # are the few per-group negatives, so pre-filtering to them turns the
+    # self-join into a broadcast — the fact rows never shuffle for it
+    control_ids = sorted({c for _, c in mapping if c})
+    ctrl = (
+        rpm_df.filter(F.col("sample_id").isin(control_ids))
+        .select(
+            F.col("taxID").alias("c_taxID"),
+            F.col("sample_id").alias("c_sample_id"),
+            F.col("rpm").alias("ctrl_rpm"),
+        )
     )
     joined = (
         rpm_df.join(F.broadcast(map_df), "sample_id")
         .join(
-            ctrl,
+            F.broadcast(ctrl),
             (F.col("taxID") == F.col("c_taxID"))
             & (F.col("control_id") == F.col("c_sample_id")),
             "left",
@@ -207,7 +223,7 @@ def rrpm(
 
 def tophits(
     rrpm_df: DataFrame,
-    side: DataFrame,
+    rows: DataFrame,
     k: int,
     taxa_df: DataFrame,
     samples: list[str],
@@ -223,9 +239,16 @@ def tophits(
     (full taxa list, anti-joined against that sample's sparse rows) are
     synthesized for those needy samples alone; at production density
     (every sample >= k positive species) zero rows are never generated,
-    so the grid cost is gone from the common case."""
+    so the grid cost is gone from the common case.
+
+    z_score rides along from rrpm_df (it is already attached there), so
+    the side-stats join happens AFTER the top-k filter — k rows per
+    sample against the side table, a broadcast-size probe, instead of a
+    full (sample, taxID)-grid equi-join before any pruning. Synthesized
+    zero rows carry NULL z; the presence inner join drops them (the
+    reference's rank-gap quirk) before it could matter."""
     spark = rrpm_df.sparkSession
-    base = rrpm_df.select("sample_id", "taxID", "taxName", "rrpm")
+    base = rrpm_df.select("sample_id", "taxID", "taxName", "rrpm", "z_score")
     n_pos = (
         base.filter(F.col("rrpm") > 0)
         .groupBy("sample_id")
@@ -240,16 +263,36 @@ def tophits(
     zero_rows = (
         needy.crossJoin(taxa_df.select("taxID", "taxName"))
         .join(base.select("sample_id", "taxID"), ["sample_id", "taxID"], "left_anti")
-        .select("sample_id", "taxID", "taxName", F.lit(0.0).alias("rrpm"))
+        .select(
+            "sample_id",
+            "taxID",
+            "taxName",
+            F.lit(0.0).alias("rrpm"),
+            F.lit(None).cast("double").alias("z_score"),
+        )
     )
     w = Window.partitionBy("sample_id").orderBy(F.desc("rrpm"), F.asc("taxID"))
-    ranked = (
+    # pin: ranked (<= k rows per sample) feeds two broadcasts below — the
+    # semi-join prune and the final probe; caching it runs the ranking
+    # window once
+    ranked = pin(
         base.unionByName(zero_rows)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+    # side stats are needed for <= k rows per sample only: semi-join the
+    # raw rows against the broadcast top-k list BEFORE the last-wins
+    # aggregate, so the agg shuffles k-per-sample survivors instead of
+    # every (sample, taxID) pair in the corpus
+    pruned = rows.join(
+        F.broadcast(ranked.select("sample_id", "taxID")),
+        ["sample_id", "taxID"],
+        "left_semi",
+    )
+    side = side_stats(pruned)
+    # ranked is <= k rows per sample — broadcast it into the side probe
     return (
-        ranked.join(side, ["sample_id", "taxID"])
+        F.broadcast(ranked).join(side, ["sample_id", "taxID"])
         .select(
             F.col("sample_id").alias("sampleName"),
             "taxID",
@@ -287,16 +330,16 @@ def run_pipeline(
     group_patterns: list[tuple[str, str]] | None = None,
 ) -> KrakenResult:
     """The reference's run() (ref bigbugdata.py:225-366) as a lazy plan-set."""
-    reports = read_reports(spark, report_paths, with_row_order=True)
     # Fail fast when two input files resolve to one sample_id: the reference
     # dict silently keeps only the last file (ref bigbugdata.py:35-42) while
     # a multi-file scan would union their rows — an undocumented divergence
-    # unless rejected here (ADVICE r1). The distinct list is one row per
-    # input file — never data-sized.
-    pairs = reports.select("sample_id", "path").distinct().collect()
+    # unless rejected here (ADVICE r1). sample_id is a pure function of the
+    # file path (ref :35-42), so the check runs driver-side over the input
+    # path list — one string op per file, no Spark job.
     by_sample: dict[str, list[str]] = {}
-    for r in pairs:
-        by_sample.setdefault(r["sample_id"], []).append(r["path"])
+    for p in ([report_paths] if isinstance(report_paths, str) else report_paths):
+        sid = Path(p).name.rpartition("_")[0]
+        by_sample.setdefault(sid, []).append(p)
     collisions = {s: ps for s, ps in by_sample.items() if len(ps) > 1}
     if collisions:
         raise ValueError(
@@ -304,33 +347,39 @@ def run_pipeline(
         )
     samples = ordered_sample_ids(sorted(by_sample))
 
+    # pin the parsed scan: it feeds six consumers (totals, collision-free
+    # fact/taxa/side aggregates, both pivot sinks, tophits) and the
+    # ordered fidelity parse (wholetext+posexplode) is the single most
+    # expensive subtree in the pipeline — one parse, read from cache ever
+    # after. Callers that materialize the result release the blocks via
+    # bigbugdata_spark.caching.release_pinned (the CLI does after its
+    # sinks complete).
+    reports = pin(read_reports(spark, report_paths, with_row_order=True))
+
     totals = sample_totals(reports)
     rows = species_rows(reports, rank)
     fact = fact_table(rows)
     taxa_df = taxa(rows)
-    side = side_stats(rows)
 
     # sparse long fact + per-taxon attributes; zeros are reconstituted
-    # only at the sinks / tophits ranking (VERDICT r1 fixes #4/#10)
-    sparse = fact.join(taxa_df, "taxID")
+    # only at the sinks / tophits ranking (VERDICT r1 fixes #4/#10).
+    # taxa_df is one row per taxon — broadcast.
+    sparse = fact.join(F.broadcast(taxa_df), "taxID")
     # pin: rpm_df feeds four consumers (z moments, the rrpm self-join's
-    # two sides, the tophits side-stats join); without it Spark recomputes
-    # the scan->agg->join subtree per consumer (VERDICT r1 fix #3).
-    # Callers that materialize the result release the cached blocks via
-    # bigbugdata_spark.caching.release_pinned (the CLI does after its
-    # sinks complete).
+    # two sides, the tophits ranking base).
     rpm_df = pin(zscores(rpm(sparse, totals, samples), len(samples)))
 
     groups = negative_control_groups(samples, group_patterns)
     mapping = control_lookup(samples, groups)
     rrpm_df = rrpm(rpm_df, mapping)
 
-    side_z = side.join(
-        rpm_df.select("sample_id", "taxID", "z_score"), ["sample_id", "taxID"]
-    )
-    top = tophits(rrpm_df, side_z, n_tophits, taxa_df, samples)
+    top = tophits(rrpm_df, rows, n_tophits, taxa_df, samples)
 
-    combined_long = sparse.select(
+    # derived from rrpm_df (row-identical to sparse: the totals join is
+    # validated-total inner, the moments/control joins map every row) so
+    # every sink reads the ONE cached frame and the fact aggregate runs
+    # exactly once
+    combined_long = rrpm_df.select(
         "taxID", "taxName", "total_reads", "sample_id", "reads"
     )
     return KrakenResult(samples=samples, combined=combined_long, rrpm=rrpm_df, tophits=top)
@@ -400,12 +449,65 @@ def write_outputs(
     base = ["taxID", "taxName", "Total # of Reads"]
 
     if mode == "scale":
-        for df, path in (
-            (_pivot_wide(result.combined, "reads", samples, 0), combined_path),
-            (_pivot_wide(result.rrpm, "rrpm", samples, 0.0), rrpm_path),
-            (_ordered_tophits(result.tophits, samples).select(*TOP_FIELDS), tophits_path),
-        ):
-            write_csv_scale(df, str(path), single_file=True)
+        # ONE pivot shuffle feeds both matrix sinks: combined (reads) and
+        # rrpm share the same (taxID x sample) grid, so pivot both value
+        # columns together, pin the O(taxa x samples) wide frame, and
+        # write each projection from the cache
+        from bigbugdata_spark.caching import pin
+
+        wide = pin(
+            result.rrpm.groupBy("taxID", "taxName", "total_reads")
+            .pivot("sample_id", samples)
+            .agg(F.first("reads").alias("r"), F.first("rrpm").alias("m"))
+            .withColumnRenamed("total_reads", "Total # of Reads")
+        )
+        base_cols = ["taxID", "taxName", "Total # of Reads"]
+        combined_wide = wide.select(
+            *base_cols,
+            *[F.coalesce(F.col(f"{s}_r"), F.lit(0)).alias(s) for s in samples],
+        )
+        rrpm_wide = wide.select(
+            *base_cols,
+            *[F.coalesce(F.col(f"{s}_m"), F.lit(0.0)).alias(s) for s in samples],
+        )
+        order_df = result.tophits.sparkSession.createDataFrame(
+            [(s, i) for i, s in enumerate(samples)], "sampleName string, _ord int"
+        )
+        top_df = (
+            result.tophits.join(F.broadcast(order_df), "sampleName")
+            .select(*TOP_FIELDS, "_ord")
+        )
+        # materialize the shared long-frame cache with ONE job, then run
+        # the two independent sink chains concurrently (standard
+        # multi-threaded job submission — each thread only issues
+        # actions; the scheduler overlaps their stages). The two matrix
+        # sinks share the wide-pivot fill, so they stay sequential
+        # within one thread; tophits is the other chain.
+        result.rrpm.count()
+
+        def _matrix_sinks():
+            write_csv_scale(
+                combined_wide, str(combined_path), single_file=True,
+                sort_cols=["taxID"],
+            )
+            write_csv_scale(
+                rrpm_wide, str(rrpm_path), single_file=True, sort_cols=["taxID"]
+            )
+
+        def _tophits_sink():
+            # ordered by (_ord, rank): sort before dropping the helper
+            write_csv_scale(
+                top_df.coalesce(1)
+                .sortWithinPartitions("_ord", "rank")
+                .drop("_ord"),
+                str(tophits_path),
+                single_file=True,
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            futs = [ex.submit(_matrix_sinks), ex.submit(_tophits_sink)]
+            for f in futs:
+                f.result()
         return str(combined_path), str(rrpm_path), str(tophits_path)
 
     write_csv_fidelity(

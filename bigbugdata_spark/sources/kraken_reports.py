@@ -112,20 +112,39 @@ def read_lines_ordered(spark: SparkSession, paths: list[str] | str) -> DataFrame
 
 def _read_reports_ordered(spark: SparkSession, paths: list[str] | str) -> DataFrame:
     """Wholetext + posexplode fidelity reader: row_order == physical line
-    index within the file, at any split/partition configuration."""
-    from pyspark.sql import Window
+    index within the file, at any split/partition configuration.
 
-    raw = (
-        read_lines_ordered(spark, paths)
-        .withColumnRenamed("path", "_path")
-        .withColumnRenamed("line", "_line")
-        .filter(~F.col("_line").startswith("#"))
+    ONE pass, no shuffle: while the file is still a single wholetext
+    record, the header position (first non-comment, non-empty line) is
+    computed over the lines ARRAY with higher-order functions; the rows
+    then posexplode carrying that per-file scalar along, so the header
+    skip is a plain filter — no row_number window over every data row,
+    no second scan to aggregate header positions, no join."""
+    header_order = F.expr(
+        "array_min(filter(transform(_lines, (x, i) -> "
+        "CASE WHEN x NOT LIKE '#%' AND x != '' THEN i END), v -> v IS NOT NULL))"
     )
-    # drop the header row: first non-comment line per file
-    w = Window.partitionBy("_path").orderBy("row_order")
     body = (
-        raw.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") > 1)
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .load(paths)
+        .select(
+            F.input_file_name().alias("_path"),
+            # universal-newline split (python text mode / csv module
+            # semantics): \r\n and lone \r terminate lines too
+            F.split(F.col("value"), "\r\n|\r|\n").alias("_lines"),
+        )
+        .withColumn("_header_order", header_order)
+        .select(
+            "_path",
+            "_header_order",
+            F.posexplode(F.col("_lines")).alias("row_order", "_line"),
+        )
+        .filter(
+            (F.col("row_order") > F.col("_header_order"))
+            & (F.col("_line") != "")
+            & ~F.col("_line").startswith("#")
+        )
         .withColumn("_f", F.split(F.col("_line"), "\t"))
     )
     cols = [
@@ -164,11 +183,23 @@ def write_csv_fidelity(
             writer.writerow({k: str(v) for k, v in row.items()})
 
 
-def write_csv_scale(df: DataFrame, directory: str, single_file: bool = False) -> None:
+def write_csv_scale(
+    df: DataFrame,
+    directory: str,
+    single_file: bool = False,
+    sort_cols: list[str] | None = None,
+) -> None:
     """Scale-path CSV sink: distributed write, optional coalesce(1) when a
     single ordered file is required (a physical-layout choice, not a plan
-    change)."""
+    change).
+
+    When both single_file and sort_cols are given, ordering is
+    sortWithinPartitions AFTER the coalesce: one partition sorted is a
+    total order, without the range-boundary sampling job and extra
+    exchange a global orderBy would run just to feed a single writer."""
     out = df.coalesce(1) if single_file else df
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols) if single_file else out.orderBy(*sort_cols)
     out.write.option("header", True).mode("overwrite").csv(directory)
 
 

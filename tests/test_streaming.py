@@ -155,3 +155,59 @@ def test_foreach_batch_incremental_sink_is_idempotent(tmp_path, spark, sf_oracle
     # replay with a fresh checkpoint: the anti-join makes it a no-op
     run_incremental_dedup_sink(spark, sf_oracle, out, str(tmp_path / "ckpt2"))
     assert spark.read.parquet(out).count() == n_events
+
+
+def test_bucketed_incremental_sink_idempotent_and_shuffle_free(
+    tmp_path, spark, sf_oracle
+):
+    """The scale form of the upsert sink: the materialized table is
+    key-bucketed, so the per-batch anti-join never shuffles the existing
+    table — only the incoming micro-batch aligns to the bucket layout.
+    Asserts idempotence (replay appends nothing) AND the plan property
+    (exactly ONE Exchange in the anti-join: the batch side)."""
+    import shutil
+
+    from bigbugdata_spark.catalog import table
+    from bigbugdata_spark.plans import inspect as I
+    from bigbugdata_spark.streaming.sink import run_incremental_dedup_sink_bucketed
+
+    tname = "bb_events_upsert_bucketed"
+    spark.sql(f"DROP TABLE IF EXISTS {tname}")
+    shutil.rmtree(f"/tmp/bigbugdata-warehouse/{tname}", ignore_errors=True)
+
+    run_incremental_dedup_sink_bucketed(
+        spark, sf_oracle, tname, str(tmp_path / "ckpt1")
+    )
+    n_events = table(spark, sf_oracle, "events").select("event_id").distinct().count()
+    assert spark.table(tname).count() == n_events
+
+    # replay with a fresh checkpoint: the anti-join makes it a no-op
+    run_incremental_dedup_sink_bucketed(
+        spark, sf_oracle, tname, str(tmp_path / "ckpt2")
+    )
+    assert spark.table(tname).count() == n_events
+
+    # plan property of the per-batch anti-join, at the batch sizes the
+    # sink actually sees: table side pre-hashed at rest -> no Exchange;
+    # batch side aligns -> exactly one. Broadcast disabled so the
+    # bucket-aware SMJ path (what a 100 TB table would take) is the one
+    # asserted.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        batch = (
+            table(spark, sf_oracle, "events")
+            .filter(F.col("event_id") % 7 == 0)  # a batch-shaped subset
+            .select("event_id")
+        )
+        anti = (
+            batch.repartition(8, "event_id")
+            .dropDuplicates(["event_id"])
+            .join(spark.table(tname).select("event_id"), "event_id", "left_anti")
+        )
+        plan = I.plan_string(anti, "simple")
+        assert I.shuffle_count(anti) == 1, plan
+        assert "SortMergeJoin" in I.join_kinds(anti)
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
