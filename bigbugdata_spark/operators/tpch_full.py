@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigbugdata_spark.caching import pin
 from bigbugdata_spark.catalog import table
 from bigbugdata_spark.registry import register
 
@@ -300,9 +301,11 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     (planner-broadcast at test scale — the frame is data-proportional,
     so no forced hint); ONE shuffle builds the per-part sums; the total is a
     one-row aggregate of that same frame cross-joined by broadcast —
-    lazy, no driver collect, and the per-part frame computes once under
-    AQE exchange reuse (persist would pin it; at 100 TB the rewrite is
-    cheap relative to the scan)."""
+    lazy, no driver collect. The per-part frame is pin()ned: exchange
+    reuse does NOT fire here (the threshold branch's canonicalized plan
+    differs by an inferred isnotnull join-key filter — verified r5), so
+    without the persist the lineitem scan+agg would run twice.
+    tests/test_plans.py asserts the single-scan property."""
     natsupp = (
         table(spark, sf_dir, "supplier")
         .join(
@@ -313,7 +316,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey")
     )
-    vals = (
+    vals = pin(
         table(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey", _cents("l_extendedprice").alias("ep_cents"))
         .join(natsupp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
@@ -397,9 +400,13 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     which would drop ties differently).
 
     Plan: one shuffle for the quarter's per-supplier revenue; the MAX is
-    a one-row aggregate of the same frame, broadcast back lazily (AQE
-    exchange reuse avoids the double scan); supplier names broadcast."""
-    rev = (
+    a one-row aggregate of the same frame, broadcast back lazily;
+    supplier names broadcast. The revenue frame is pin()ned: exchange
+    reuse does NOT fire here (the two branches canonicalize differently
+    — an inferred isnotnull join-key filter on one side; verified r5),
+    so without the persist the lineitem scan+agg would run twice.
+    tests/test_plans.py asserts the single-scan property."""
+    rev = pin(
         table(spark, sf_dir, "lineitem")
         .filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
