@@ -34,8 +34,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # every query broken by the r4 events.parquet layout change
 # (evt_funnel, evt_range_join, evt_user_window_funcs,
 # evt_stream_tumbling, evt_stream_click_attribution) gets its fix
-# driver-confirmed (VERDICT r4 next-round #3), then dedup(8) and the
-# tpch classics(6) for re-verification = slot 50.
+# driver-confirmed (VERDICT r4 next-round #3), then the queries NEW this
+# round — streaming.stateful(1: the oracle'd sessionizer) + corpus(2:
+# decontamination, stratified split) = 3 — then dedup(8) and the first
+# tpch classics for re-verification up to slot 50.
 # Families rotated behind the cap all hold driver verdicts: hash-verified
 # green rows for tpch_ext/tpch_full/text_bm25_rank/corpus_mix_sample/
 # profile/quantize (r4), pipeline/similarity's sim_cosine_topk and
@@ -53,6 +55,8 @@ _QUERY_MODULES = (
     "bigbugdata_spark.streaming.windows",
     "bigbugdata_spark.operators.events_ext",
     "bigbugdata_spark.streaming.joins",
+    "bigbugdata_spark.streaming.stateful",
+    "bigbugdata_spark.operators.corpus",
     "bigbugdata_spark.operators.dedup",
     "bigbugdata_spark.operators.tpch",
     "bigbugdata_spark.operators.pipeline",

@@ -20,9 +20,12 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from bigbugdata_spark.functions.fragments import TS_FMT, TS_FMT_DUCK
+from bigbugdata_spark.registry import register
 from bigbugdata_spark.streaming.core import _run_to_memory, stream_events
 
 
@@ -177,6 +180,72 @@ def _sessionize_user(
                 "n_events": [c for _, _, c in closed],
             }
         )
+
+
+_WM_DELAY = "10 minutes"
+
+
+@register(
+    "evt_stream_sessions",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             >= INTERVAL '5 minutes'
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        numbered AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_no
+            FROM flagged
+        ),
+        sessions AS (
+            SELECT user_id,
+                   MIN(ts) AS s,
+                   MAX(ts) + INTERVAL '5 minutes' AS e,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY MIN(ts) DESC
+                   ) AS rn
+            FROM numbered GROUP BY user_id, session_no
+        ),
+        wm AS (SELECT MAX(ts) - INTERVAL '10 minutes' AS w FROM events)
+        SELECT user_id,
+               strftime(s, '{TS_FMT_DUCK}') AS session_start,
+               strftime(e, '{TS_FMT_DUCK}') AS session_end,
+               n_events
+        FROM sessions, wm
+        WHERE NOT (rn = 1 AND e >= w)
+    """,
+    tags=("events", "streaming", "stateful"),
+)
+def evt_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful sessionizer, registered through the same
+    correctness gate as every batch operator — applyInPandasWithState +
+    EventTimeTimeout under a fully characterized emission contract, so
+    the driver hash-verifies a stateful streaming operator that would
+    normally only get a rows-only check.
+
+    Oracle: gaps-and-islands sessions (exactly evt_session_window's
+    formulation) MINUS each user's final session when the final
+    watermark (max ts - 10 min) has not passed its close — i.e. the
+    sessions the watermark finalized. A non-final session is always
+    emitted (its successor event closes it in-batch); a final session
+    emits only via the event-time timeout, which fires when the
+    watermark passes session_end. tests/test_streaming.py pins the same
+    contract against the batch session_window through Spark itself."""
+    out = stream_sessions(spark, sf_dir)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", TS_FMT).alias("session_start"),
+        F.date_format("session_end", TS_FMT).alias("session_end"),
+        "n_events",
+    )
 
 
 def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
