@@ -265,6 +265,27 @@ def _single_lineitem_scan(df):
     assert len(li_scans) <= 1, I.plan_string(df, "formatted")
 
 
+def test_decontaminate_broadcasts_benchmark_side(spark, sf):
+    """Candidate generation must be a keyed equi-join with the (small)
+    benchmark gram side broadcast — no cartesian/nested-loop pairing and
+    no shuffle of the corpus gram stream for the join itself (the only
+    exchanges are the final per-doc aggregate and the benchmark side's
+    own distinct)."""
+    df = SPECS["text_decontaminate"].fn(spark, sf)
+    kinds = I.join_kinds(df)
+    assert "BroadcastHashJoin" in kinds
+    assert "CartesianProduct" not in kinds
+    assert "BroadcastNestedLoopJoin" not in kinds
+
+
+def test_corpus_split_is_single_pass(spark, sf):
+    """Split assignment is a scan-side expression: the whole query is one
+    map-side-combinable aggregate — exactly one shuffle, no joins."""
+    df = SPECS["corpus_split_stratified"].fn(spark, sf)
+    assert I.shuffle_count(df) == 1, I.plan_string(df, "simple")
+    assert I.join_kinds(df) == []
+
+
 def test_tpch_q11_shared_agg_computes_once(spark, sf):
     _single_lineitem_scan(SPECS["tpch_q11_important_stock"].fn(spark, sf))
 
