@@ -351,10 +351,17 @@ def run_pipeline(
     # fact/taxa/side aggregates, both pivot sinks, tophits) and the
     # ordered fidelity parse (wholetext+posexplode) is the single most
     # expensive subtree in the pipeline — one parse, read from cache ever
-    # after. Callers that materialize the result release the blocks via
-    # bigbugdata_spark.caching.release_pinned (the CLI does after its
-    # sinks complete).
-    reports = pin(read_reports(spark, report_paths, with_row_order=True))
+    # after. Project to the columns the pipeline consumes before pinning
+    # (pct/taxReads/path are dead downstream — pruning them shrinks the
+    # cached blocks). Callers that materialize the result release the
+    # blocks via bigbugdata_spark.caching.release_pinned (the CLI does
+    # after its sinks complete).
+    reports = pin(
+        read_reports(spark, report_paths, with_row_order=True).select(
+            "sample_id", "taxID", "reads", "kmers", "dup", "cov",
+            "rank", "taxName", "row_order",
+        )
+    )
 
     totals = sample_totals(reports)
     rows = species_rows(reports, rank)
