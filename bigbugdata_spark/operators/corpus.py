@@ -56,7 +56,7 @@ _TRAIN_PM, _VAL_PM = 980, 990  # <980 train, <990 val, else test
         FROM corpus JOIN bench USING (gram_hash)
         GROUP BY corpus.doc_id
     """,
-    tags=("text", "join", "agg"),
+    tags=("text", "join", "agg", "headline"),
 )
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination — flag training documents that share any
@@ -115,7 +115,7 @@ text_decontaminate.__doc__ = text_decontaminate.__doc__.format(n=_DECON_N)
         )
         GROUP BY lang, split
     """,
-    tags=("text", "sample", "agg"),
+    tags=("text", "sample", "agg", "headline"),
 )
 def corpus_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split accounting, stratified by
