@@ -66,14 +66,18 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim n-gram overlap with eval sets).
 
     Plan: one explode produces distinct gram hashes per document; the
-    benchmark side is the SMALL side by construction (eval sets are
-    thousands of documents against a corpus of billions), so it
-    broadcasts into the corpus gram stream — candidate generation is a
-    keyed equi-join on the gram hash, never any all-pairs comparison —
-    and one shuffle aggregates per flagged corpus document. Fan-out per
-    corpus gram is bounded by the benchmark's occurrence count of that
-    gram (benchmark-sized, not corpus-sized), the same boundedness
-    argument as dedup's inverted-index join."""
+    benchmark side broadcasts into the corpus gram stream — candidate
+    generation is a keyed equi-join on the gram hash, never any
+    all-pairs comparison — and one shuffle aggregates per flagged
+    corpus document. The broadcast is justified by what a benchmark IS:
+    a fixed eval set of thousands of documents against a corpus of
+    billions — small intrinsically, not proportionally (the doc_id
+    residue class here only stands in for that fixed set at test
+    scale). For corpus-vs-corpus overlap, where neither side is small,
+    the right tool is the shuffled inverted-index join of
+    dedup_ngram_jaccard / text_dup_ngrams instead. Fan-out per corpus
+    gram is bounded by the benchmark's occurrence count of that gram
+    (benchmark-sized, not corpus-sized)."""
     grams = table(spark, sf_dir, "documents").select(
         "doc_id",
         F.explode(
@@ -146,4 +150,60 @@ def corpus_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("_len").alias("total_chars"),
         )
+    )
+
+
+# Repetition gram length: word bigrams — the shortest gram whose
+# repetition rate separates boilerplate/spam from prose.
+_REP_N = 2
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id, unnest(g) AS gram_hash FROM (
+                SELECT doc_id,
+                       {H.sql_shingle_hashes(H.sql_word_hashes(H.sql_tokens('text')), n=_REP_N, distinct=False)} AS g
+                FROM documents
+            )
+        ),
+        cnt AS (
+            SELECT doc_id, gram_hash, CAST(COUNT(*) AS BIGINT) AS c
+            FROM grams GROUP BY doc_id, gram_hash
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+               CAST(MAX(c) AS BIGINT) AS max_bigram_count
+        FROM cnt GROUP BY doc_id
+    """,
+    tags=("text", "agg", "headline"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition profile — the Gopher-style quality
+    signal that catches boilerplate and generated spam: per document,
+    total word-bigram occurrences, distinct bigrams, and the hottest
+    bigram's count. Downstream filters threshold the ratios
+    (max/total high, distinct/total low => repetitive junk); the raw
+    integers are returned so the thresholds stay policy, not plumbing —
+    and so the cross-engine comparison is exact.
+
+    Plan: one explode, then a two-level aggregate ((doc, gram) counts,
+    then per-doc roll-up). Both levels combine map-side; the second
+    grouping is a prefix of the first, so under hash partitioning on
+    doc_id+gram the roll-up needs no second exchange of raw rows."""
+    grams = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            H.shingle_hashes(
+                H.word_hashes(H.tokens(F.col("text"))), n=_REP_N, distinct=False
+            )
+        ).alias("gram_hash"),
+    )
+    cnt = grams.groupBy("doc_id", "gram_hash").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        F.max("c").alias("max_bigram_count"),
     )
