@@ -133,8 +133,13 @@ def main() -> None:
     # Warm the JVM + codegen paths outside the measured window.
     specs[relational[0]].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
+    # Per-query fault isolation: one broken query must never cost the
+    # round its entire bench signal (round 4's failure mode — the run
+    # died at one query's exception with rc=1 and NO numbers). Errors
+    # are recorded per query; the JSON line always prints.
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in relational + ext:
         # isolate queries from one another's persisted frames (several
         # near-dup queries persist shared subframes and never unpersist);
@@ -142,22 +147,27 @@ def main() -> None:
         # that's the warm steady state being measured
         spark.catalog.clearCache()
         runs = []
-        for _ in range(ITERATIONS):
-            df = specs[name].fn(spark, SF_DIR)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+        try:
+            for _ in range(ITERATIONS):
+                df = specs[name].fn(spark, SF_DIR)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
         timings[name] = round(min(runs), 4)
         medians[name] = round(statistics.median(runs), 4)
 
-    kraken = (
-        None
-        if os.environ.get("SPARK_GRAFT_SKIP_KRAKEN")
-        else bench_kraken_e2e(spark)
-    )
+    kraken: dict | None = None
+    if not os.environ.get("SPARK_GRAFT_SKIP_KRAKEN"):
+        try:
+            kraken = bench_kraken_e2e(spark)
+        except Exception as exc:  # noqa: BLE001
+            errors["kraken_e2e"] = f"{type(exc).__name__}: {exc}"[:300]
 
-    total = round(sum(timings[n] for n in relational), 4)
-    ext_total = round(sum(timings[n] for n in ext), 4)
+    total = round(sum(timings[n] for n in relational if n in timings), 4)
+    ext_total = round(sum(timings[n] for n in ext if n in timings), 4)
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -171,6 +181,8 @@ def main() -> None:
     }
     if kraken is not None:
         out["kraken_e2e"] = kraken
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 
