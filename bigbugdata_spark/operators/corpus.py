@@ -207,3 +207,117 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct_bigrams"),
         F.max("c").alias("max_bigram_count"),
     )
+
+
+@register(
+    "pipe_governed_corpus",
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id, unnest(g) AS gram_hash FROM (
+                SELECT doc_id,
+                       {H.sql_shingle_hashes(H.sql_word_hashes(H.sql_tokens('text')), n=_REP_N, distinct=False)} AS g
+                FROM documents
+            )
+        ),
+        cnt AS (
+            SELECT doc_id, gram_hash, CAST(COUNT(*) AS BIGINT) AS c
+            FROM grams GROUP BY doc_id, gram_hash
+        ),
+        rep_bad AS (
+            SELECT doc_id FROM cnt GROUP BY doc_id
+            HAVING 5 * MAX(c) > SUM(c)
+        ),
+        dgrams AS (
+            SELECT doc_id, unnest(g) AS gram_hash FROM (
+                SELECT doc_id,
+                       {H.sql_shingle_hashes(H.sql_word_hashes(H.sql_tokens('text')), n=_DECON_N, distinct=True)} AS g
+                FROM documents
+            )
+        ),
+        contaminated AS (
+            SELECT DISTINCT c.doc_id
+            FROM dgrams c JOIN dgrams b USING (gram_hash)
+            WHERE c.doc_id % {_BENCH_MOD} <> 0 AND b.doc_id % {_BENCH_MOD} = 0
+        )
+        SELECT lang,
+               CASE WHEN h < {_TRAIN_PM} THEN 'train'
+                    WHEN h < {_VAL_PM} THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(text)) AS BIGINT) AS total_chars
+        FROM (
+            SELECT doc_id, lang, text,
+                   ({_SPLIT_A} * doc_id + {_SPLIT_B}) % {H.P} % 1000 AS h
+            FROM documents
+            WHERE doc_id % {_BENCH_MOD} <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM rep_bad)
+              AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        )
+        GROUP BY lang, split
+    """,
+    tags=("text", "pipeline"),
+)
+def pipe_governed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 governance stages COMPOSED into one lazy plan — what a
+    real pre-training data build runs: drop the held-out benchmark
+    slice, gate out repetitive documents (hottest bigram > 20% of all
+    bigrams — integer cross-multiplication, no fp threshold), drop
+    documents contaminated by benchmark n-gram overlap, then account
+    the survivors per (lang, split). Documents too short to have a
+    bigram cannot be repetitive and are kept.
+
+    Plan: the two gates are anti-joins against aggregate-derived key
+    sets (flagged-docs frames are corpus-fraction-sized, not
+    corpus-sized); everything composes lazily so Catalyst prunes the
+    documents scan to the consumed columns once per branch. The same
+    boundedness arguments as the standalone operators apply."""
+    docs = table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            H.shingle_hashes(
+                H.word_hashes(H.tokens(F.col("text"))), n=_REP_N, distinct=False
+            )
+        ).alias("gram_hash"),
+    )
+    cnt = grams.groupBy("doc_id", "gram_hash").agg(F.count(F.lit(1)).alias("c"))
+    rep_bad = (
+        cnt.groupBy("doc_id")
+        .agg(F.max("c").alias("m"), F.sum("c").alias("t"))
+        .filter(5 * F.col("m") > F.col("t"))
+        .select("doc_id")
+    )
+    dgrams = docs.select(
+        "doc_id",
+        F.explode(
+            H.shingle_hashes(
+                H.word_hashes(H.tokens(F.col("text"))), n=_DECON_N, distinct=True
+            )
+        ).alias("gram_hash"),
+    )
+    bench = dgrams.filter(F.col("doc_id") % _BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "gram_hash"
+    )
+    contaminated = (
+        dgrams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .join(F.broadcast(bench.select("gram_hash")), "gram_hash")
+        .select("doc_id")
+        .distinct()
+    )
+    h = (F.lit(_SPLIT_A) * F.col("doc_id") + F.lit(_SPLIT_B)) % F.lit(H.P) % 1000
+    split = (
+        F.when(h < _TRAIN_PM, "train").when(h < _VAL_PM, "val").otherwise("test")
+    )
+    clean = (
+        docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .join(rep_bad, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    return (
+        clean.select("lang", split.alias("split"), F.length("text").alias("_len"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_len").alias("total_chars"),
+        )
+    )

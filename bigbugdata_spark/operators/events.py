@@ -138,7 +138,9 @@ def evt_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly within the gap; session_end = last_ts + gap. The oracle is
     the classic gaps-and-islands form (lag -> new-session flag -> running
     sum), which implements exactly Spark's half-open merge semantics.
-    One shuffle on user_id; streaming twin in streaming/sessions.py."""
+    One shuffle on user_id; streaming twin: the registered
+    applyInPandasWithState sessionizer in streaming/stateful.py
+    (evt_stream_sessions)."""
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
