@@ -9,11 +9,19 @@ SESSION-CONFIG CONTRACT (the one documented side effect): reading the
 ``spark.sql.legacy.parquet.nanosAsLong=true`` on the session, and the
 UTC zone must still hold when the returned (lazy) frame executes — the
 event queries format timestamps to strings, and a non-UTC zone would
-shift every window edge away from the oracle's naive timestamps.  A
+shift every window edge away from the oracle's naive timestamps (and
+make the NTZ->TIMESTAMP normalization non-instant-preserving).  A
 caller that needs a different session zone for its own plans should run
 them on a separate session.  The change is logged (once per distinct
 overwrite) instead of silent; it cannot be save/restored around the read
 because execution happens later, at the caller's action.
+
+TS-LAYOUT CONTRACT: the events ``ts`` column's physical parquet layout
+has varied across test-data generations (TIMESTAMP(NANOS);
+``timestamp[us]`` NTZ; ``timestamp[us]`` UTC).  ``normalize_events_ts``
+below is the ONLY place those layouts are interpreted — both this batch
+path and streaming/core.stream_events route through it, and
+tests/test_ts_layouts.py pins identical behavior on all three layouts.
 """
 
 from __future__ import annotations
