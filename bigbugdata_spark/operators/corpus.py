@@ -212,6 +212,76 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# mirror of dedup.py's _EMB_DIM / COSINE_T (a top-level import would
+# perturb registry order — see the deferred import below). Drift is
+# self-detecting: the Spark side calls the real dedup_emb_cosine, so a
+# changed threshold there fails this query's oracle parity immediately.
+_XL_EMB_DIM = 64
+_XL_COSINE_T = 0.4
+_XL_COS_SQL = (
+    f"{H.sql_dot('a.embedding', 'b.embedding', _XL_EMB_DIM)}"
+    f" / ({H.sql_norm('a.embedding', _XL_EMB_DIM)}"
+    f" * {H.sql_norm('b.embedding', _XL_EMB_DIM)})"
+)
+
+
+@register(
+    "emb_crosslingual_dupes",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT a.vec_id AS v1, b.vec_id AS v2
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {_XL_COS_SQL} >= {_XL_COSINE_T}
+        )
+        SELECT LEAST(d1.lang, d2.lang) AS lang_a,
+               GREATEST(d1.lang, d2.lang) AS lang_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs
+        JOIN documents d1 ON d1.doc_id = pairs.v1
+        JOIN documents d2 ON d2.doc_id = pairs.v2
+        GROUP BY lang_a, lang_b
+    """,
+    tags=("corpus", "join", "agg"),
+)
+def emb_crosslingual_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual near-duplicate audit — the cross-MODAL composition
+    the other families don't cover: embedding-space near-dup pairs
+    joined back to the documents table's language metadata, aggregated
+    per unordered language pair. Off-diagonal mass (lang_a != lang_b)
+    is translation leakage — semantic duplicates that text-level dedup
+    (exact/MinHash/SimHash) is structurally blind to because the
+    surface strings differ.
+
+    Pair source here is the labeled brute-force baseline
+    (dedup_emb_cosine — exact oracle, correctness anchor); at scale the
+    same audit runs off dedup_emb_lsh's bucketed pairs, exactly the
+    swap dedup_cluster_keep_lsh makes for clustering. The doc-metadata
+    joins are id-equi-joins; the language-pair key space is bounded
+    (|langs|^2), so the final aggregate is map-side combinable."""
+    # deferred import: corpus loads BEFORE dedup in the registry order,
+    # and a top-level import would register dedup's queries early
+    from bigbugdata_spark.operators.dedup import dedup_emb_cosine
+
+    pairs = dedup_emb_cosine(spark, sf_dir).select("v1", "v2")
+    langs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = (
+        pairs.join(langs.withColumnRenamed("lang", "_l1"), pairs.v1 == langs.doc_id)
+        .drop("doc_id")
+        .join(
+            langs.withColumnRenamed("lang", "_l2").withColumnRenamed("doc_id", "_d2"),
+            F.col("v2") == F.col("_d2"),
+        )
+    )
+    return (
+        j.select(
+            F.least("_l1", "_l2").alias("lang_a"),
+            F.greatest("_l1", "_l2").alias("lang_b"),
+        )
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 @register(
     "pipe_governed_corpus",
     oracle=f"""

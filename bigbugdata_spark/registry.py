@@ -35,10 +35,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (evt_funnel, evt_range_join, evt_user_window_funcs,
 # evt_stream_tumbling, evt_stream_click_attribution) gets its fix
 # driver-confirmed (VERDICT r4 next-round #3), then the queries NEW this
-# round — streaming.stateful(1: the oracle'd sessionizer) + corpus(4:
-# decontamination, stratified split, repetition stats, the composed
-# governance pipeline) = 5 — then dedup(8) and the first tpch classics
-# for re-verification up to slot 50.
+# round — streaming.stateful(1: the oracle'd sessionizer) + corpus(5:
+# decontamination, stratified split, repetition stats, the cross-lingual
+# dup audit, the composed governance pipeline) = 6 — then dedup(8) for
+# re-verification, filling the window to exactly slot 50.
 # Families rotated behind the cap all hold driver verdicts: hash-verified
 # green rows for tpch_ext/tpch_full/text_bm25_rank/corpus_mix_sample/
 # profile/quantize (r4), pipeline/similarity's sim_cosine_topk and
