@@ -183,7 +183,20 @@ def main() -> None:
         out["kraken_e2e"] = kraken
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+
+    # The driver records only the last ~2000 chars of stdout; round 5's
+    # full line (~2.9 KB with queries_median) was clipped mid-object and
+    # failed to parse. Persist the complete result to its own artifact,
+    # then print a compact line (no queries_median, no whitespace) that
+    # stays well inside the tail window.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_out.json")
+    with open(full_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+    compact = {k: v for k, v in out.items() if k != "queries_median"}
+    compact["full"] = "BENCH_out.json"
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -74,3 +74,48 @@ def cents_col():
 
 N_QUERIES = 8  # vec_id < 8 are the query vectors
 TOP_K = 10
+
+EMB_DIM = 64
+
+# IVF knobs (operators/similarity.py) — here so operators/audits.py can
+# build the DuckDB twin of the IVF pipeline without importing (and
+# thereby registering) the similarity module at import time.
+IVF_K = 16  # FIXED codebook size — independent of corpus size
+IVF_ASSIGN = 2  # redundant assignment: each vector lands in its top-2 cells
+N_PROBE = 8  # probed cells per query
+
+# Codebook-sampling hash: portable affine hash mod P (NOT xxhash64) so
+# the whole IVF pipeline is ANSI-SQL-expressible and audit_ivf_recall
+# can re-derive the identical codebook in DuckDB. vec_id reduces mod P
+# first so the product stays far below 2^63 for any 64-bit id.
+IVF_HASH_A, IVF_HASH_B = 179_424_673, 32_452_843
+IVF_CODEBOOK_HASH_SQL = f"((vec_id % {H.P}) * {IVF_HASH_A} + {IVF_HASH_B}) % {H.P}"
+
+
+def sql_cos(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """DuckDB cosine similarity between two embedding columns (same
+    left-to-right fp64 reduction as the Spark side's H.dot/H.norm)."""
+    return (
+        f"{H.sql_dot(a, b, dim)}"
+        f" / ({H.sql_norm(a, dim)} * {H.sql_norm(b, dim)})"
+    )
+
+
+# --- dedup embedding-LSH family --------------------------------------------
+
+COSINE_T = 0.4  # the embeddings corpus' near-dup band (max pair cos ~0.51)
+
+EMB_LSH_TABLES, EMB_LSH_BITS = 16, 4  # 16 hash tables x 4 hyperplane bits
+
+
+def _make_planes() -> list[list[float]]:
+    import random
+
+    rng = random.Random(0x91A)  # fixed seed -> reproducible hyperplanes
+    return [
+        [rng.choice((-1.0, 1.0)) for _ in range(EMB_DIM)]
+        for _ in range(EMB_LSH_TABLES * EMB_LSH_BITS)
+    ]
+
+
+EMB_LSH_PLANES = _make_planes()

@@ -212,17 +212,15 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# mirror of dedup.py's _EMB_DIM / COSINE_T (a top-level import would
-# perturb registry order — see the deferred import below). Drift is
-# self-detecting: the Spark side calls the real dedup_emb_cosine, so a
-# changed threshold there fails this query's oracle parity immediately.
-_XL_EMB_DIM = 64
-_XL_COSINE_T = 0.4
-_XL_COS_SQL = (
-    f"{H.sql_dot('a.embedding', 'b.embedding', _XL_EMB_DIM)}"
-    f" / ({H.sql_norm('a.embedding', _XL_EMB_DIM)}"
-    f" * {H.sql_norm('b.embedding', _XL_EMB_DIM)})"
+# shared with dedup.py via fragments (register-free, so importing it
+# never perturbs registry order — the operator import below stays
+# deferred for exactly that reason).
+from bigbugdata_spark.functions.fragments import (  # noqa: E402
+    COSINE_T as _XL_COSINE_T,
+    sql_cos as _sql_cos,
 )
+
+_XL_COS_SQL = _sql_cos("a.embedding", "b.embedding")
 
 
 @register(

@@ -40,8 +40,6 @@ oracle equality holds identically across runs.
 
 from __future__ import annotations
 
-import random
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -49,22 +47,18 @@ from bigbugdata_spark.caching import pin
 from bigbugdata_spark.catalog import table
 from bigbugdata_spark.functions import hashing as H
 from bigbugdata_spark.functions.fragments import (
+    COSINE_T,
+    EMB_DIM as _EMB_DIM,
+    EMB_LSH_BITS as _BITS_PER_TABLE,
+    EMB_LSH_PLANES as _PLANES,
+    EMB_LSH_TABLES as _N_TABLES,
     JACCARD_PAIRS_SQL as _JACCARD_PAIRS_SQL,
     JACCARD_T,
 )
 from bigbugdata_spark.registry import register
 
 SIMHASH_D = 3  # max hamming distance; 8 x 4-bit blocks are exact for d <= 7
-COSINE_T = 0.4  # this corpus' near-dup band (max observed pair cos ~0.51)
 LSH_BANDS, LSH_ROWS = 16, 4  # 64 minhash components
-
-_EMB_DIM = 64
-_N_TABLES, _BITS_PER_TABLE = 16, 4
-_rng = random.Random(0x91A)  # fixed seed -> reproducible hyperplanes
-_PLANES = [
-    [_rng.choice((-1.0, 1.0)) for _ in range(_EMB_DIM)]
-    for _ in range(_N_TABLES * _BITS_PER_TABLE)
-]
 
 
 # ---------------------------------------------------------------------------

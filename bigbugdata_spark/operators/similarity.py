@@ -19,13 +19,25 @@ from pyspark.sql import functions as F
 
 from bigbugdata_spark.catalog import table
 from bigbugdata_spark.functions import hashing as H
-from bigbugdata_spark.functions.fragments import N_QUERIES, TOP_K
+from bigbugdata_spark.functions.fragments import (
+    EMB_DIM as _DIM,
+    IVF_ASSIGN,
+    IVF_HASH_A,
+    IVF_HASH_B,
+    IVF_K,
+    N_PROBE,
+    N_QUERIES,
+    TOP_K,
+)
 from bigbugdata_spark.registry import register
 
-_DIM = 64
-IVF_K = 16  # FIXED codebook size — independent of corpus size
-IVF_ASSIGN = 2  # redundant assignment: each vector lands in its top-2 cells
-N_PROBE = 8  # probed cells per query (see measured recall in sim_ivf_topk)
+
+def _codebook_hash(vec_id):
+    """Portable affine codebook-sampling hash (see fragments.py: the
+    xxhash64 it replaced is not expressible in the DuckDB audit twin)."""
+    return (
+        (vec_id % F.lit(H.P)) * F.lit(IVF_HASH_A) + F.lit(IVF_HASH_B)
+    ) % F.lit(H.P)
 
 _COS_AB = (
     f"{H.sql_dot('a.embedding', 'b.embedding', _DIM)}"
@@ -103,9 +115,11 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. coarse quantizer: a FIXED-SIZE codebook of k=16 centroids chosen
        by deterministic hash sampling — the k corpus vectors with the
-       smallest xxhash64(vec_id).  The selection is a distributed
-       top-k (TakeOrdered: per-partition heads, driver merge of k rows),
-       so the codebook costs one O(n) scan and stays k rows no matter
+       smallest portable affine hash of vec_id (mod P, vec_id tiebreak;
+       engine-portable so audit_ivf_recall can re-derive the identical
+       codebook in DuckDB).  The selection is a distributed top-k
+       (TakeOrdered: per-partition heads, driver merge of k rows), so
+       the codebook costs one O(n) scan and stays k rows no matter
        the corpus size, then broadcasts.  (A k-means training pass would
        pick better centroids; hash sampling keeps the plan deterministic
        and is the standard bootstrap for one.)
@@ -119,8 +133,8 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe cost — the standard IVF trade when the codebook is coarse.
     This corpus is near-isotropic (no tight clusters), the worst case for
     IVF: measured recall@10 at sf0.01 with the k=16 hash codebook is
-    0.725/0.812/0.863/0.988 at nprobe 4/6/8/10 (vs 0.425/0.537/0.650/
-    0.775 with single assignment). On clustered real embeddings the same
+    0.675/0.887/0.963/0.988 at nprobe 4/6/8/10 (vs 0.512/0.688/0.762/
+    0.850 with single assignment). On clustered real embeddings the same
     plan probes a far smaller fraction for the same recall; the plan
     shape (broadcast codebook, cell-bucketed candidate join) is what
     carries to 100 TB.
@@ -130,7 +144,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests (rows-only correctness by design — IVF recall < 1)."""
     corpus = _corpus(spark, sf_dir)
     cents = (
-        corpus.orderBy(F.xxhash64(F.col("vec_id")))
+        corpus.orderBy(_codebook_hash(F.col("vec_id")), F.col("vec_id"))
         .limit(IVF_K)
         .select(
             F.col("vec_id").alias("cell_id"),
