@@ -61,38 +61,46 @@ _TRAIN_PM, _VAL_PM = 980, 990  # <980 train, <990 val, else test
     """,
     tags=("text", "join", "agg", "headline"),
 )
-def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    benchmark: "DataFrame | str | None" = None,
+) -> DataFrame:
     """Benchmark decontamination — flag training documents that share any
-    word-{n}-gram with the held-out benchmark slice, with the distinct
-    shared-gram and touched-benchmark-document counts that drive the
-    drop/keep decision. The standard pre-training hygiene pass (long
-    verbatim n-gram overlap with eval sets).
+    word-{n}-gram with the benchmark, with the distinct shared-gram and
+    touched-benchmark-document counts that drive the drop/keep decision.
+    The standard pre-training hygiene pass (long verbatim n-gram overlap
+    with eval sets).
+
+    `benchmark` selects the eval-set source:
+      * None (the registered/oracle form): the deterministic doc_id
+        residue class stands in for an eval set, and the corpus side
+        excludes it;
+      * a DataFrame with (doc_id, text) columns, or a parquet path to
+        one: the REAL fixed-size benchmark corpus — grams are derived
+        from it with the same shingle pipeline, and the whole documents
+        table is the corpus side. This is the production shape: the
+        broadcast is sized by the external eval set, which is small
+        intrinsically, not corpus-proportionally.
 
     Plan: one explode produces distinct gram hashes per document; the
     benchmark side broadcasts into the corpus gram stream — candidate
     generation is a keyed equi-join on the gram hash, never any
     all-pairs comparison — and one shuffle aggregates per flagged
-    corpus document. The broadcast is justified by what a benchmark IS:
-    a fixed eval set of thousands of documents against a corpus of
-    billions — small intrinsically, not proportionally (the doc_id
-    residue class here only stands in for that fixed set at test
-    scale). For corpus-vs-corpus overlap, where neither side is small,
-    the right tool is the shuffled inverted-index join of
+    corpus document. For corpus-vs-corpus overlap, where neither side
+    is small, the right tool is the shuffled inverted-index join of
     dedup_ngram_jaccard / text_dup_ngrams instead. Fan-out per corpus
     gram is bounded by the benchmark's occurrence count of that gram
     (benchmark-sized, not corpus-sized)."""
-    grams = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.explode(
-            H.shingle_hashes(
-                H.word_hashes(H.tokens(F.col("text"))), n=_DECON_N, distinct=True
-            )
-        ).alias("gram_hash"),
-    )
-    bench = grams.filter(F.col("doc_id") % _BENCH_MOD == 0).select(
-        F.col("doc_id").alias("bench_id"), "gram_hash"
-    )
-    corpus = grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    grams = _decon_grams(table(spark, sf_dir, "documents"))
+    bench_docs = _load_benchmark(spark, benchmark)
+    if bench_docs is None:
+        bench = grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        corpus = grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    else:
+        bench = _decon_grams(bench_docs)
+        corpus = grams
+    bench = bench.select(F.col("doc_id").alias("bench_id"), "gram_hash")
     return (
         corpus.join(F.broadcast(bench), "gram_hash")
         .groupBy("doc_id")
@@ -101,6 +109,31 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("bench_id").alias("n_bench_docs"),
         )
     )
+
+
+def _decon_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, gram_hash): distinct decontamination n-grams per doc."""
+    return docs.select(
+        "doc_id",
+        F.explode(
+            H.shingle_hashes(
+                H.word_hashes(H.tokens(F.col("text"))), n=_DECON_N, distinct=True
+            )
+        ).alias("gram_hash"),
+    )
+
+
+def _load_benchmark(
+    spark: SparkSession, benchmark: "DataFrame | str | None"
+) -> "DataFrame | None":
+    """Resolve the external benchmark corpus: None passes through (the
+    residue-class stand-in), a path reads parquet, a DataFrame is used
+    as-is. Contract: (doc_id, text) columns."""
+    if benchmark is None:
+        return None
+    if isinstance(benchmark, str):
+        benchmark = spark.read.parquet(benchmark)
+    return benchmark.select("doc_id", "text")
 
 
 text_decontaminate.__doc__ = text_decontaminate.__doc__.format(n=_DECON_N)
@@ -328,7 +361,11 @@ def emb_crosslingual_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("text", "pipeline"),
 )
-def pipe_governed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipe_governed_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    benchmark: "DataFrame | str | None" = None,
+) -> DataFrame:
     """The round-5 governance stages COMPOSED into one lazy plan — what a
     real pre-training data build runs: drop the held-out benchmark
     slice, gate out repetitive documents (hottest bigram > 20% of all
@@ -337,12 +374,19 @@ def pipe_governed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the survivors per (lang, split). Documents too short to have a
     bigram cannot be repetitive and are kept.
 
+    `benchmark` follows text_decontaminate's contract: None uses the
+    held-out residue-class stand-in (registered/oracle form, corpus
+    excludes the slice); a (doc_id, text) DataFrame or parquet path is
+    the real external eval set (corpus = all documents, broadcast sized
+    by the eval set — fixed, not corpus-proportional).
+
     Plan: the two gates are anti-joins against aggregate-derived key
     sets (flagged-docs frames are corpus-fraction-sized, not
     corpus-sized); everything composes lazily so Catalyst prunes the
     documents scan to the consumed columns once per branch. The same
     boundedness arguments as the standalone operators apply."""
     docs = table(spark, sf_dir, "documents")
+    bench_docs = _load_benchmark(spark, benchmark)
     grams = docs.select(
         "doc_id",
         F.explode(
@@ -358,20 +402,19 @@ def pipe_governed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(5 * F.col("m") > F.col("t"))
         .select("doc_id")
     )
-    dgrams = docs.select(
-        "doc_id",
-        F.explode(
-            H.shingle_hashes(
-                H.word_hashes(H.tokens(F.col("text"))), n=_DECON_N, distinct=True
-            )
-        ).alias("gram_hash"),
-    )
-    bench = dgrams.filter(F.col("doc_id") % _BENCH_MOD == 0).select(
-        F.col("doc_id").alias("bench_id"), "gram_hash"
-    )
+    dgrams = _decon_grams(docs)
+    if bench_docs is None:
+        bench = dgrams.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        corpus_grams = dgrams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        survivors = docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    else:
+        bench = _decon_grams(bench_docs)
+        corpus_grams = dgrams
+        survivors = docs
     contaminated = (
-        dgrams.filter(F.col("doc_id") % _BENCH_MOD != 0)
-        .join(F.broadcast(bench.select("gram_hash")), "gram_hash")
+        corpus_grams.join(
+            F.broadcast(bench.select("gram_hash").distinct()), "gram_hash"
+        )
         .select("doc_id")
         .distinct()
     )
@@ -380,7 +423,7 @@ def pipe_governed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(h < _TRAIN_PM, "train").when(h < _VAL_PM, "val").otherwise("test")
     )
     clean = (
-        docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        survivors
         .join(rep_bad, "doc_id", "left_anti")
         .join(contaminated, "doc_id", "left_anti")
     )

@@ -365,3 +365,68 @@ def test_governed_corpus_is_subset_of_split_accounting(spark, sf_oracle):
     for key, n in governed.items():
         assert n <= raw[key], (key, n, raw[key])
     assert sum(governed.values()) < sum(raw.values())
+
+
+def test_decontaminate_external_benchmark(spark, sf_oracle):
+    """text_decontaminate(benchmark=...) — the production shape with a
+    REAL fixed-size eval corpus: seeding the benchmark with two corpus
+    documents' own texts must flag those two documents with FULL gram
+    overlap (n_shared_grams == their distinct 8-gram count), and a
+    benchmark of novel text must flag nothing."""
+    from bigbugdata_spark.catalog import table
+    from bigbugdata_spark.functions import hashing as H
+    from bigbugdata_spark.operators.corpus import _DECON_N, text_decontaminate
+
+    docs = table(spark, sf_oracle, "documents")
+    seeds = (
+        docs.select(
+            "doc_id",
+            "text",
+            F.size(
+                H.shingle_hashes(
+                    H.word_hashes(H.tokens(F.col("text"))),
+                    n=_DECON_N,
+                    distinct=True,
+                )
+            ).alias("n_grams"),
+        )
+        .filter(F.col("n_grams") > 0)
+        .orderBy("doc_id")
+        .limit(2)
+        .collect()
+    )
+    assert len(seeds) == 2
+    bench = spark.createDataFrame(
+        [(900_001 + i, r["text"]) for i, r in enumerate(seeds)],
+        "doc_id long, text string",
+    )
+    flagged = {
+        r["doc_id"]: r
+        for r in text_decontaminate(spark, sf_oracle, benchmark=bench).collect()
+    }
+    for r in seeds:
+        assert r["doc_id"] in flagged, "seed doc must be flagged"
+        assert flagged[r["doc_id"]]["n_shared_grams"] == r["n_grams"]
+
+    novel = spark.createDataFrame(
+        [(1, "zzqx " * (_DECON_N + 2))], "doc_id long, text string"
+    )
+    assert text_decontaminate(spark, sf_oracle, benchmark=novel).count() == 0
+
+
+def test_governed_corpus_external_benchmark(spark, sf_oracle):
+    """pipe_governed_corpus(benchmark=...) with a no-overlap benchmark
+    keeps the residue-class slice the default drops: totals are strictly
+    larger than the default composition's, same schema."""
+    from bigbugdata_spark.operators.corpus import pipe_governed_corpus
+
+    novel = spark.createDataFrame(
+        [(1, "zzqx " * 12)], "doc_id long, text string"
+    )
+    default_total = sum(
+        r["n_docs"] for r in pipe_governed_corpus(spark, sf_oracle).collect()
+    )
+    ext = pipe_governed_corpus(spark, sf_oracle, benchmark=novel)
+    assert ext.columns == ["lang", "split", "n_docs", "total_chars"]
+    ext_total = sum(r["n_docs"] for r in ext.collect())
+    assert ext_total > default_total
