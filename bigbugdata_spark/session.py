@@ -45,6 +45,12 @@ def get_spark(
         # layout to a plain TIMESTAMP
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # multi-file scans list paths driver-side up to this count; the
+        # default (32) launches a distributed listing JOB for the 48-file
+        # kraken report sets — pure overhead when listing 48 local files.
+        # At a 100 TB site with millions of objects, lower this back so
+        # listing distributes.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         # catalog tables (bucketed-layout support) live outside the repo
