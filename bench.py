@@ -65,6 +65,119 @@ KRAKEN_SAMPLES = 48
 KRAKEN_TAXA = 20_000
 KRAKEN_BASELINE_SEC = 13.7
 
+# --- scale probe: the empirical linearity check (VERDICT r5 #6) ------------
+# No sf1 testdata exists, so the probe builds a 10x replication of the
+# bench SF in /tmp (cached across runs): every fact table is unioned 10
+# times with key offsets so each replica is referentially self-contained,
+# and document text gets a per-replica token tag so near-dup structure
+# stays WITHIN replicas (pair counts scale linearly, the way a 10x-bigger
+# real corpus would, instead of quadratically as verbatim copies would).
+# region/nation stay as-is (dimensions). The probe then times a
+# representative heavy query per family at both sizes and reports the
+# ratio — a scan-dominated linear plan should land near the data ratio
+# (10) or below; super-linear ratios flag a plan that won't survive 100x.
+SCALE_REPLICATION = 10
+_SCALE_KEY_OFFSET = 1_000_000_000
+_SCALE_RULES: dict[str, tuple[str, ...]] = {
+    "region": (),
+    "nation": (),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+SCALE_PROBE_QUERIES = (
+    "op07_hash_agg",
+    "op13_floor_ratio_rrpm",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_suppliers",
+    "text_token_stats",
+    "text_decontaminate",
+    "dedup_minhash_lsh",
+    "evt_user_window_funcs",
+    "evt_range_join",
+    "sim_cosine_topk",
+)
+SCALE_ITERATIONS = 2
+
+
+def _build_scale_dir(spark) -> str:
+    """Materialize (once, cached in /tmp) the 10x-replicated copy of
+    $SPARK_GRAFT_SF_DIR described above."""
+    import functools
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    d = Path(tempfile.gettempdir()) / (
+        f"bigbugdata-bench-scale{SCALE_REPLICATION}-{Path(SF_DIR).name}"
+    )
+    marker = d / ".complete"
+    if marker.exists():
+        return str(d)
+    d.mkdir(parents=True, exist_ok=True)
+    for t, keys in _SCALE_RULES.items():
+        base = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+        if not keys:
+            out = base
+        else:
+            reps = []
+            for i in range(SCALE_REPLICATION):
+                rep = base
+                for k in keys:
+                    rep = rep.withColumn(
+                        k, F.col(k) + F.lit(i * _SCALE_KEY_OFFSET)
+                    )
+                if t == "documents" and i > 0:
+                    # tag every token so replica gram/shingle spaces are
+                    # disjoint: near-dup pairs stay within replicas
+                    rep = rep.withColumn(
+                        "text",
+                        F.regexp_replace(F.col("text"), r"(\S+)", f"r{i}$1"),
+                    )
+                reps.append(rep)
+            out = functools.reduce(lambda a, b: a.unionByName(b), reps)
+        out.write.mode("overwrite").parquet(str(d / f"{t}.parquet"))
+    marker.write_text("ok")
+    return str(d)
+
+
+def bench_scale_probe(spark, specs) -> dict:
+    """Time each probe query at the bench SF and at the 10x replication;
+    min-of-N at each size, ratio alongside. Errors recorded per query."""
+    sdir = _build_scale_dir(spark)
+    out: dict = {
+        "replication": SCALE_REPLICATION,
+        "iterations": SCALE_ITERATIONS,
+        "queries": {},
+    }
+    for name in SCALE_PROBE_QUERIES:
+        if name not in specs:
+            continue
+        entry: dict = {}
+        try:
+            for key, sf_dir in (("base_sec", SF_DIR), ("x10_sec", sdir)):
+                spark.catalog.clearCache()
+                runs = []
+                for _ in range(SCALE_ITERATIONS):
+                    df = specs[name].fn(spark, sf_dir)
+                    t0 = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    runs.append(time.perf_counter() - t0)
+                entry[key] = round(min(runs), 4)
+            entry["ratio"] = round(entry["x10_sec"] / entry["base_sec"], 2)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            entry["error"] = f"{type(exc).__name__}: {exc}"[:300]
+        out["queries"][name] = entry
+    ratios = [e["ratio"] for e in out["queries"].values() if "ratio" in e]
+    if ratios:
+        out["max_ratio"] = max(ratios)
+    return out
+
 
 def sf_from_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -206,6 +319,13 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors["kraken_e2e"] = f"{type(exc).__name__}: {exc}"[:300]
 
+    scale: dict | None = None
+    if not os.environ.get("SPARK_GRAFT_SKIP_SCALE"):
+        try:
+            scale = bench_scale_probe(spark, specs)
+        except Exception as exc:  # noqa: BLE001
+            errors["scale_probe"] = f"{type(exc).__name__}: {exc}"[:300]
+
     total = round(sum(timings[n] for n in relational if n in timings), 4)
     ext_total = round(sum(timings[n] for n in ext if n in timings), 4)
     out = {
@@ -221,6 +341,8 @@ def main() -> None:
     }
     if kraken is not None:
         out["kraken_e2e"] = kraken
+    if scale is not None:
+        out["scale_probe"] = scale
     if errors:
         out["errors"] = errors
 
@@ -234,7 +356,11 @@ def main() -> None:
     with open(full_path, "w") as fh:
         json.dump(out, fh, indent=1)
         fh.write("\n")
-    compact = {k: v for k, v in out.items() if k != "queries_median"}
+    compact = {
+        k: v for k, v in out.items() if k not in ("queries_median", "scale_probe")
+    }
+    if scale is not None and "max_ratio" in scale:
+        compact["scale_probe_max_ratio"] = scale["max_ratio"]
     compact["full"] = "BENCH_out.json"
     print(json.dumps(compact, separators=(",", ":")))
 
