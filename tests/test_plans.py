@@ -292,3 +292,71 @@ def test_tpch_q11_shared_agg_computes_once(spark, sf):
 
 def test_tpch_q15_shared_agg_computes_once(spark, sf):
     _single_lineitem_scan(SPECS["tpch_q15_top_supplier"].fn(spark, sf))
+
+
+def test_aqe_splits_skewed_gram_join(spark, tmp_path):
+    """The 100 TB skew story for the dedup inverted-index join, proven
+    live: a corpus where one boilerplate shingle is ultra-hot (every doc
+    shares it) shuffles that gram's rows to ONE reducer; with AQE skew
+    handling (on in session.py) the runtime must split that partition.
+    Thresholds are scaled down to fixture size — the mechanism under
+    test is identical at 256 MB partitions. Asserts the executed final
+    plan carries the skew-split markers AND the join's semantics are
+    unchanged (the hot gram contributes exactly C(n,2) pairs; filler
+    grams are per-doc unique)."""
+    from bigbugdata_spark.functions import hashing as H
+
+    n_docs = 3000
+    boiler = "alpha beta gamma"  # exactly one shared 3-gram
+    rows = [
+        (
+            i,
+            boiler + " " + " ".join(f"w{i}x{j}" for j in range(8)),
+            "en",
+            "syn",
+            0,
+        )
+        for i in range(n_docs)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            H.shingle_hashes(H.word_hashes(H.tokens(F.col("text"))))
+        ).alias("g"),
+    )
+
+    conf = spark.conf
+    tuned = {
+        # force a shuffled join (the mechanism AQE skew handling rewrites)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # scale the skew detector down to fixture-sized partitions
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+    }
+    saved = {k: conf.get(k) for k in tuned}
+    for k, v in tuned.items():
+        conf.set(k, v)
+    try:
+        pairs = (
+            grams.alias("a")
+            .join(grams.select(F.col("doc_id").alias("d2"), "g"), "g")
+            .filter(F.col("doc_id") < F.col("d2"))
+            .groupBy()
+            .count()
+        )
+        # collect on THIS frame: the noop writer would plan a separate
+        # QueryExecution and the adaptive final plan would be invisible
+        [row] = pairs.collect()
+        assert row["count"] == n_docs * (n_docs - 1) // 2
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+        assert "skewed" in plan  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
