@@ -156,6 +156,15 @@ def sql_tokens(text: str) -> str:
     return f"regexp_split_to_array(lower(trim({text})), '\\s+')"
 
 
+def sql_word_hash(word: str) -> str:
+    """Single-word twin of `word_hash` (list_reduce's first step acc=c1
+    equals Spark's (0*31+c1)%P because c1 < P)."""
+    return (
+        f"list_reduce(list_transform(string_split({word}, ''), "
+        f"c -> ascii(c)::BIGINT), (acc, x) -> (acc*31 + x) % {P})"
+    )
+
+
 def sql_word_hashes(toks: str) -> str:
     # list_reduce has no init; its first step (acc=c1) equals Spark's
     # (0*31+c1)%P because c1 < P.

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from bigbugdata_spark.catalog import table
 from bigbugdata_spark.functions import hashing as H
+from bigbugdata_spark.functions.fragments import STOPWORDS
 from bigbugdata_spark.registry import register
 
 HLL_RSD = 0.01  # HyperLogLog++ target relative standard deviation
@@ -175,4 +176,134 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(quota), "lang")
         .filter(keep)
         .select("doc_id", "lang", "source", "permille")
+    )
+
+
+# --- count-min sketch (r6) --------------------------------------------------
+# Unlike HLL/GK, a count-min sketch is FULLY deterministic given its hash
+# parameters — so this sketch operator gets an EXACT cross-engine oracle
+# (DuckDB re-derives the same D x W counter table from the same rolling
+# hash and the same affine bucket functions) instead of a bound check.
+CMS_W = 1024  # buckets per row
+CMS_D = 4  # hash rows; est = min over rows
+# fixed literals (reusing the first 4 seeded MinHash permutation pairs —
+# any fixed, engine-portable (a, b) family works; documented reuse)
+_CMS_PARAMS = tuple(zip(H.MINHASH_A[:CMS_D], H.MINHASH_B[:CMS_D]))
+# probe vocabulary: fixed terms whose frequencies the query estimates
+_CMS_PROBE = tuple(sorted(set(STOPWORDS) | set(_BM25_TERMS)))
+
+
+def _py_word_hash(word: str) -> int:
+    """Driver-side twin of hashing.word_hash (probe terms are ASCII, so
+    ord == ascii)."""
+    h = 0
+    for ch in word:
+        h = (h * 31 + ord(ch)) % H.P
+    return h
+
+
+_CMS_PARAMS_SQL = ", ".join(
+    f"({j}, {a}, {b})" for j, (a, b) in enumerate(_CMS_PARAMS)
+)
+_CMS_PROBE_SQL = ", ".join(f"('{t}')" for t in _CMS_PROBE)
+
+
+@register(
+    "text_heavy_hitters_cms",
+    oracle=f"""
+        WITH toks AS (
+            SELECT unnest({H.sql_tokens('text')}) AS term FROM documents
+        ),
+        th AS (SELECT term, {H.sql_word_hash('term')} AS h FROM toks),
+        params(j, a, b) AS (VALUES {_CMS_PARAMS_SQL}),
+        cms AS (
+            SELECT p.j, ((p.a * th.h + p.b) % {H.P}) % {CMS_W} AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM th CROSS JOIN params p GROUP BY 1, 2
+        ),
+        probe(term) AS (VALUES {_CMS_PROBE_SQL}),
+        ph AS (SELECT term, {H.sql_word_hash('term')} AS h FROM probe),
+        pb AS (
+            SELECT term, p.j,
+                   ((p.a * ph.h + p.b) % {H.P}) % {CMS_W} AS bucket
+            FROM ph CROSS JOIN params p
+        ),
+        est AS (
+            SELECT term, CAST(MIN(COALESCE(c, 0)) AS BIGINT) AS est_count
+            FROM pb LEFT JOIN cms USING (j, bucket) GROUP BY term
+        ),
+        exact AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_count
+            FROM toks GROUP BY term
+        )
+        SELECT p.term AS term, est.est_count,
+               COALESCE(exact.exact_count, 0) AS exact_count
+        FROM probe p
+        JOIN est ON est.term = p.term
+        LEFT JOIN exact ON exact.term = p.term
+    """,
+    tags=("text", "agg", "sketch"),
+)
+def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch term-frequency estimation over the token stream,
+    probed at a fixed vocabulary, with the exact counts alongside:
+    (term, est_count, exact_count), est >= exact always (CMS
+    one-sided error).
+
+    The 100 TB story: the sketch is a FIXED-SIZE (D x W counters,
+    ~4k rows here) mergeable summary of an unbounded token stream —
+    one map-side-combinable groupBy on (row, bucket) regardless of
+    corpus size, then O(|probe| x D) lookups; the exact twin's
+    per-term shuffle exists at audit scale only. Streaming ingest
+    aggregates the same (j, bucket) keys incrementally.
+
+    Determinism: bucket functions are affine maps of the base-31
+    rolling word hash with fixed literal coefficients — bit-identical
+    in DuckDB, so this SKETCH query is hash-verified exactly, not
+    bound-checked (contrast text_vocab_approx, whose HLL registers are
+    engine-internal)."""
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(H.tokens(F.col("text"))).alias("term")
+    )
+    th = toks.select("term", H.word_hash(F.col("term")).alias("h"))
+    buckets = F.array(
+        *[
+            (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(H.P) % F.lit(CMS_W)
+            for a, b in _CMS_PARAMS
+        ]
+    )
+    cms = (
+        th.select(F.posexplode(buckets).alias("j", "bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probe_rows = [
+        (t, j, (a * _py_word_hash(t) + b) % H.P % CMS_W)
+        for t in _CMS_PROBE
+        for j, (a, b) in enumerate(_CMS_PARAMS)
+    ]
+    probe = spark.createDataFrame(probe_rows, "term string, j int, bucket long")
+    est = (
+        probe.join(F.broadcast(cms), ["j", "bucket"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0).cast("long"))).alias("est_count"))
+    )
+    exact = (
+        toks.filter(F.col("term").isin(*_CMS_PROBE))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    probe_terms = spark.createDataFrame(
+        [(t,) for t in _CMS_PROBE], "term string"
+    )
+    return (
+        probe_terms.join(est, "term")
+        .join(exact, "term", "left")
+        .select(
+            "term",
+            "est_count",
+            F.coalesce(F.col("exact_count"), F.lit(0).cast("long")).alias(
+                "exact_count"
+            ),
+        )
     )

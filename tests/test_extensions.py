@@ -430,3 +430,15 @@ def test_governed_corpus_external_benchmark(spark, sf_oracle):
     assert ext.columns == ["lang", "split", "n_docs", "total_chars"]
     ext_total = sum(r["n_docs"] for r in ext.collect())
     assert ext_total > default_total
+
+
+def test_cms_overestimates_only(spark, sf_oracle):
+    """Count-min property: the estimate is one-sided — est >= exact for
+    every probe term, with equality whenever no other token collides in
+    all four bucket rows; the probe vocabulary must contain real corpus
+    terms (otherwise the check is vacuous)."""
+    rows = SPECS["text_heavy_hitters_cms"].fn(spark, sf_oracle).collect()
+    assert rows
+    assert any(r["exact_count"] > 0 for r in rows)
+    for r in rows:
+        assert r["est_count"] >= r["exact_count"], r
