@@ -547,6 +547,9 @@ def dedup_emb_lsh(
     Rows-only check by design: hyperplane LSH recall < 1 (the test suite
     measures it against `dedup_emb_cosine`; candidates are verified, so
     precision is exactly 1 — output is a SUBSET of the exact answer).
+    Driver-hash-verified through the oracle'd audit twin
+    `audit_emb_lsh_recall` (operators/audits.py), whose DuckDB side
+    re-derives this whole bucketing from the same seeded planes.
     This corpus' 0.4 threshold is adversarially loose for LSH (true
     near-dup work at cos >= 0.9 would use 16-bit tables with miss rate
     <1e-3); 4-bit tables trade selectivity for recall at 0.4. Scale: the

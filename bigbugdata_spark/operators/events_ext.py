@@ -28,8 +28,8 @@ def evt_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only by design: GK results are Spark-specific (DuckDB's
     approx_quantile is a t-digest — a different sketch), so the contract
     is the rank-error bound, asserted against the exact baseline in
-    tests/test_extensions.py: each reported quantile q must lie between
-    the exact quantiles at q +/- 1/ACC-ish rank tolerance."""
+    tests/test_extensions.py and driver-hash-verified through the
+    oracle'd audit twin `audit_quantiles_rank` (operators/audits.py)."""
     ev = table(spark, sf_dir, "events")
     cents = ev.select("event_type", _cents_col().alias("cents"))
     pct = F.percentile_approx("cents", [0.5, 0.9, 0.99], APPROX_ACC)

@@ -141,7 +141,10 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every join is broadcast or bucketed on cell_id; corpus never
     shuffles more than once. Recall vs the exact baseline is measured in
-    tests (rows-only correctness by design — IVF recall < 1)."""
+    tests (rows-only correctness by design — IVF recall < 1) and
+    driver-hash-verified through the oracle'd audit twin
+    `audit_ivf_recall` (operators/audits.py), whose DuckDB side
+    re-derives this whole pipeline from the portable codebook hash."""
     corpus = _corpus(spark, sf_dir)
     cents = (
         corpus.orderBy(_codebook_hash(F.col("vec_id")), F.col("vec_id"))

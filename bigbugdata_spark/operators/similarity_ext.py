@@ -9,8 +9,10 @@ replaces |Q| x dim zip_with evaluations per row.
 Registered last (registry._QUERY_MODULES): rows-only by design — numpy
 sums reduce in a different order than the oracle's left-to-right fp64
 chain, so scores differ in final ulps and a hash compare is the wrong
-contract. The binding contract is tests/test_extensions.py: identical
-(query, neighbor, rank) sets to the exact oracle-checked baseline."""
+contract. The binding contract is tests/test_extensions.py (identical
+(query, neighbor, rank) sets to the exact oracle-checked baseline),
+driver-hash-verified through the oracle'd audit twin `audit_np_parity`
+(operators/audits.py)."""
 
 from __future__ import annotations
 

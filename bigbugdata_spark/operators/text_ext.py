@@ -27,7 +27,8 @@ def text_vocab_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only by design: HLL register contents are engine-specific. The
     error contract (|approx - exact| / exact within a few rsd for both
     distinct columns) is asserted against text_token_stats in
-    tests/test_extensions.py."""
+    tests/test_extensions.py, and driver-hash-verified through the
+    oracle'd audit twin `audit_vocab_error` (operators/audits.py)."""
     toks = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.explode(H.tokens(F.col("text"))).alias("term")
     )
