@@ -92,6 +92,19 @@ IVF_HASH_A, IVF_HASH_B = 179_424_673, 32_452_843
 IVF_CODEBOOK_HASH_SQL = f"((vec_id % {H.P}) * {IVF_HASH_A} + {IVF_HASH_B}) % {H.P}"
 
 
+# Product-quantization knobs (operators/similarity_pq.py): M subspaces
+# of SUBDIM dims each; PQ_K hash-sampled codebook vectors per subspace
+# (6-bit codes x 16 subspaces = a 96-bit / 12-byte PQ code, ~21x smaller
+# than the 256-byte float vector; the first IVF_K of the sample double
+# as the IVF coarse codebook). Config chosen by measured recall sweep at
+# sf0.01: (M=8, rerank=40) 0.688, (M=8, 80) 0.863, (M=16, 40) 0.887,
+# (M=16, 80) 0.925 — against the 0.963 ceiling the IVF stage allows.
+PQ_M = 16
+PQ_SUBDIM = EMB_DIM // PQ_M
+PQ_K = 64
+PQ_RERANK = 8 * TOP_K  # ADC-ranked candidates kept for exact re-rank
+
+
 def sql_cos(a: str, b: str, dim: int = EMB_DIM) -> str:
     """DuckDB cosine similarity between two embedding columns (same
     left-to-right fp64 reduction as the Spark side's H.dot/H.norm)."""

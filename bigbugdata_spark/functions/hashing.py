@@ -147,6 +147,38 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def dot_slice(a: Column, b: Column, off: int, d: int) -> Column:
+    """Sub-vector dot product over elements off+1..off+d (1-based),
+    left-to-right fp64 reduction — the PQ subspace primitive, in
+    lockstep with sql_dot_slice."""
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(d)),
+            lambda i: F.element_at(a, F.lit(off) + i).cast("double")
+            * F.element_at(b, F.lit(off) + i).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_slice(a: Column, b: Column, off: int, d: int) -> Column:
+    """Sub-vector squared L2 distance over off+1..off+d (1-based),
+    left-to-right fp64 reduction (sql_l2_slice twin)."""
+
+    def term(i):
+        diff = F.element_at(a, F.lit(off) + i).cast("double") - F.element_at(
+            b, F.lit(off) + i
+        ).cast("double")
+        return diff * diff
+
+    return F.aggregate(
+        F.transform(F.sequence(F.lit(1), F.lit(d)), term),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB SQL-string builders (the oracle twins of the above)
 # ---------------------------------------------------------------------------
@@ -209,3 +241,22 @@ def sql_dot(a: str, b: str, dim: int) -> str:
 
 def sql_norm(a: str, dim: int) -> str:
     return f"sqrt({sql_dot(a, a, dim)})"
+
+
+def sql_dot_slice(a: str, b: str, off: str, d: int) -> str:
+    """DuckDB twin of dot_slice; `off` may be a SQL expression."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {d + 1}), "
+        f"i -> {a}[({off})+i]::DOUBLE * {b}[({off})+i]::DOUBLE)), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def sql_l2_slice(a: str, b: str, off: str, d: int) -> str:
+    """DuckDB twin of l2_slice; `off` may be a SQL expression."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {d + 1}), "
+        f"i -> ({a}[({off})+i]::DOUBLE - {b}[({off})+i]::DOUBLE) "
+        f"* ({a}[({off})+i]::DOUBLE - {b}[({off})+i]::DOUBLE))), "
+        f"(acc, v) -> acc + v)"
+    )

@@ -169,8 +169,11 @@ _SIM_CORPUS_SQL = f"""
     )
 """
 
-_IVF_AUDIT_SQL = f"""
-    WITH {_SIM_CORPUS_SQL},
+SIM_CORPUS_SQL = _SIM_CORPUS_SQL  # shared with operators/similarity_pq.py
+
+# cents/assign/probes/cand: the IVF candidate-generation stages, shared
+# with operators/similarity_pq.py's audit oracle.
+IVF_STAGES_SQL = f"""
     cents AS (
         SELECT vec_id AS cell_id, embedding AS c_emb, nrm AS c_nrm
         FROM corpus ORDER BY {IVF_CODEBOOK_HASH_SQL}, vec_id LIMIT {IVF_K}
@@ -203,7 +206,12 @@ _IVF_AUDIT_SQL = f"""
         SELECT DISTINCT p.query_id, a.vec_id
         FROM probes p JOIN assign a ON p.cell_id = a.cell_id
         WHERE a.vec_id != p.query_id
-    ),
+    )
+"""
+
+_IVF_AUDIT_SQL = f"""
+    WITH {_SIM_CORPUS_SQL},
+    {IVF_STAGES_SQL},
     approx AS (
         SELECT query_id, neighbor_id FROM (
             SELECT cd.query_id, co.vec_id AS neighbor_id,

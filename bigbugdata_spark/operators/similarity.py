@@ -52,6 +52,78 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF stage builders (shared with operators/similarity_pq.py) -----------
+
+
+def ivf_cents(corpus: DataFrame) -> DataFrame:
+    """The k=IVF_K hash-sampled codebook (cell_id, c_emb, c_nrm)."""
+    return (
+        corpus.orderBy(_codebook_hash(F.col("vec_id")), F.col("vec_id"))
+        .limit(IVF_K)
+        .select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+
+
+def ivf_queries(corpus: DataFrame) -> DataFrame:
+    return corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+
+
+def ivf_assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell_id) inverted file — top-IVF_ASSIGN cells/vector."""
+    cell_cos = corpus.join(F.broadcast(cents), F.lit(True)).select(
+        "vec_id",
+        "cell_id",
+        (
+            H.dot(F.col("embedding"), F.col("c_emb"))
+            / (F.col("nrm") * F.col("c_nrm"))
+        ).alias("c_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cell_id"))
+    return (
+        cell_cos.withColumn("arn", F.row_number().over(w))
+        .filter(F.col("arn") <= IVF_ASSIGN)
+        .select("vec_id", "cell_id")
+    )
+
+
+def ivf_probes(queries: DataFrame, cents: DataFrame) -> DataFrame:
+    """(query_id, cell_id) — the N_PROBE best cells per query."""
+    q_cells = queries.join(F.broadcast(cents), F.lit(True)).select(
+        "query_id",
+        "cell_id",
+        (
+            H.dot(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_nrm") * F.col("c_nrm"))
+        ).alias("c_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("cell_id"))
+    return (
+        q_cells.withColumn("prn", F.row_number().over(w))
+        .filter(F.col("prn") <= N_PROBE)
+        .select("query_id", "cell_id")
+    )
+
+
+def ivf_candidates(
+    probes: DataFrame, assign: DataFrame
+) -> DataFrame:
+    """(query_id, vec_id) distinct candidates from the probed cells."""
+    return (
+        probes.join(assign, "cell_id")
+        .select("query_id", "vec_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .distinct()
+    )
+
+
 @register(
     "sim_cosine_topk",
     oracle=f"""
@@ -146,63 +218,11 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     `audit_ivf_recall` (operators/audits.py), whose DuckDB side
     re-derives this whole pipeline from the portable codebook hash."""
     corpus = _corpus(spark, sf_dir)
-    cents = (
-        corpus.orderBy(_codebook_hash(F.col("vec_id")), F.col("vec_id"))
-        .limit(IVF_K)
-        .select(
-            F.col("vec_id").alias("cell_id"),
-            F.col("embedding").alias("c_emb"),
-            F.col("nrm").alias("c_nrm"),
-        )
-    )
-    # inverted file: nearest centroid per corpus vector
-    cell_cos = (
-        corpus.join(F.broadcast(cents), F.lit(True))
-        .select(
-            "vec_id",
-            "cell_id",
-            (
-                H.dot(F.col("embedding"), F.col("c_emb"))
-                / (F.col("nrm") * F.col("c_nrm"))
-            ).alias("c_cos"),
-        )
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cell_id"))
-    assign = (
-        cell_cos.withColumn("arn", F.row_number().over(w_assign))
-        .filter(F.col("arn") <= IVF_ASSIGN)
-        .select("vec_id", "cell_id")
-    )
-    # probe lists: nprobe best cells per query
-    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-    )
-    q_cells = (
-        queries.join(F.broadcast(cents), F.lit(True))
-        .select(
-            "query_id",
-            "cell_id",
-            (
-                H.dot(F.col("q_emb"), F.col("c_emb"))
-                / (F.col("q_nrm") * F.col("c_nrm"))
-            ).alias("c_cos"),
-        )
-    )
-    w_probe = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("cell_id"))
-    probes = (
-        q_cells.withColumn("prn", F.row_number().over(w_probe))
-        .filter(F.col("prn") <= N_PROBE)
-        .select("query_id", "cell_id")
-    )
-    # exact search within probed cells only
-    cand = (
-        probes.join(assign, "cell_id")
-        .select("query_id", "vec_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .distinct()
-    )
+    cents = ivf_cents(corpus)
+    assign = ivf_assign(corpus, cents)
+    queries = ivf_queries(corpus)
+    probes = ivf_probes(queries, cents)
+    cand = ivf_candidates(probes, assign)
     scored = (
         cand.join(corpus, "vec_id")
         .join(F.broadcast(queries), "query_id")

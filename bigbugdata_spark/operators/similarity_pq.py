@@ -1,0 +1,330 @@
+"""IVF-PQ approximate nearest neighbor (round 6) — the canonical
+compressed vector index for corpus sizes where even the inverted file's
+candidate vectors are too many bytes to score exactly first-pass.
+
+Three stages, all engine-portable and deterministic:
+
+1. IVF candidate generation (shared stage builders from
+   operators/similarity.py): hash-sampled codebook -> redundant
+   assignment -> nprobe probed cells.
+2. PQ ADC scoring: every corpus vector is encoded ONCE as M=16 subspace
+   codes (argmin squared-L2 against the PQ_K=64 codebook vectors'
+   subvectors — a 6-bit code per subspace, 96 bits / 12 bytes per
+   vector, ~21x smaller than the 256-byte float vector). A query builds
+   an M x PQ_K lookup table of subspace dot products; a candidate's
+   estimated dot is the sum of M table lookups — no touching the
+   original vector. Estimated cosine divides by TRUE stored norms
+   (the "PQ codes + exact norms" variant).
+3. Exact re-rank: the PQ_RERANK best ADC candidates per query are
+   scored with the exact cosine; the top-k of those is the answer — so
+   emitted scores are exact, and PQ/IVF error can only MISS neighbors,
+   never corrupt a score. Measured recall@10 at sf0.01: 0.925 (the IVF
+   candidate stage alone allows 0.963; the config sweep is recorded at
+   the knobs in functions/fragments.py).
+
+Scale story (the reason this exists): at 100 TB the embedding column is
+the dominant I/O — PQ reads 12 bytes + one float norm per candidate
+instead of 256 bytes of floats, and the ADC sum is M lookups instead of
+a dim-length multiply-add. The codes table is built in one corpus scan
+(O(n * K * dim) with K constant), is ~21x smaller than the vectors, and
+at real scale is what you'd persist bucketed by cell_id.
+
+Determinism discipline: the ADC sum orders its M terms explicitly
+(array_sort by subspace index -> left-to-right fp64 reduce; DuckDB
+list(... ORDER BY m) -> list_reduce) because a plain SUM over a shuffle
+reduces in plan-dependent order — fp addition is not associative, and
+the audit twin's hash compare needs bit-identical estimates.
+
+No analog in the reference (its only lookups are hash-set probes); this
+is LLM-pipeline extension surface per the north star's "IVF or LSH
+bucketed variant as the scale path", composed with the audit-twin
+verification pattern from operators/audits.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigbugdata_spark.functions import hashing as H
+from bigbugdata_spark.functions.fragments import (
+    EMB_DIM,
+    IVF_CODEBOOK_HASH_SQL,
+    PQ_K,
+    PQ_M,
+    PQ_RERANK,
+    PQ_SUBDIM,
+    TOP_K,
+)
+from bigbugdata_spark.registry import register
+
+# audits is earlier in registry._QUERY_MODULES, so this import is a
+# no-op at load_all() time; standalone imports register audits first —
+# either way registration order stays deterministic.
+from bigbugdata_spark.operators.audits import IVF_STAGES_SQL, SIM_CORPUS_SQL
+
+
+def pq_cents(corpus: DataFrame) -> DataFrame:
+    """The PQ_K hash-sampled PQ codebook — same portable sampling order
+    as the IVF codebook, just a longer prefix (the first IVF_K vectors
+    coincide with the IVF cells)."""
+    from bigbugdata_spark.operators.similarity import _codebook_hash
+
+    return (
+        corpus.orderBy(_codebook_hash(F.col("vec_id")), F.col("vec_id"))
+        .limit(PQ_K)
+        .select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+
+
+def _pq_codes(corpus: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, m, code): the PQ code book assignment — for each of the
+    M subspaces, the cell_id of the codebook vector whose subvector is
+    squared-L2-nearest (tie-break cell_id asc). One corpus x codebook
+    cross (broadcast, K constant) -> M min_by aggregates in ONE hash
+    agg pass."""
+    cross = corpus.join(F.broadcast(cents), F.lit(True)).select(
+        "vec_id",
+        "cell_id",
+        *[
+            H.l2_slice(
+                F.col("embedding"), F.col("c_emb"), m * PQ_SUBDIM, PQ_SUBDIM
+            ).alias(f"d{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    coded = cross.groupBy("vec_id").agg(
+        *[
+            F.min_by("cell_id", F.struct(F.col(f"d{m}"), F.col("cell_id"))).alias(
+                f"code{m}"
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    codes_long = coded.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"code{m}") for m in range(PQ_M)])).alias(
+            "m", "code"
+        ),
+    )
+    return codes_long
+
+
+def _pq_lut(queries: DataFrame, cents: DataFrame) -> DataFrame:
+    """(query_id, m, cell_id, l): subspace dot products of each query
+    against each codebook vector — |Q| x M x K rows, broadcast-size."""
+    cross = queries.join(F.broadcast(cents), F.lit(True))
+    return cross.select(
+        "query_id",
+        "cell_id",
+        F.posexplode(
+            F.array(
+                *[
+                    H.dot_slice(
+                        F.col("q_emb"), F.col("c_emb"), m * PQ_SUBDIM, PQ_SUBDIM
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("m", "l"),
+    ).select("query_id", "m", "cell_id", "l")
+
+
+@register("sim_ivfpq_topk", tags=("similarity", "vector", "window"))
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k (module docstring has the full design): IVF
+    candidates -> ADC estimate from 6-bit-per-subspace codes + true
+    norms -> exact re-rank of the PQ_RERANK best -> exact top-k.
+
+    Output schema matches sim_cosine_topk; scores are EXACT cosines
+    (re-rank stage), so approximation shows up only as missing
+    neighbors — measured by the recall test and the oracle'd audit twin
+    `audit_pq_recall`. Rows-only registration by design (recall < 1)."""
+    from bigbugdata_spark.operators.similarity import (
+        _corpus,
+        ivf_assign,
+        ivf_candidates,
+        ivf_cents,
+        ivf_probes,
+        ivf_queries,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    cents = ivf_cents(corpus)
+    assign = ivf_assign(corpus, cents)
+    queries = ivf_queries(corpus)
+    probes = ivf_probes(queries, cents)
+    cand = ivf_candidates(probes, assign)
+
+    pq_cb = pq_cents(corpus)
+    codes = _pq_codes(corpus, pq_cb)
+    lut = _pq_lut(queries, pq_cb)
+    # ADC: sum the M lookup terms in EXPLICIT m order (see module
+    # docstring — a bare SUM would reduce in plan-dependent fp order)
+    lut_by_code = lut.select(
+        "query_id", "m", F.col("cell_id").alias("code"), "l"
+    )
+    est = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut_by_code), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("m"), F.col("l")))),
+                    lambda x: x["l"],
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("est_dot")
+        )
+    )
+    norms = corpus.select("vec_id", "nrm")
+    q_norms = queries.select("query_id", "q_nrm")
+    est_cos = (
+        est.join(norms, "vec_id")
+        .join(F.broadcast(q_norms), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (F.col("est_dot") / (F.col("q_nrm") * F.col("nrm"))).alias("est_cos"),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("est_cos"), F.asc("vec_id")
+    )
+    shortlist = (
+        est_cos.withColumn("arn", F.row_number().over(w_adc))
+        .filter(F.col("arn") <= PQ_RERANK)
+        .select("query_id", "vec_id")
+    )
+    # exact re-rank of the shortlist
+    rescored = (
+        shortlist.join(corpus, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                H.dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w_top))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("int").alias("rnk")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# oracle'd audit twin: DuckDB re-derives the ENTIRE IVF-PQ pipeline
+# --------------------------------------------------------------------------
+
+_PQ_MS_SQL = ", ".join(f"({m})" for m in range(PQ_M))
+
+_PQ_AUDIT_SQL = f"""
+    WITH {SIM_CORPUS_SQL},
+    {IVF_STAGES_SQL},
+    ms(m) AS (VALUES {_PQ_MS_SQL}),
+    pq_cents AS (
+        SELECT vec_id AS cell_id, embedding AS c_emb, nrm AS c_nrm
+        FROM corpus ORDER BY {IVF_CODEBOOK_HASH_SQL}, vec_id LIMIT {PQ_K}
+    ),
+    codes AS (
+        SELECT vec_id, m, cell_id AS code FROM (
+            SELECT c.vec_id, s.m, ct.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.vec_id, s.m
+                       ORDER BY {H.sql_l2_slice('c.embedding', 'ct.c_emb', 's.m*' + str(PQ_SUBDIM), PQ_SUBDIM)} ASC,
+                                ct.cell_id ASC
+                   ) AS rn
+            FROM corpus c CROSS JOIN pq_cents ct CROSS JOIN ms s
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT q.query_id, s.m, ct.cell_id,
+               {H.sql_dot_slice('q.q_emb', 'ct.c_emb', 's.m*' + str(PQ_SUBDIM), PQ_SUBDIM)} AS l
+        FROM queries q CROSS JOIN pq_cents ct CROSS JOIN ms s
+    ),
+    est AS (
+        SELECT cd.query_id, cd.vec_id,
+               list_reduce(
+                   list_prepend(0.0, list(lut.l ORDER BY codes.m)),
+                   (acc, v) -> acc + v
+               ) AS est_dot
+        FROM cand cd
+        JOIN codes ON codes.vec_id = cd.vec_id
+        JOIN lut ON lut.query_id = cd.query_id
+               AND lut.m = codes.m AND lut.cell_id = codes.code
+        GROUP BY cd.query_id, cd.vec_id
+    ),
+    shortlist AS (
+        SELECT query_id, vec_id FROM (
+            SELECT e.query_id, e.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.query_id
+                       ORDER BY e.est_dot / (q.q_nrm * co.nrm) DESC,
+                                e.vec_id ASC
+                   ) AS arn
+            FROM est e
+            JOIN corpus co ON co.vec_id = e.vec_id
+            JOIN queries q ON q.query_id = e.query_id
+        ) WHERE arn <= {PQ_RERANK}
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT sl.query_id, co.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY sl.query_id
+                       ORDER BY {H.sql_dot('q.q_emb', 'co.embedding', EMB_DIM)}
+                                / (q.q_nrm * co.nrm) DESC,
+                                co.vec_id ASC
+                   ) AS rnk
+            FROM shortlist sl
+            JOIN corpus co ON co.vec_id = sl.vec_id
+            JOIN queries q ON q.query_id = sl.query_id
+        ) WHERE rnk <= {TOP_K}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_overlap
+    FROM exact e LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+"""
+
+
+@register("audit_pq_recall", oracle=_PQ_AUDIT_SQL, tags=("audit", "similarity"))
+def audit_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the IVF-PQ index: per query, |exact top-k| and
+    |IVF-PQ top-k ∩ exact top-k| as exact integers; the oracle
+    re-derives codebook, codes, ADC lookup sums (in explicit subspace
+    order — see module docstring), shortlist and re-rank entirely in
+    SQL. Same shape and rationale as audit_ivf_recall."""
+    from bigbugdata_spark.operators.similarity import sim_cosine_topk
+
+    exact = sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = (
+        sim_ivfpq_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("hit").cast("long").alias("n_overlap"),
+        )
+    )

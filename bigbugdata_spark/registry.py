@@ -34,10 +34,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Round-6 rotation: the SURVEY §2 contract ops stay first (20), then the
 # NEW oracle'd audit twins (audits, 5 — the r5 VERDICT's top item:
 # driver-hash-verifiable recall/error integers for the five perpetual
-# no-oracle queries), then the stalest driver verdicts oldest-first —
+# no-oracle queries), then the NEW IVF-PQ index + its audit twin
+# (similarity_pq, 2), then the stalest driver verdicts oldest-first —
 # text (9, last driver row r2!), multimodal (5, r2/r3), similarity (3,
 # r3), pipeline (1, r3), profile (2, r4), quantize (1, r4) — filling to
-# slot 46, and tpch_full next so its first 4 queries re-verify in-cap
+# slot 48, and tpch_full next so its first 2 queries re-verify in-cap
 # (rest next round).  Rotated out this round because their rows are
 # freshly green in CORRECTNESS_r05: events/windows/events_ext/joins/
 # stateful/corpus/dedup; tpch/tpch_ext/text_ext hold r4 verdicts.
@@ -48,6 +49,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _QUERY_MODULES = (
     "bigbugdata_spark.operators.relational",
     "bigbugdata_spark.operators.audits",
+    "bigbugdata_spark.operators.similarity_pq",
     "bigbugdata_spark.operators.text",
     "bigbugdata_spark.operators.multimodal",
     "bigbugdata_spark.operators.similarity",

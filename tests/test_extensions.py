@@ -442,3 +442,20 @@ def test_cms_overestimates_only(spark, sf_oracle):
     assert any(r["exact_count"] > 0 for r in rows)
     for r in rows:
         assert r["est_count"] >= r["exact_count"], r
+
+
+def test_ivfpq_recall(spark, sf_oracle):
+    """IVF-PQ at the shipped config (M=16 subspaces, PQ_K=64, rerank 80)
+    measures 0.925 recall@10 at sf0.01 — floor at 0.85 against
+    codebook/encode/ADC regressions; deterministic like test_ivf_recall."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SPECS["sim_cosine_topk"].fn(spark, sf_oracle).collect()
+    }
+    pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SPECS["sim_ivfpq_topk"].fn(spark, sf_oracle).collect()
+    }
+    assert len(exact) > 0
+    recall = len(pq & exact) / len(exact)
+    assert recall >= 0.85, f"IVF-PQ recall collapsed: {recall:.3f}"
