@@ -102,12 +102,38 @@ SCALE_PROBE_QUERIES = (
     "evt_range_join",
     "sim_cosine_topk",
 )
+# EMBEDDING-PAIR queries must stay out of the probe: vectors replicate
+# verbatim (key offset only — there is no text-tag analog for float
+# arrays), so every vector has 9 cross-replica copies at cos=1.0 and a
+# pair query would measure C(10,2) x n harness-manufactured duplicate
+# pairs — quadratic growth the probe itself injected, not a plan
+# property. Fixed-query-set scans (sim_cosine_topk: |Q| stays 8) are
+# fine. Guarded in bench_scale_probe.
+_SCALE_EMB_PAIR_QUERIES = frozenset(
+    {"dedup_emb_cosine", "dedup_emb_lsh", "emb_crosslingual_dupes",
+     "audit_emb_lsh_recall", "sim_label_pair_stats"}
+)
 SCALE_ITERATIONS = 2
 
 
+def _source_fingerprint() -> str:
+    """Size+mtime digest of the source tables — the driver regenerates
+    testdata between rounds (in place, same path), so the cached
+    replication must be keyed by CONTENT, not by directory name."""
+    import hashlib
+    from pathlib import Path
+
+    h = hashlib.sha256()
+    for t in sorted(_SCALE_RULES):
+        p = Path(SF_DIR) / f"{t}.parquet"
+        st = p.stat()
+        h.update(f"{t}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:16]
+
+
 def _build_scale_dir(spark) -> str:
-    """Materialize (once, cached in /tmp) the 10x-replicated copy of
-    $SPARK_GRAFT_SF_DIR described above."""
+    """Materialize (once per source-content fingerprint, cached in /tmp)
+    the 10x-replicated copy of $SPARK_GRAFT_SF_DIR described above."""
     import functools
     from pathlib import Path
 
@@ -115,6 +141,7 @@ def _build_scale_dir(spark) -> str:
 
     d = Path(tempfile.gettempdir()) / (
         f"bigbugdata-bench-scale{SCALE_REPLICATION}-{Path(SF_DIR).name}"
+        f"-{_source_fingerprint()}"
     )
     marker = d / ".complete"
     if marker.exists():
@@ -149,6 +176,12 @@ def _build_scale_dir(spark) -> str:
 def bench_scale_probe(spark, specs) -> dict:
     """Time each probe query at the bench SF and at the 10x replication;
     min-of-N at each size, ratio alongside. Errors recorded per query."""
+    banned = set(SCALE_PROBE_QUERIES) & _SCALE_EMB_PAIR_QUERIES
+    if banned:
+        raise ValueError(
+            f"embedding-pair queries cannot be scale-probed (verbatim "
+            f"vector replicas would manufacture quadratic pairs): {banned}"
+        )
     sdir = _build_scale_dir(spark)
     out: dict = {
         "replication": SCALE_REPLICATION,

@@ -120,23 +120,28 @@ def audit_emb_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_exact and precision = n_common / n_lsh (structurally 1 — LSH
     candidates are exact-verified, so its pairs are a subset).
 
-    Scale: three count-aggregates over the two pair queries — the pair
-    generation itself carries the scale design (bucketed LSH join, see
-    dedup.py); the audit adds one semi-join on (v1, v2) and three 1-row
-    aggregates. The exact side is O(n^2) and exists only at audit scale;
-    at 100 TB the LSH path runs alone and this audit runs on a sampled
-    slice."""
+    Scale: ONE full-outer join of the two pair sets feeds a single
+    3-count aggregate, so each pair pipeline (the expensive part —
+    bucketed LSH join and the O(n^2) exact anchor, see dedup.py) is
+    evaluated exactly once; separate per-count aggregates would re-run
+    both lineages (Spark has no cross-consumer subtree reuse here). The
+    exact side exists only at audit scale; at 100 TB the LSH path runs
+    alone and this audit runs on a sampled slice."""
     from bigbugdata_spark.operators.dedup import dedup_emb_cosine, dedup_emb_lsh
 
-    exact = dedup_emb_cosine(spark, sf_dir).select("v1", "v2")
-    lsh = dedup_emb_lsh(spark, sf_dir).select("v1", "v2")
-    n_exact = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
-    n_lsh = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
-    n_common = (
-        lsh.join(exact, ["v1", "v2"], "left_semi")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    exact = dedup_emb_cosine(spark, sf_dir).select(
+        "v1", "v2", F.lit(1).alias("e")
     )
-    return n_exact.crossJoin(n_lsh).crossJoin(n_common)
+    lsh = dedup_emb_lsh(spark, sf_dir).select(
+        "v1", "v2", F.lit(1).alias("l")
+    )
+    return exact.join(lsh, ["v1", "v2"], "full_outer").agg(
+        F.count("e").cast("long").alias("n_exact"),
+        F.count("l").cast("long").alias("n_lsh"),
+        F.count(F.when(F.col("e").isNotNull() & F.col("l").isNotNull(), 1))
+        .cast("long")
+        .alias("n_common"),
+    )
 
 
 # --------------------------------------------------------------------------

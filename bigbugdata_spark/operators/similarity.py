@@ -55,11 +55,16 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- IVF stage builders (shared with operators/similarity_pq.py) -----------
 
 
-def ivf_cents(corpus: DataFrame) -> DataFrame:
-    """The k=IVF_K hash-sampled codebook (cell_id, c_emb, c_nrm)."""
+def ivf_cents(corpus: DataFrame, k: int = IVF_K) -> DataFrame:
+    """The k hash-sampled codebook vectors (cell_id, c_emb, c_nrm).
+
+    Parameterized k keeps the shared-prefix property STRUCTURAL: the PQ
+    codebook (similarity_pq, k=PQ_K) is a longer prefix of the same
+    deterministic sampling order, so its first IVF_K vectors are exactly
+    the IVF cells — one ordering/tie-break definition, not two copies."""
     return (
         corpus.orderBy(_codebook_hash(F.col("vec_id")), F.col("vec_id"))
-        .limit(IVF_K)
+        .limit(k)
         .select(
             F.col("vec_id").alias("cell_id"),
             F.col("embedding").alias("c_emb"),

@@ -65,20 +65,12 @@ from bigbugdata_spark.operators.audits import IVF_STAGES_SQL, SIM_CORPUS_SQL
 
 
 def pq_cents(corpus: DataFrame) -> DataFrame:
-    """The PQ_K hash-sampled PQ codebook — same portable sampling order
-    as the IVF codebook, just a longer prefix (the first IVF_K vectors
-    coincide with the IVF cells)."""
-    from bigbugdata_spark.operators.similarity import _codebook_hash
+    """The PQ_K hash-sampled PQ codebook — the same ivf_cents sampling,
+    just a longer prefix (so the first IVF_K vectors are structurally
+    the IVF cells — one ordering definition, see ivf_cents)."""
+    from bigbugdata_spark.operators.similarity import ivf_cents
 
-    return (
-        corpus.orderBy(_codebook_hash(F.col("vec_id")), F.col("vec_id"))
-        .limit(PQ_K)
-        .select(
-            F.col("vec_id").alias("cell_id"),
-            F.col("embedding").alias("c_emb"),
-            F.col("nrm").alias("c_nrm"),
-        )
-    )
+    return ivf_cents(corpus, k=PQ_K)
 
 
 def _pq_codes(corpus: DataFrame, cents: DataFrame) -> DataFrame:
