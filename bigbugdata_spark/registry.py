@@ -38,8 +38,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (similarity_pq, 2), then the stalest driver verdicts oldest-first —
 # text (9, last driver row r2!), multimodal (5, r2/r3), similarity (3,
 # r3), pipeline (1, r3), profile (2, r4), quantize (1, r4) — filling to
-# slot 48, and tpch_full next so its first 2 queries re-verify in-cap
-# (rest next round).  Rotated out this round because their rows are
+# slot 48, then the two NEW overlap queries (span coverage +
+# containment, slots 49-50 — brand-new code outranks refreshing
+# tpch_full's r4 verdicts for the last cap slots), with tpch_full next
+# in line for next round's rotation.  Rotated out this round because their rows are
 # freshly green in CORRECTNESS_r05: events/windows/events_ext/joins/
 # stateful/corpus/dedup; tpch/tpch_ext/text_ext hold r4 verdicts.
 # similarity_ext's single query is rows-only by design (numpy fp-sum
@@ -56,6 +58,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.pipeline",
     "bigbugdata_spark.operators.profile",
     "bigbugdata_spark.operators.quantize",
+    "bigbugdata_spark.operators.overlap",
     "bigbugdata_spark.operators.tpch_full",
     "bigbugdata_spark.operators.tpch",
     "bigbugdata_spark.operators.tpch_ext",

@@ -459,3 +459,59 @@ def test_ivfpq_recall(spark, sf_oracle):
     assert len(exact) > 0
     recall = len(pq & exact) / len(exact)
     assert recall >= 0.85, f"IVF-PQ recall collapsed: {recall:.3f}"
+
+
+def test_containment_catches_doc_inside_doc(tmp_path, spark):
+    """The asymmetry that motivates dedup_containment: a short document
+    verbatim-embedded in a much longer one has Jaccard ~ |A|/|B| (below
+    any dedup threshold) but containment 1.0. Build exactly that corpus
+    and assert the Jaccard query stays silent while containment flags
+    the pair with full-overlap integers."""
+    from bigbugdata_spark.operators.dedup import dedup_ngram_jaccard
+    from bigbugdata_spark.operators.overlap import dedup_containment
+
+    short = " ".join(f"core{i}" for i in range(12))
+    long_doc = (
+        " ".join(f"pre{i}" for i in range(60))
+        + " " + short + " "
+        + " ".join(f"post{i}" for i in range(60))
+    )
+    rows = [
+        (1, short, "en", "syn", 0),
+        (2, long_doc, "en", "syn", 0),
+        (3, " ".join(f"other{i}" for i in range(30)), "en", "syn", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    jac = {(r["d1"], r["d2"]) for r in dedup_ngram_jaccard(spark, sf).collect()}
+    assert (1, 2) not in jac  # symmetric measure is blind to embedding
+
+    cont = {r["d1"]: r for r in dedup_containment(spark, sf).collect()}
+    assert 1 in cont and cont[1]["d2"] == 2
+    # the short doc's 10 3-gram shingles are all shared: containment 1.0
+    assert cont[1]["n_shared"] == cont[1]["sz1"] == 10
+    assert cont[1]["sz2"] > cont[1]["sz1"]
+
+
+def test_span_coverage_consistent_with_gram_census(spark, sf_oracle):
+    """text_dup_span_coverage is the document-side projection of
+    text_dup_ngrams' gram-side census (same n=8, same duplication
+    relation): total duplicated-gram occurrences must agree across the
+    two views, every document must appear exactly once, and the per-doc
+    counters must be internally ordered."""
+    cov = SPECS["text_dup_span_coverage"].fn(spark, sf_oracle).collect()
+    n_docs = SPECS["text_dup_span_coverage"].fn(spark, sf_oracle).count()
+    from bigbugdata_spark.catalog import table
+
+    assert n_docs == table(spark, sf_oracle, "documents").count()
+    assert len({r["doc_id"] for r in cov}) == len(cov)
+    for r in cov:
+        assert 0 <= r["n_distinct_dup_grams"] <= r["n_dup_grams"] <= r["n_grams"]
+    census = SPECS["text_dup_ngrams"].fn(spark, sf_oracle).collect()
+    assert sum(r["n_dup_grams"] for r in cov) == sum(
+        r["n_occurrences"] for r in census
+    )
+    assert any(r["n_dup_grams"] > 0 for r in cov)  # non-vacuous corpus

@@ -360,3 +360,27 @@ def test_aqe_splits_skewed_gram_join(spark, tmp_path):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_span_coverage_no_pair_expansion(spark, sf):
+    """text_dup_span_coverage's scale claim: cost O(total grams), never
+    O(pairs) — every join is an equi-join (gram hash or doc_id), no
+    nested-loop/cartesian anywhere, and the documents scan is pruned to
+    the two consumed columns."""
+    df = SPECS["text_dup_span_coverage"].fn(spark, sf)
+    plan = I.plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for cols in I.read_columns(df):
+        assert cols <= {"doc_id", "text"}
+
+
+def test_containment_equi_join_only(spark, sf):
+    """dedup_containment reuses the inverted-index skeleton: the pair
+    source must be the shingle-hash equi-join (plus doc_id-equi size
+    joins) — no cartesian/nested-loop pair generation."""
+    df = SPECS["dedup_containment"].fn(spark, sf)
+    plan = I.plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert I.join_kinds(df)  # joins exist and are hash/sort-merge equi
