@@ -515,3 +515,34 @@ def test_span_coverage_consistent_with_gram_census(spark, sf_oracle):
         r["n_occurrences"] for r in census
     )
     assert any(r["n_dup_grams"] > 0 for r in cov)  # non-vacuous corpus
+
+
+def test_kmeans_objective_monotone(spark, sf_oracle):
+    """Lloyd's invariant: the within-cluster squared-distance objective
+    never increases from the seeded assignment to the post-update one
+    (each step — reassign, recenter — is individually non-increasing).
+    Recomputes both objectives from the module's own building blocks."""
+    from pyspark.sql import Window
+    from bigbugdata_spark.operators import kmeans as km
+
+    q = km._quantized(spark, sf_oracle)
+    h = (F.lit(km._KM_A) * F.col("vec_id") + F.lit(km._KM_B)) % F.lit(km._KM_P)
+    seeds = q.withColumn("h", h).orderBy("h", "vec_id").limit(km.KM_K)
+    w = Window.orderBy("h", "vec_id")
+    cent1 = seeds.withColumn("k", F.row_number().over(w)).select(
+        "k", F.transform("qv", lambda v: v.cast("double")).alias("cent")
+    )
+    a1 = km._assign(q, cent1)
+    cent2 = km._update(a1)
+    a2 = km._assign(q, cent2)
+
+    def objective(assigned, cent):
+        j = assigned.join(cent, "k").select(
+            km._dist(F.col("qv"), F.col("cent")).alias("d")
+        )
+        return j.agg(F.sum("d")).first()[0]
+
+    obj1 = objective(a1, cent1)
+    obj2 = objective(a2, cent2)
+    assert obj2 <= obj1 + 1e-9, (obj1, obj2)
+    assert obj1 > 0
