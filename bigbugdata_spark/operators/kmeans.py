@@ -27,9 +27,9 @@ IVF-style partitioning) over the driver's ``embeddings`` table.
 
 Scale posture: per iteration, one broadcast crossJoin against the
 K-row centroid frame (K=8 — dimension-sized, never corpus-sized), one
-window argmin partitioned by vec_id, and one integer aggregate on the
-(cluster, dim) key space (bounded: K x 64 groups, map-side
-combinable). No driver-side collect between iterations — the centroid
+map-side-combinable MIN(struct) argmin aggregate on vec_id, and one
+integer aggregate on the (cluster, dim) key space (bounded: K x 64
+groups, map-side combinable). No driver-side collect between iterations — the centroid
 frame stays a DataFrame and re-broadcasts. At 100 TB each iteration is
 one scan + one bounded shuffle, the canonical distributed-Lloyd shape.
 """
@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bigbugdata_spark.caching import pin
 from bigbugdata_spark.catalog import table
 from bigbugdata_spark.functions.fragments import EMB_DIM
 from bigbugdata_spark.registry import register
@@ -126,7 +127,10 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dist(qv, cent):
     """Left-to-right fp64 fold of squared component differences —
-    the order-pinned distance both engines compute bit-identically."""
+    the order-pinned distance both engines compute bit-identically.
+    (An unrolled 64-term expression chain was measured SLOWER than this
+    fold — 3.2 s vs 2.0 s at sf0.1 — the giant expression falls out of
+    codegen's method-size budget; the HOF fold is the right form.)"""
     return F.aggregate(
         F.zip_with(qv, cent, lambda x, m: (x.cast("double") - m) * (x.cast("double") - m)),
         F.lit(0.0),
@@ -136,16 +140,20 @@ def _dist(qv, cent):
 
 def _assign(q: DataFrame, cent: DataFrame) -> DataFrame:
     """(vec_id, qv, k): nearest centroid, ties to the lowest k. The
-    centroid frame is K rows — always broadcast; the window argmin is
-    partitioned by vec_id (one shuffle of K rows per vector)."""
+    centroid frame is K rows — always broadcast; the argmin is a
+    MIN(struct(dist, k, qv)) hash aggregate, whose lexicographic struct
+    order equals the (dist ASC, k ASC) window rank but combines
+    map-side — the K candidate rows per vector collapse before the
+    exchange, vs a window's full sort shuffle of all rows x K.
+    (dist, k) is unique per vector, so the comparator never reaches the
+    trailing qv payload field."""
     j = q.crossJoin(F.broadcast(cent)).withColumn(
         "dist", _dist(F.col("qv"), F.col("cent"))
     )
-    w = Window.partitionBy("vec_id").orderBy("dist", "k")
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "qv", "k")
+        j.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "k", "qv")).alias("m"))
+        .select("vec_id", F.col("m.qv").alias("qv"), F.col("m.k").alias("k"))
     )
 
 
@@ -169,7 +177,7 @@ def _update(assigned: DataFrame) -> DataFrame:
 @register(
     "emb_kmeans_assign",
     oracle=_KMEANS_SQL,
-    tags=("similarity", "iterative"),
+    tags=("similarity", "iterative", "headline"),
 )
 def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means cluster assignment after 2 unrolled Lloyd iterations over
@@ -184,7 +192,10 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     them; the Spark operators (_assign/_update) compose to any depth —
     a production run loops until movement stops, same per-iteration
     plan shape."""
-    q = _quantized(spark, sf_dir)
+    # pin: the quantized frame feeds the seed top-K and BOTH assignment
+    # passes — without it the per-row quantization HOF (interpreted,
+    # not codegen) re-runs once per branch
+    q = pin(_quantized(spark, sf_dir))
     h = (F.lit(_KM_A) * F.col("vec_id") + F.lit(_KM_B)) % F.lit(_KM_P)
     seeds = (
         q.withColumn("h", h)

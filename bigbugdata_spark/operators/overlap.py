@@ -80,7 +80,7 @@ _CONT_NUM, _CONT_DEN = 9, 10
         LEFT JOIN totals t ON d.doc_id = t.doc_id
         LEFT JOIN dups p ON d.doc_id = p.doc_id
     """,
-    tags=("text", "dedup", "agg"),
+    tags=("text", "dedup", "agg", "headline"),
 )
 def text_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-span coverage — for every document, how

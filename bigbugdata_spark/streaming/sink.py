@@ -112,3 +112,47 @@ def run_incremental_dedup_sink_bucketed(
         .start()
     )
     q.awaitTermination()
+
+
+def run_partitioned_stream_sink(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    files_per_partition: int = 1,
+    compact_at_end: bool = True,
+) -> None:
+    """Stream events into the size-budgeted date-partitioned layout
+    (sources/partitioned.py) — the streaming face of the small-files
+    story: each micro-batch appends at most `files_per_partition` files
+    per day it touches (the salt-keyed repartition bounds the batch's
+    writer tasks exactly as in the batch path), so after B batches a
+    partition holds <= B x budget files instead of B x
+    upstream-parallelism. The compaction pass then restores the budget
+    — in production it runs periodically against recent partitions
+    (`compact_partitions(predicate=...)`); here it runs once at
+    availableNow completion so the whole lifecycle is testable.
+
+    Exactly-once: the file sink's own manifest is not used — replays are
+    append-idempotent only via the checkpoint's batch tracking, which is
+    the standard foreachBatch contract (same as the upsert sinks above;
+    key-level dedup is upsert_batch's job, layout is this sink's)."""
+    from bigbugdata_spark.sources.partitioned import (
+        compact_partitions,
+        write_partitioned,
+    )
+
+    stream = stream_events(spark, sf_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _bid: write_partitioned(
+                batch, out_dir, files_per_partition, mode="append"
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if compact_at_end:
+        compact_partitions(spark, out_dir, files_per_partition)
