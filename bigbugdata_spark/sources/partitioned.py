@@ -57,6 +57,8 @@ def write_partitioned(
     ts_col: str = "ts",
     salt_col: str = "event_id",
     mode: str = "overwrite",
+    cluster_by: tuple[str, ...] = (),
+    writer_options: dict | None = None,
 ) -> None:
     """Write `df` date-partitioned with a budgeted file count.
 
@@ -66,15 +68,24 @@ def write_partitioned(
     by construction, independent of upstream parallelism (AQE may merge
     tiny salt groups and land below it). At 100 TB the budget is sized
     as partition_bytes / target_file_bytes (~128-512 MB files); here
-    the knob itself is what's under test."""
+    the knob itself is what's under test.
+
+    `cluster_by` sorts rows WITHIN each write task before the write, so
+    parquet row groups inside every file hold disjoint value ranges of
+    the cluster columns — the reader's row-group min/max statistics then
+    skip whole groups for selective predicates (the plain-parquet form
+    of clustering/Z-ordering, and the second half of the layout story:
+    partition pruning cuts days, clustering cuts row groups within a
+    day). `writer_options` passes parquet writer knobs through (tests
+    shrink parquet.block.size to force multiple row groups per file)."""
     salt = F.pmod(F.hash(F.col(salt_col)), F.lit(files_per_partition))
-    (
-        with_day(df, ts_col)
-        .repartition(F.col(DAY_COL), salt)
-        .write.mode(mode)
-        .partitionBy(DAY_COL)
-        .parquet(path)
-    )
+    out = with_day(df, ts_col).repartition(F.col(DAY_COL), salt)
+    if cluster_by:
+        out = out.sortWithinPartitions(DAY_COL, *cluster_by)
+    writer = out.write.mode(mode)
+    for k, v in (writer_options or {}).items():
+        writer = writer.option(k, v)
+    writer.partitionBy(DAY_COL).parquet(path)
 
 
 def compact_partitions(

@@ -110,3 +110,67 @@ def test_compaction_restores_budget_only_where_asked(tmp_path, spark, sf_oracle)
     assert abs(
         spark.read.parquet(path).select(F.sum("value")).first()[0] - sum_before
     ) < 1e-6
+
+
+def test_cluster_by_yields_skippable_row_groups(tmp_path, spark, sf_oracle):
+    """cluster_by sorts within each write task, so every parquet file's
+    row groups carry DISJOINT value ranges of the cluster column — the
+    property row-group statistics skipping needs. Contrast with the
+    unclustered write, where ingest-ordered values overlap across row
+    groups and a selective predicate must read them all. Row groups are
+    forced small (parquet.block.size) so files carry several."""
+    import pyarrow.parquet as pq
+
+    def ranges(root):
+        out = []
+        for d in sorted(os.listdir(root)):
+            if not d.startswith(f"{DAY_COL}="):
+                continue
+            for f in os.listdir(os.path.join(root, d)):
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(root, d, f)).metadata
+                idx = md.schema.names.index("user_id")
+                rgs = [
+                    (
+                        md.row_group(i).column(idx).statistics.min,
+                        md.row_group(i).column(idx).statistics.max,
+                    )
+                    for i in range(md.num_row_groups)
+                ]
+                if len(rgs) > 1:
+                    out.append(rgs)
+        return out
+
+    from bigbugdata_spark.sources.partitioned import write_partitioned
+
+    ev = _events(spark, sf_oracle)
+    opts = {"parquet.block.size": 16 * 1024}
+
+    clustered = str(tmp_path / "clustered")
+    write_partitioned(
+        ev, clustered, cluster_by=("user_id",), writer_options=opts
+    )
+    c_ranges = ranges(clustered)
+    assert c_ranges, "no multi-row-group file — shrink block size"
+    for rgs in c_ranges:
+        for (lo1, hi1), (lo2, hi2) in zip(rgs, rgs[1:]):
+            assert hi1 <= lo2, rgs  # sorted => consecutive groups disjoint
+
+    plain = str(tmp_path / "plain")
+    write_partitioned(ev, plain, writer_options=opts)
+    p_ranges = ranges(plain)
+    assert p_ranges
+    overlapping = sum(
+        1
+        for rgs in p_ranges
+        for (lo1, hi1), (lo2, hi2) in zip(rgs, rgs[1:])
+        if hi1 > lo2
+    )
+    assert overlapping > 0  # ingest order: stats skip nothing
+
+    # clustering changes layout only, never content (exact int checksum)
+    assert (
+        spark.read.parquet(clustered).select(F.sum("event_id")).first()[0]
+        == spark.read.parquet(plain).select(F.sum("event_id")).first()[0]
+    )
