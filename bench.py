@@ -101,6 +101,10 @@ SCALE_PROBE_QUERIES = (
     "evt_user_window_funcs",
     "evt_range_join",
     "sim_cosine_topk",
+    # iterative family: row-wise cost (rows x K per iteration), no pair
+    # expansion — verbatim vector replicas are safe here, unlike the
+    # banned embedding-PAIR queries below
+    "emb_kmeans_assign",
 )
 # EMBEDDING-PAIR queries must stay out of the probe: vectors replicate
 # verbatim (key offset only — there is no text-tag analog for float

@@ -1,0 +1,164 @@
+"""Data-quality audit operators (round 6) — the ingest-gate checks a
+production lakehouse runs before letting a batch into the serving
+tables: referential integrity across the star schema and per-rule
+constraint violation counts. No analog in the reference (its only
+validation is crashing on a malformed row, SURVEY §2.1); this is
+pipeline-governance extension surface alongside corpus.py.
+
+Both queries return COUNTS, not violating rows: the audit result is a
+bounded dataset-card-sized table whatever the corpus size. On this
+driver-generated corpus every n_orphans / n_violations is 0 (the data
+is clean — verified independently by the DuckDB twins); the hash
+compare still pins the whole counting machinery through the non-trivial
+n_rows / n_distinct_fk / n_checked columns, and
+tests/test_extensions.py proves every rule actually FIRES on a
+deliberately corrupted fixture.
+
+Scale posture: referential integrity distinct-projects each child's
+foreign-key column first (map-side combinable; result is key-cardinality
+sized), then anti-joins the parent key set — dimension parents
+broadcast, the one big-big pair (lineitem->orders) shuffles on the key
+both sides already aggregate by. Constraint checks are ONE conditional
+aggregate per table — a single scan computing every rule with map-side
+partials, the cheapest possible audit shape at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigbugdata_spark.catalog import table
+from bigbugdata_spark.registry import register
+
+# (relation label, child table, fk col, parent table, pk col)
+RI_RELATIONS = (
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("events->customer", "events", "user_id", "customer", "c_custkey"),
+)
+
+_RI_SQL = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{label}' AS relation,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS n_rows,
+           (SELECT CAST(COUNT(DISTINCT {fk}) AS BIGINT) FROM {child})
+               AS n_distinct_fk,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT DISTINCT {fk} FROM {child}) c
+               LEFT JOIN {parent} p ON c.{fk} = p.{pk}
+               WHERE p.{pk} IS NULL) AS n_orphans
+    """
+    for label, child, fk, parent, pk in RI_RELATIONS
+)
+
+
+@register(
+    "dq_referential_integrity",
+    oracle=_RI_SQL,
+    tags=("dq", "join", "agg"),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit over every relationship in the star
+    schema (plus the events->customer weak reference): per relation, the
+    child row count, its distinct-key count, and how many distinct child
+    keys have no parent. A non-zero n_orphans means a broken ingest
+    (partial parent load, key-type drift) and gates promotion.
+
+    Plan per relation: distinct-project the child's key column (the scan
+    reads ONE column; the aggregate is map-side combinable and produces
+    a key-cardinality-sized frame), then LEFT ANTI against the parent
+    key projection — dimension parents broadcast; lineitem->orders
+    shuffles both distinct-key sets on the join key. The 8 audit rows
+    union driver-side (each branch's result is a single row)."""
+    rows = []
+    for label, child, fk, parent, pk in RI_RELATIONS:
+        c = table(spark, sf_dir, child)
+        p = table(spark, sf_dir, parent).select(pk)
+        keys = c.select(fk).distinct()
+        orphans = keys.join(p, keys[fk] == p[pk], "left_anti")
+        rows.append(
+            c.agg(
+                F.lit(label).alias("relation"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(fk).alias("n_distinct_fk"),
+            ).crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# (rule label, table, SQL boolean violation predicate — identical text
+# runs on both engines; columns only, no engine-specific functions)
+DQ_RULES = (
+    ("lineitem.quantity_nonpositive", "lineitem", "l_quantity <= 0"),
+    ("lineitem.price_nonpositive", "lineitem", "l_extendedprice <= 0"),
+    ("lineitem.discount_out_of_range", "lineitem", "l_discount < 0 OR l_discount > 1"),
+    ("lineitem.tax_negative", "lineitem", "l_tax < 0"),
+    ("orders.totalprice_nonpositive", "orders", "o_totalprice <= 0"),
+    ("orders.orderdate_null", "orders", "o_orderdate IS NULL"),
+    ("events.ts_null", "events", "ts IS NULL"),
+    ("events.value_negative", "events", "value < 0"),
+    ("documents.text_blank", "documents", "length(trim(text)) = 0"),
+    ("documents.nchars_drift", "documents", "n_chars <> length(text)"),
+)
+
+_DQ_SQL = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{label}' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations
+    FROM {tbl}
+    """
+    for label, tbl, pred in DQ_RULES
+)
+
+
+@register(
+    "dq_constraint_violations",
+    oracle=_DQ_SQL,
+    tags=("dq", "agg"),
+)
+def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-rule audit: for every declared rule, how many rows were
+    checked and how many violate it (nonpositive measures, out-of-range
+    discounts, null event times, blank documents, n_chars metadata
+    drift). The rule predicates are plain SQL boolean expressions shared
+    verbatim with the oracle, so adding a rule is one tuple.
+
+    Plan: rules GROUP BY TABLE into one conditional aggregate per table
+    — a single scan per table computes all its rules as SUM(CASE...)
+    columns with map-side partials, then the per-rule rows unpivot from
+    that one row. No joins, no shuffle beyond the 1-row aggregates."""
+    by_table: dict[str, list[tuple[str, str]]] = {}
+    for label, tbl, pred in DQ_RULES:
+        by_table.setdefault(tbl, []).append((label, pred))
+    frames = []
+    for tbl, rules in by_table.items():
+        t = table(spark, sf_dir, tbl)
+        aggs = [F.count(F.lit(1)).alias("n_checked")] + [
+            F.sum(F.when(F.expr(pred), 1).otherwise(0)).alias(f"v{i}")
+            for i, (_, pred) in enumerate(rules)
+        ]
+        one = t.agg(*aggs)
+        stack = ", ".join(
+            f"'{label}', v{i}" for i, (label, _) in enumerate(rules)
+        )
+        frames.append(
+            one.select(
+                F.expr(f"stack({len(rules)}, {stack}) as (rule, n_violations)"),
+                "n_checked",
+            ).select("rule", "n_checked", "n_violations")
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out

@@ -546,3 +546,78 @@ def test_kmeans_objective_monotone(spark, sf_oracle):
     obj2 = objective(a2, cent2)
     assert obj2 <= obj1 + 1e-9, (obj1, obj2)
     assert obj1 > 0
+
+
+def test_dq_rules_fire_on_corrupted_fixture(tmp_path, spark):
+    """The dq audits return all-zero violation counts on the clean
+    driver corpus, so this is where the rules are proven live: a tiny
+    star schema with one planted defect per rule class must surface
+    every defect with the exact planted count."""
+    import datetime as dt
+
+    sf = str(tmp_path)
+
+    def w(name, rows, schema):
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            f"{sf}/{name}.parquet"
+        )
+
+    w("region", [(1, "r")], "r_regionkey long, r_name string")
+    w("nation", [(1, "n", 1), (2, "orphan_nation", 99)],
+      "n_nationkey long, n_name string, n_regionkey long")
+    w("customer", [(1, "c", 1, 0.0, "m")],
+      "c_custkey long, c_name string, c_nationkey long, c_acctbal double, c_mktsegment string")
+    w("supplier", [(1, "s", 1, 0.0)],
+      "s_suppkey long, s_name string, s_nationkey long, s_acctbal double")
+    w("part", [(1, "p", "b", "t", 1, 1.0)],
+      "p_partkey long, p_name string, p_brand string, p_type string, p_size long, p_retailprice double")
+    w("orders", [(1, 1, "O", 10.0, dt.date(2024, 1, 1), "1-URGENT"),
+                 (2, 77, "O", -5.0, None, "1-URGENT")],  # orphan cust + 2 rule hits
+      "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate date, o_orderpriority string")
+    w("lineitem",
+      [(1, 1, 1, 1, 5.0, 100.0, 0.1, 0.02, "N", "O", dt.date(2024, 1, 2)),
+       (2, 1, 1, 1, -3.0, 0.0, 1.5, -0.1, "N", "O", dt.date(2024, 1, 2)),  # 4 rule hits
+       (9, 9, 9, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt.date(2024, 1, 2))],  # orphan keys
+      "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, l_quantity double, "
+      "l_extendedprice double, l_discount double, l_tax double, l_returnflag string, "
+      "l_linestatus string, l_shipdate date")
+    w("events",
+      [(1, dt.datetime(2024, 1, 1, 0, 0), 1, "view", 1.0, "{}"),
+       (2, None, 1, "view", -2.0, "{}")],  # null ts + negative value
+      "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+    w("documents", [(1, "ok text", "en", "s", 7), (2, "   ", "en", "s", 3),
+                    (3, "drift", "en", "s", 99)],
+      "doc_id long, text string, lang string, source string, n_chars long")
+    w("embeddings", [(1, [0.1] * 64, 0)],
+      "vec_id long, embedding array<float>, label int")
+
+    from bigbugdata_spark.operators.dq import (
+        dq_constraint_violations,
+        dq_referential_integrity,
+    )
+
+    ri = {r["relation"]: r for r in dq_referential_integrity(spark, sf).collect()}
+    assert ri["lineitem->orders"]["n_orphans"] == 1      # key 9
+    assert ri["lineitem->part"]["n_orphans"] == 1
+    assert ri["lineitem->supplier"]["n_orphans"] == 1
+    assert ri["orders->customer"]["n_orphans"] == 1      # cust 77
+    assert ri["nation->region"]["n_orphans"] == 1        # region 99
+    assert ri["events->customer"]["n_orphans"] == 0
+    assert ri["customer->nation"]["n_orphans"] == 0
+
+    dq = {r["rule"]: r for r in dq_constraint_violations(spark, sf).collect()}
+    expected = {
+        "lineitem.quantity_nonpositive": 1,
+        "lineitem.price_nonpositive": 1,
+        "lineitem.discount_out_of_range": 1,
+        "lineitem.tax_negative": 1,
+        "orders.totalprice_nonpositive": 1,
+        "orders.orderdate_null": 1,
+        "events.ts_null": 1,
+        "events.value_negative": 1,
+        "documents.text_blank": 1,
+        "documents.nchars_drift": 1,
+    }
+    for rule, n in expected.items():
+        assert dq[rule]["n_violations"] == n, (rule, dq[rule])
+    assert all(r["n_checked"] > 0 for r in dq.values())
