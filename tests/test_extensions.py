@@ -621,3 +621,26 @@ def test_dq_rules_fire_on_corrupted_fixture(tmp_path, spark):
     for rule, n in expected.items():
         assert dq[rule]["n_violations"] == n, (rule, dq[rule])
     assert all(r["n_checked"] > 0 for r in dq.values())
+
+
+def test_state_history_intervals_chain(spark, sf_oracle):
+    """SCD2 invariants the hash compare can't express: per user the
+    validity intervals CHAIN (each valid_to equals the next valid_from),
+    exactly one open-ended current state exists, and no two adjacent
+    runs share a state (the island collapse actually collapsed)."""
+    rows = SPECS["evt_user_state_history"].fn(spark, sf_oracle).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for uid, hist in by_user.items():
+        hist.sort(key=lambda r: r["valid_from"])
+        assert sum(r["is_current"] for r in hist) == 1
+        assert hist[-1]["is_current"] == 1 and hist[-1]["valid_to"] is None
+        for a, b in zip(hist, hist[1:]):
+            assert a["valid_to"] == b["valid_from"], (uid, a, b)
+            # adjacent runs never share a state — the island collapse
+            # merged same-state neighbors — except the ts-tie corner
+            # where two states start at the same instant
+            if a["state"] == b["state"]:
+                assert a["valid_from"] == b["valid_from"], (uid, a, b)
