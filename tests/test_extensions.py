@@ -644,3 +644,63 @@ def test_state_history_intervals_chain(spark, sf_oracle):
             # where two states start at the same instant
             if a["state"] == b["state"]:
                 assert a["valid_from"] == b["valid_from"], (uid, a, b)
+
+
+def test_hybrid_retrieval_fuses_both_signals(tmp_path, spark):
+    """RRF semantics: a candidate ranked #1 by BOTH lists must beat
+    every single-list candidate (score 2/(60+1) > any 1/(60+r)), and
+    single-list candidates still surface. Built corpus: doc 9 is a
+    verbatim copy of query doc 0 AND shares its embedding direction;
+    doc 10 is lexical-only (same text, orthogonal vector); doc 11 is
+    semantic-only (same vector, unrelated text)."""
+    from bigbugdata_spark.operators.retrieval import rag_hybrid_retrieval
+
+    def vec(i, scale=1.0):
+        v = [0.0] * 64
+        v[i % 64] = float(scale)
+        return v
+
+    q_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs, vecs = [], []
+    for i in range(8):  # the standing query set vec_id < 8
+        docs.append((i, q_text if i == 0 else f"query {i} filler text {i}",
+                     "en", "s", 0))
+        vecs.append((i, vec(i), 0))
+    docs += [
+        (9, q_text, "en", "s", 0),            # both lists for query 0
+        (10, q_text + " extra", "en", "s", 0),  # lexical-only
+        (11, "totally different words here now", "en", "s", 0),  # semantic-only
+    ]
+    vecs += [
+        (9, vec(0, 0.9), 0),   # same direction as query 0
+        (10, vec(40), 0),      # orthogonal
+        (11, vec(0, 0.8), 0),  # same direction as query 0
+    ]
+    # mid-cosine filler candidates (cos ~ 0.45 to query 0) so the
+    # orthogonal doc 10 genuinely falls OUT of the semantic top-10 —
+    # with fewer than 10 candidates everything ranks and nothing is
+    # list-exclusive
+    for i in range(12, 24):
+        docs.append((i, f"unrelated filler document number {i}", "en", "s", 0))
+        v = vec(i, 1.0)
+        v[0] = 0.5
+        vecs.append((i, v, 0))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    res = [
+        r
+        for r in rag_hybrid_retrieval(spark, str(tmp_path)).collect()
+        if r["query_id"] == 0
+    ]
+    by_doc = {r["doc_id"]: r for r in res}
+    assert by_doc[9]["rnk"] == 1  # dual-signal candidate wins
+    assert by_doc[9]["rnk_cos"] is not None and by_doc[9]["rnk_lex"] is not None
+    assert 10 in by_doc and by_doc[10]["rnk_cos"] is None  # lexical-only
+    assert 11 in by_doc and by_doc[11]["rnk_lex"] is None  # semantic-only
+    assert by_doc[9]["rrf_score"] > by_doc[10]["rrf_score"]
+    assert by_doc[9]["rrf_score"] > by_doc[11]["rrf_score"]
