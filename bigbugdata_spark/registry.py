@@ -62,6 +62,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.kmeans",
     "bigbugdata_spark.operators.dq",
     "bigbugdata_spark.operators.retrieval",
+    "bigbugdata_spark.operators.packing",
     "bigbugdata_spark.operators.tpch_full",
     "bigbugdata_spark.operators.tpch",
     "bigbugdata_spark.operators.tpch_ext",

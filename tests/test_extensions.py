@@ -704,3 +704,35 @@ def test_hybrid_retrieval_fuses_both_signals(tmp_path, spark):
     assert 11 in by_doc and by_doc[11]["rnk_lex"] is None  # semantic-only
     assert by_doc[9]["rrf_score"] > by_doc[10]["rrf_score"]
     assert by_doc[9]["rrf_score"] > by_doc[11]["rrf_score"]
+
+
+def test_pack_accounting_conserves_tokens(spark, sf_oracle):
+    """Packing invariants: every pack except each bucket's last is
+    exactly full, pack ids are contiguous from 0 per bucket, split
+    counts never exceed doc counts, and the clipped per-pack token
+    sums conserve the corpus total (no token lost or double-counted
+    by the interval arithmetic)."""
+    from bigbugdata_spark.catalog import table
+    from bigbugdata_spark.functions.hashing import tokens
+    from bigbugdata_spark.operators.packing import PACK_BUDGET
+
+    rows = SPECS["corpus_pack_accounting"].fn(spark, sf_oracle).collect()
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert by_bucket
+    for b, packs in by_bucket.items():
+        packs.sort(key=lambda r: r["pack_id"])
+        assert [p["pack_id"] for p in packs] == list(range(len(packs)))
+        for p in packs[:-1]:
+            assert p["n_tokens"] == PACK_BUDGET, (b, p)
+        assert 0 < packs[-1]["n_tokens"] <= PACK_BUDGET
+        for p in packs:
+            assert 0 <= p["n_split_docs"] <= p["n_docs"]
+
+    total = (
+        table(spark, sf_oracle, "documents")
+        .select(F.sum(F.size(tokens(F.col("text")))).alias("t"))
+        .first()["t"]
+    )
+    assert sum(r["n_tokens"] for r in rows) == total
