@@ -216,6 +216,20 @@ def bench_scale_probe(spark, specs) -> dict:
     return out
 
 
+def _host_canary() -> float:
+    """Seconds to sha256 64 MiB single-threaded — a fixed CPU+memory
+    workload with no Spark/JVM involvement, min of 3."""
+    import hashlib
+
+    block = b"\xab" * (1 << 26)
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        hashlib.sha256(block).hexdigest()
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 4)
+
+
 def sf_from_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     return float(m.group(1)) if m else -1.0
@@ -389,6 +403,12 @@ def main() -> None:
         "iterations": ITERATIONS,
         "agg": "min",
         "sf": sf_from_dir(SF_DIR),
+        # fixed pure-CPU workload timed alongside the queries: this
+        # shared VM's effective throughput swings 40%+ between sessions
+        # (identical workloads measured 3.3 s vs 4.5 s hours apart), so
+        # round-over-round comparisons should normalize by the canary
+        # ratio before reading anything into absolute seconds
+        "host_canary_sec": _host_canary(),
     }
     if kraken is not None:
         out["kraken_e2e"] = kraken
