@@ -277,6 +277,7 @@ from bigbugdata_spark.functions.fragments import (  # noqa: E402
         runs AS (
             SELECT user_id, event_type AS state, island,
                    MIN(ts) AS vf,
+                   MIN(event_id) AS first_eid,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM seq GROUP BY user_id, event_type, island
         )
@@ -286,7 +287,7 @@ from bigbugdata_spark.functions.fragments import (  # noqa: E402
                n_events,
                CAST(LEAD(vf) OVER hist IS NULL AS INT) AS is_current
         FROM runs
-        WINDOW hist AS (PARTITION BY user_id ORDER BY vf, state)
+        WINDOW hist AS (PARTITION BY user_id ORDER BY vf, first_eid)
     """,
     tags=("events", "window"),
 )
@@ -300,9 +301,12 @@ def evt_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly from the append-only log with gaps-and-islands numbering
     (row_number difference is run-constant).
 
-    Determinism discipline: all orderings carry (ts, event_id) or
-    (vf, state) total-order tiebreaks; timestamps format to strings on
-    both sides; is_current is an INT.
+    Determinism discipline: all orderings carry TOTAL-order tiebreaks —
+    (ts, event_id) for the numbering windows, (vf, first event_id of
+    the run) for the history order, so same-instant runs still sort by
+    actual event order (a state-name tiebreak would be nondeterministic
+    in spirit: it could mark the semantically earlier state current);
+    timestamps format to strings on both sides; is_current is an INT.
 
     Scale: ONE shuffle on user_id serves both row_number windows (the
     second adds event_type to the PARTITION BY — a subset repartition
@@ -319,13 +323,18 @@ def evt_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "ts",
+        "event_id",
         (F.row_number().over(seq_w) - F.row_number().over(type_w)).alias("island"),
     )
     runs = (
         seq.groupBy("user_id", F.col("event_type").alias("state"), "island")
-        .agg(F.min("ts").alias("vf"), F.count(F.lit(1)).alias("n_events"))
+        .agg(
+            F.min("ts").alias("vf"),
+            F.min("event_id").alias("first_eid"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
     )
-    hist = Window.partitionBy("user_id").orderBy("vf", "state")
+    hist = Window.partitionBy("user_id").orderBy("vf", "first_eid")
     nxt = F.lead("vf").over(hist)
     return runs.select(
         "user_id",

@@ -42,9 +42,9 @@ from pyspark.sql import functions as F
 from bigbugdata_spark.caching import pin
 from bigbugdata_spark.catalog import table
 from bigbugdata_spark.functions.fragments import EMB_DIM
+from bigbugdata_spark.operators.quantize import quantized_vec, sql_quantized_vec
 from bigbugdata_spark.registry import register
 
-Q_MAX = 127  # same int8 scheme as emb_quantize_int8
 KM_K = 8
 # seed-selection affine hash (distinct parameters from the split/mix
 # hashes so seeding does not correlate with any other assignment)
@@ -52,11 +52,7 @@ _KM_A, _KM_B = 54_877, 24_001
 _KM_P = 1_000_000_007
 
 _SQL_QV = f"""
-    SELECT vec_id,
-           list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE)
-                    * ({Q_MAX} / list_max(list_transform(embedding,
-                          y -> abs(CAST(y AS DOUBLE)))))) AS BIGINT)) AS qv
+    SELECT vec_id, {sql_quantized_vec("embedding")} AS qv
     FROM embeddings
 """
 
@@ -110,18 +106,11 @@ _KMEANS_SQL = f"""
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, qv): int8-quantized embedding as array<bigint>."""
-    max_abs = F.array_max(
-        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
-    )
+    """(vec_id, qv): int8-quantized embedding as array<bigint> — the
+    SHARED definition from operators/quantize.py, so the rounding
+    scheme cannot silently diverge between the two oracle contracts."""
     return table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.round(x.cast("double") * (F.lit(float(Q_MAX)) / max_abs)).cast(
-                "long"
-            ),
-        ).alias("qv"),
+        "vec_id", quantized_vec(F.col("embedding")).alias("qv")
     )
 
 

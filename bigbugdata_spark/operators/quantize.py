@@ -25,6 +25,34 @@ from bigbugdata_spark.registry import register
 Q_MAX = 127
 
 
+# THE int8 quantization definition, shared with operators/kmeans.py —
+# the hash-exact oracle contract of every consumer rests on the Spark
+# and SQL forms staying semantically identical, so both live here in
+# one place (same lockstep discipline as functions/hashing.py).
+
+
+def quantized_vec(emb):
+    """array<bigint> int8 quantization of a float-array Column."""
+    from pyspark.sql import functions as F
+
+    max_abs = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
+    return F.transform(
+        emb,
+        lambda x: F.round(x.cast("double") * (F.lit(float(Q_MAX)) / max_abs)).cast(
+            "long"
+        ),
+    )
+
+
+def sql_quantized_vec(emb: str) -> str:
+    """DuckDB twin of quantized_vec (bit-identical rounding)."""
+    return (
+        f"list_transform({emb}, x -> CAST(round(CAST(x AS DOUBLE)"
+        f" * ({Q_MAX} / list_max(list_transform({emb},"
+        f" y -> abs(CAST(y AS DOUBLE)))))) AS BIGINT))"
+    )
+
+
 @register(
     "emb_quantize_int8",
     oracle=f"""
@@ -32,11 +60,7 @@ Q_MAX = 127
             SELECT vec_id,
                    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
                        AS max_abs,
-                   list_transform(embedding,
-                       x -> CAST(round(CAST(x AS DOUBLE)
-                            * ({Q_MAX} / list_max(list_transform(embedding,
-                                  y -> abs(CAST(y AS DOUBLE)))))) AS BIGINT))
-                       AS qv
+                   {sql_quantized_vec("embedding")} AS qv
             FROM embeddings
         )
         SELECT vec_id,
@@ -56,14 +80,15 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine hash compare pins every component's value (a wrong
     rounding or scale in ANY component shifts q_sum/q_l1/extrema)."""
     e = table(spark, sf_dir, "embeddings")
-    max_abs = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
-    scale = F.lit(float(Q_MAX)) / F.col("max_abs")
-    qv = F.transform(
-        F.col("embedding"), lambda x: F.round(x.cast("double") * scale).cast("long")
+    max_abs = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
     )
     return (
-        e.select("vec_id", "embedding", max_abs.alias("max_abs"))
-        .select("vec_id", "max_abs", qv.alias("qv"))
+        e.select(
+            "vec_id",
+            max_abs.alias("max_abs"),
+            quantized_vec(F.col("embedding")).alias("qv"),
+        )
         .select(
             "vec_id",
             "max_abs",

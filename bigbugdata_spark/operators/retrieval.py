@@ -109,7 +109,7 @@ _HYBRID_SQL = f"""
 )
 def rag_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per query document (vec_id/doc_id < N_QUERIES — the similarity
-    family's standing query set): the fused top-{TOP_K} candidates by
+    family's standing query set): the fused top-k (k = TOP_K) candidates by
     reciprocal-rank fusion of the exact cosine ranking and the
     shared-3-gram lexical ranking, with both source ranks exposed
     (NULL where a list didn't surface the candidate). Determinism
@@ -179,6 +179,3 @@ def rag_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rnk"),
         )
     )
-
-
-rag_hybrid_retrieval.__doc__ = rag_hybrid_retrieval.__doc__.format(TOP_K=TOP_K)

@@ -503,10 +503,9 @@ def test_span_coverage_consistent_with_gram_census(spark, sf_oracle):
     two views, every document must appear exactly once, and the per-doc
     counters must be internally ordered."""
     cov = SPECS["text_dup_span_coverage"].fn(spark, sf_oracle).collect()
-    n_docs = SPECS["text_dup_span_coverage"].fn(spark, sf_oracle).count()
     from bigbugdata_spark.catalog import table
 
-    assert n_docs == table(spark, sf_oracle, "documents").count()
+    assert len(cov) == table(spark, sf_oracle, "documents").count()
     assert len({r["doc_id"] for r in cov}) == len(cov)
     for r in cov:
         assert 0 <= r["n_distinct_dup_grams"] <= r["n_dup_grams"] <= r["n_grams"]
