@@ -384,3 +384,51 @@ def test_containment_equi_join_only(spark, sf):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert I.join_kinds(df)  # joins exist and are hash/sort-merge equi
+
+
+def test_kmeans_single_scan_broadcast_centroids(spark, sf):
+    """emb_kmeans_assign's scale shape: ONE embeddings scan (the pinned
+    quantized frame feeds seeds + both assignment passes), the only
+    joins are the K-row centroid broadcasts (BroadcastNestedLoopJoin by
+    construction — an 8-row crossJoin, never corpus x corpus), and the
+    shuffle budget is the two argmin aggregates + the two centroid
+    updates."""
+    df = SPECS["emb_kmeans_assign"].fn(spark, sf)
+    assert len(I.scan_info(df)) == 1
+    kinds = I.join_kinds(df)
+    assert kinds and set(kinds) == {"BroadcastNestedLoopJoin"}
+    assert "CartesianProduct" not in I.plan_string(df)
+    assert I.shuffle_count(df) <= 4
+
+
+def test_dq_constraints_scan_only(spark, sf):
+    """dq_constraint_violations is pure conditional aggregation: one
+    scan per audited table, no joins anywhere, one 1-row aggregate
+    exchange per table."""
+    df = SPECS["dq_constraint_violations"].fn(spark, sf)
+    assert I.join_kinds(df) == []
+    assert len(I.scan_info(df)) == 4  # lineitem, orders, events, documents
+    assert I.shuffle_count(df) <= 4
+
+
+def test_retrieval_no_corpus_cartesian(spark, sf):
+    """rag_hybrid_retrieval: the lexical pair source is the shingle
+    equi-join (SortMergeJoin), the semantic side's only nested-loop is
+    the broadcast of the N_QUERIES query vectors, and the fusion join
+    is hash-based — no corpus-scale cartesian anywhere."""
+    df = SPECS["rag_hybrid_retrieval"].fn(spark, sf)
+    plan = I.plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert I.has_broadcast_join(df)
+    kinds = I.join_kinds(df)
+    assert "SortMergeJoin" in kinds or "ShuffledHashJoin" in kinds
+
+
+def test_packing_join_free_single_prefix_sum(spark, sf):
+    """corpus_pack_accounting: one documents scan, zero joins, and the
+    bucket-partitioned prefix sum is the only exchange the plan needs
+    (the pack aggregate combines map-side on the bucketed layout)."""
+    df = SPECS["corpus_pack_accounting"].fn(spark, sf)
+    assert I.join_kinds(df) == []
+    assert len(I.scan_info(df)) == 1
+    assert I.shuffle_count(df) <= 2
