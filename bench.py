@@ -230,6 +230,23 @@ def _host_canary() -> float:
     return round(min(runs), 4)
 
 
+def _spark_canary(spark) -> float:
+    """Seconds for a fixed data-independent Spark job (range 50M ->
+    sum, 32 partitions), min of 3 warm — tracks the JVM/executor-side
+    throughput the sha256 canary cannot see (the observed session-to-
+    session slowdowns hit Spark jobs ~40% while sha256 stayed flat, so
+    both canaries together separate host-CPU drift from JVM-side
+    drift)."""
+    runs = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        spark.range(0, 50_000_000, 1, 32).selectExpr(
+            "sum(id * 2) as s"
+        ).collect()
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs[1:]), 4)  # drop the cold first run
+
+
 def sf_from_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     return float(m.group(1)) if m else -1.0
@@ -406,6 +423,7 @@ def main() -> None:
         # round-over-round comparisons should normalize by the canary
         # ratio before reading anything into absolute seconds
         "host_canary_sec": _host_canary(),
+        "spark_canary_sec": _spark_canary(spark),
     }
     if kraken is not None:
         out["kraken_e2e"] = kraken
