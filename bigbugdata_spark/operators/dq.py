@@ -162,3 +162,96 @@ def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out
+
+
+# --- split leakage ---------------------------------------------------------
+
+from bigbugdata_spark.functions.fragments import (  # noqa: E402
+    JACCARD_PAIRS_SQL as _JACCARD_PAIRS_SQL,
+)
+from bigbugdata_spark.operators.corpus import (  # noqa: E402
+    _SPLIT_A,
+    _SPLIT_B,
+    _TRAIN_PM,
+    _VAL_PM,
+)
+from bigbugdata_spark.functions import hashing as _H  # noqa: E402
+
+
+@register(
+    "dq_split_leakage",
+    oracle=f"""
+        WITH pairs AS ({_JACCARD_PAIRS_SQL}),
+        splits AS (
+            SELECT doc_id,
+                   CASE WHEN h < {_TRAIN_PM} THEN 'train'
+                        WHEN h < {_VAL_PM} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id,
+                       ({_SPLIT_A} * doc_id + {_SPLIT_B}) % {_H.P} % 1000 AS h
+                FROM documents
+            )
+        )
+        SELECT LEAST(s1.split, s2.split) AS split_a,
+               GREATEST(s1.split, s2.split) AS split_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs
+        JOIN splits s1 ON s1.doc_id = pairs.d1
+        JOIN splits s2 ON s2.doc_id = pairs.d2
+        GROUP BY split_a, split_b
+    """,
+    tags=("dq", "dedup", "join"),
+)
+def dq_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit — the governance check corpus_split_stratified
+    makes possible and near-dup detection makes necessary: count
+    near-duplicate pairs (exact word-3-gram Jaccard >= 0.5) per
+    unordered split pair. Off-diagonal rows (train x val, train x test)
+    are EVAL LEAKAGE — a test document whose near-twin sits in train
+    inflates benchmark scores without any verbatim decontamination-gram
+    overlap, which is why this runs on the near-dup relation rather
+    than the n-gram containment one. The diagonal rows are the baseline
+    duplication rate inside each split.
+
+    Pair source here is the exact inverted-index join (the correctness
+    anchor); at 100 TB the same audit runs off dedup_minhash_lsh's
+    bucketed pairs — identical (split_a, split_b, n_pairs) contract,
+    the swap dedup_cluster_keep_lsh already demonstrates. The split
+    join sides are id-equi-joins against the scan-side hash expression
+    (no shuffle added beyond the pair source), and the final aggregate
+    key space is bounded (3x3 splits)."""
+    # deferred imports: dedup/corpus register later in / out of the
+    # module order; importing inside the body keeps registry order exact
+    from bigbugdata_spark.operators.corpus import corpus_split_stratified  # noqa: F401
+    from bigbugdata_spark.operators.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    h = (F.lit(_SPLIT_A) * F.col("doc_id") + F.lit(_SPLIT_B)) % F.lit(_H.P) % 1000
+    split = (
+        F.when(h < _TRAIN_PM, "train").when(h < _VAL_PM, "val").otherwise("test")
+    )
+    splits = table(spark, sf_dir, "documents").select(
+        "doc_id", split.alias("split")
+    )
+    j = (
+        pairs.join(
+            splits.withColumnRenamed("split", "_s1"),
+            pairs.d1 == splits.doc_id,
+        )
+        .drop("doc_id")
+        .join(
+            splits.withColumnRenamed("split", "_s2").withColumnRenamed(
+                "doc_id", "_d2"
+            ),
+            F.col("d2") == F.col("_d2"),
+        )
+    )
+    return (
+        j.select(
+            F.least("_s1", "_s2").alias("split_a"),
+            F.greatest("_s1", "_s2").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
