@@ -40,8 +40,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # r3), pipeline (1, r3), profile (2, r4), quantize (1, r4) — filling to
 # slot 48, then the two NEW overlap queries (span coverage +
 # containment, slots 49-50 — brand-new code outranks refreshing
-# tpch_full's r4 verdicts for the last cap slots), with tpch_full next
-# in line for next round's rotation.  Rotated out this round because their rows are
+# tpch_full's r4 verdicts for the last cap slots).  The OTHER seven
+# r6-new queries land just beyond the cap (emb_kmeans_assign, dq x3,
+# rag_hybrid_retrieval, corpus_pack_accounting, evt_user_state_history
+# in events_ext) — driver-unverified until r7; rotate them in FIRST
+# next round, with tpch_full (r4 verdicts, oldest remaining) behind
+# them.  Rotated out this round because their rows are
 # freshly green in CORRECTNESS_r05: events/windows/events_ext/joins/
 # stateful/corpus/dedup; tpch/tpch_ext/text_ext hold r4 verdicts.
 # similarity_ext's single query is rows-only by design (numpy fp-sum
