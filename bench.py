@@ -380,6 +380,17 @@ def main() -> None:
         timings[name] = round(min(runs), 4)
         medians[name] = round(statistics.median(runs), 4)
 
+    # Spark-side canary measured NOW, on the SAME session that ran the
+    # query loop — it exists to normalize those numbers, so measuring it
+    # on the restarted kraken session below would let a slow session 1 /
+    # fast session 2 split report a misleadingly fast canary. Guarded:
+    # the bench must always emit its JSON (round-4 rule).
+    try:
+        spark_canary = _spark_canary(spark)
+    except Exception as exc:  # noqa: BLE001
+        spark_canary = None
+        errors["spark_canary"] = f"{type(exc).__name__}: {exc}"[:300]
+
     # Kraken e2e on a FRESH SparkSession: it is the one head-to-head
     # number against the measured reference, and a session aged by the
     # ~150 query executions above measured 26.5 s for a run a fresh
@@ -397,6 +408,10 @@ def main() -> None:
             kraken = bench_kraken_e2e(spark)
         except Exception as exc:  # noqa: BLE001
             errors["kraken_e2e"] = f"{type(exc).__name__}: {exc}"[:300]
+            try:  # the restart itself may have failed: the scale probe
+                spark = get_spark(app_name="bigbugdata-bench-kraken")
+            except Exception:  # noqa: BLE001 — JSON still prints
+                pass
 
     scale: dict | None = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALE"):
@@ -423,7 +438,7 @@ def main() -> None:
         # round-over-round comparisons should normalize by the canary
         # ratio before reading anything into absolute seconds
         "host_canary_sec": _host_canary(),
-        "spark_canary_sec": _spark_canary(spark),
+        "spark_canary_sec": spark_canary,
     }
     if kraken is not None:
         out["kraken_e2e"] = kraken

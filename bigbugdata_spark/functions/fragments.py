@@ -132,3 +132,34 @@ def _make_planes() -> list[list[float]]:
 
 
 EMB_LSH_PLANES = _make_planes()
+
+
+# --- corpus split (train/val/test) -----------------------------------------
+# THE deterministic split definition, shared by corpus_split_stratified,
+# pipe_governed_corpus and dq_split_leakage — the same lockstep
+# discipline as the hashing primitives: one Spark builder, one SQL
+# builder, so the split scheme cannot silently diverge between the
+# accounting queries and the leakage audit.
+
+SPLIT_A, SPLIT_B = 69_621, 32_027  # affine split hash (independent of mix)
+TRAIN_PM, VAL_PM = 980, 990  # <980 train, <990 val, else test (permille)
+
+
+def split_col(doc_id):
+    """Column: 'train'/'val'/'test' assignment of a doc_id Column."""
+    from pyspark.sql import functions as F
+
+    h = (F.lit(SPLIT_A) * doc_id + F.lit(SPLIT_B)) % F.lit(H.P) % 1000
+    return (
+        F.when(h < TRAIN_PM, "train").when(h < VAL_PM, "val").otherwise("test")
+    )
+
+
+def sql_split_case(doc_id: str = "doc_id") -> str:
+    """DuckDB twin of split_col (identical hash + cut points)."""
+    return (
+        f"CASE WHEN ({SPLIT_A} * {doc_id} + {SPLIT_B}) % {H.P} % 1000"
+        f" < {TRAIN_PM} THEN 'train'"
+        f" WHEN ({SPLIT_A} * {doc_id} + {SPLIT_B}) % {H.P} % 1000"
+        f" < {VAL_PM} THEN 'val' ELSE 'test' END"
+    )

@@ -29,10 +29,13 @@ _BENCH_MOD = 7
 # contamination, not phrase coincidence (industry practice uses 8-13).
 _DECON_N = 8
 
-# Stratified-split affine hash (distinct parameters from corpus_mix's so
-# the two assignments are independent); permille cut points.
-_SPLIT_A, _SPLIT_B = 69_621, 32_027
-_TRAIN_PM, _VAL_PM = 980, 990  # <980 train, <990 val, else test
+# Stratified-split definition: shared builders in functions/fragments.py
+# (corpus accounting, the governed pipeline and dq_split_leakage must
+# all classify documents identically).
+from bigbugdata_spark.functions.fragments import (  # noqa: E402
+    split_col as _split_col,
+    sql_split_case as _sql_split_case,
+)
 
 
 @register(
@@ -143,16 +146,10 @@ text_decontaminate.__doc__ = text_decontaminate.__doc__.format(n=_DECON_N)
     "corpus_split_stratified",
     oracle=f"""
         SELECT lang,
-               CASE WHEN h < {_TRAIN_PM} THEN 'train'
-                    WHEN h < {_VAL_PM} THEN 'val'
-                    ELSE 'test' END AS split,
+               {_sql_split_case("doc_id")} AS split,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(len(text)) AS BIGINT) AS total_chars
-        FROM (
-            SELECT lang, text,
-                   ({_SPLIT_A} * doc_id + {_SPLIT_B}) % {H.P} % 1000 AS h
-            FROM documents
-        )
+        FROM documents
         GROUP BY lang, split
     """,
     tags=("text", "sample", "agg", "headline"),
@@ -174,13 +171,13 @@ def corpus_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: split assignment is a scan-side expression (no shuffle, no
     join); ONE map-side-combinable aggregate on the bounded
     (lang x split) key space. At 100 TB this is a single pass."""
-    h = (F.lit(_SPLIT_A) * F.col("doc_id") + F.lit(_SPLIT_B)) % F.lit(H.P) % 1000
-    split = (
-        F.when(h < _TRAIN_PM, "train").when(h < _VAL_PM, "val").otherwise("test")
-    )
     return (
         table(spark, sf_dir, "documents")
-        .select("lang", split.alias("split"), F.length("text").alias("_len"))
+        .select(
+            "lang",
+            _split_col(F.col("doc_id")).alias("split"),
+            F.length("text").alias("_len"),
+        )
         .groupBy("lang", "split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -344,19 +341,13 @@ def emb_crosslingual_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE c.doc_id % {_BENCH_MOD} <> 0 AND b.doc_id % {_BENCH_MOD} = 0
         )
         SELECT lang,
-               CASE WHEN h < {_TRAIN_PM} THEN 'train'
-                    WHEN h < {_VAL_PM} THEN 'val'
-                    ELSE 'test' END AS split,
+               {_sql_split_case("doc_id")} AS split,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(len(text)) AS BIGINT) AS total_chars
-        FROM (
-            SELECT doc_id, lang, text,
-                   ({_SPLIT_A} * doc_id + {_SPLIT_B}) % {H.P} % 1000 AS h
-            FROM documents
-            WHERE doc_id % {_BENCH_MOD} <> 0
-              AND doc_id NOT IN (SELECT doc_id FROM rep_bad)
-              AND doc_id NOT IN (SELECT doc_id FROM contaminated)
-        )
+        FROM documents
+        WHERE doc_id % {_BENCH_MOD} <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM rep_bad)
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
         GROUP BY lang, split
     """,
     tags=("text", "pipeline"),
@@ -418,10 +409,7 @@ def pipe_governed_corpus(
         .select("doc_id")
         .distinct()
     )
-    h = (F.lit(_SPLIT_A) * F.col("doc_id") + F.lit(_SPLIT_B)) % F.lit(H.P) % 1000
-    split = (
-        F.when(h < _TRAIN_PM, "train").when(h < _VAL_PM, "val").otherwise("test")
-    )
+    split = _split_col(F.col("doc_id"))
     clean = (
         survivors
         .join(rep_bad, "doc_id", "left_anti")

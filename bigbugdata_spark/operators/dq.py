@@ -169,13 +169,10 @@ def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 from bigbugdata_spark.functions.fragments import (  # noqa: E402
     JACCARD_PAIRS_SQL as _JACCARD_PAIRS_SQL,
 )
-from bigbugdata_spark.operators.corpus import (  # noqa: E402
-    _SPLIT_A,
-    _SPLIT_B,
-    _TRAIN_PM,
-    _VAL_PM,
+from bigbugdata_spark.functions.fragments import (  # noqa: E402
+    split_col as _split_col,
+    sql_split_case as _sql_split_case,
 )
-from bigbugdata_spark.functions import hashing as _H  # noqa: E402
 
 
 @register(
@@ -183,15 +180,8 @@ from bigbugdata_spark.functions import hashing as _H  # noqa: E402
     oracle=f"""
         WITH pairs AS ({_JACCARD_PAIRS_SQL}),
         splits AS (
-            SELECT doc_id,
-                   CASE WHEN h < {_TRAIN_PM} THEN 'train'
-                        WHEN h < {_VAL_PM} THEN 'val'
-                        ELSE 'test' END AS split
-            FROM (
-                SELECT doc_id,
-                       ({_SPLIT_A} * doc_id + {_SPLIT_B}) % {_H.P} % 1000 AS h
-                FROM documents
-            )
+            SELECT doc_id, {_sql_split_case("doc_id")} AS split
+            FROM documents
         )
         SELECT LEAST(s1.split, s2.split) AS split_a,
                GREATEST(s1.split, s2.split) AS split_b,
@@ -221,18 +211,13 @@ def dq_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     join sides are id-equi-joins against the scan-side hash expression
     (no shuffle added beyond the pair source), and the final aggregate
     key space is bounded (3x3 splits)."""
-    # deferred imports: dedup/corpus register later in / out of the
-    # module order; importing inside the body keeps registry order exact
-    from bigbugdata_spark.operators.corpus import corpus_split_stratified  # noqa: F401
+    # deferred import: dedup registers later in the module order;
+    # importing inside the body keeps registry order exact
     from bigbugdata_spark.operators.dedup import dedup_ngram_jaccard
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
-    h = (F.lit(_SPLIT_A) * F.col("doc_id") + F.lit(_SPLIT_B)) % F.lit(_H.P) % 1000
-    split = (
-        F.when(h < _TRAIN_PM, "train").when(h < _VAL_PM, "val").otherwise("test")
-    )
     splits = table(spark, sf_dir, "documents").select(
-        "doc_id", split.alias("split")
+        "doc_id", _split_col(F.col("doc_id")).alias("split")
     )
     j = (
         pairs.join(

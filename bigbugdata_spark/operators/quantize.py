@@ -32,14 +32,26 @@ Q_MAX = 127
 
 
 def quantized_vec(emb):
-    """array<bigint> int8 quantization of a float-array Column."""
+    """array<bigint> int8 quantization of a float-array Column.
+
+    The per-row max|x| is let-bound (hashing.let_bound) so it is
+    EVALUATED ONCE per row: referencing the array_max expression
+    directly inside the per-element lambda would inline and re-run it
+    for every element — interpreted HOFs get no common-subexpression
+    elimination across lambda bodies, turning O(d) into O(d^2) per row
+    (the regression the first shared-builder version shipped)."""
     from pyspark.sql import functions as F
 
+    from bigbugdata_spark.functions.hashing import let_bound
+
     max_abs = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
-    return F.transform(
-        emb,
-        lambda x: F.round(x.cast("double") * (F.lit(float(Q_MAX)) / max_abs)).cast(
-            "long"
+    return let_bound(
+        max_abs,
+        lambda m: F.transform(
+            emb,
+            lambda x: F.round(x.cast("double") * (F.lit(float(Q_MAX)) / m)).cast(
+                "long"
+            ),
         ),
     )
 
