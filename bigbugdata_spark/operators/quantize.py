@@ -39,7 +39,12 @@ def quantized_vec(emb):
     directly inside the per-element lambda would inline and re-run it
     for every element — interpreted HOFs get no common-subexpression
     elimination across lambda bodies, turning O(d) into O(d^2) per row
-    (the regression the first shared-builder version shipped)."""
+    (the regression the first shared-builder version shipped).
+
+    An all-zero vector gets scale 0 (not 127/0 = inf, whose 0 * inf =
+    NaN would silently poison every consumer distance — the kmeans
+    assignment shares this builder): its quantized form is the zero
+    vector, the only value that round-trips q_j * (max|x|/127) = x_j."""
     from pyspark.sql import functions as F
 
     from bigbugdata_spark.functions.hashing import let_bound
@@ -49,19 +54,22 @@ def quantized_vec(emb):
         max_abs,
         lambda m: F.transform(
             emb,
-            lambda x: F.round(x.cast("double") * (F.lit(float(Q_MAX)) / m)).cast(
-                "long"
-            ),
+            lambda x: F.round(
+                x.cast("double")
+                * F.when(m == 0.0, F.lit(0.0)).otherwise(F.lit(float(Q_MAX)) / m)
+            ).cast("long"),
         ),
     )
 
 
 def sql_quantized_vec(emb: str) -> str:
-    """DuckDB twin of quantized_vec (bit-identical rounding)."""
+    """DuckDB twin of quantized_vec (bit-identical rounding, same
+    all-zero-vector -> zero-vector guard)."""
+    max_abs = f"list_max(list_transform({emb}, y -> abs(CAST(y AS DOUBLE))))"
+    scale = f"(CASE WHEN {max_abs} = 0 THEN 0.0 ELSE {Q_MAX} / {max_abs} END)"
     return (
         f"list_transform({emb}, x -> CAST(round(CAST(x AS DOUBLE)"
-        f" * ({Q_MAX} / list_max(list_transform({emb},"
-        f" y -> abs(CAST(y AS DOUBLE)))))) AS BIGINT))"
+        f" * {scale}) AS BIGINT))"
     )
 
 

@@ -144,9 +144,10 @@ def rag_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", F.col("rl").cast("int").alias("rnk_lex"))
     )
 
-    # deferred import: retrieval registers after similarity in
-    # _QUERY_MODULES, and a top-level import would register similarity's
-    # queries early, perturbing the driver's cap order
+    # deferred import: in the round-7 rotation THIS module registers
+    # inside the driver's 50-slot cap while similarity's own queries sit
+    # past it — a top-level import here would drag similarity's 3
+    # registrations forward into the cap and displace 3 planned slots
     from bigbugdata_spark.operators.similarity import sim_cosine_topk
 
     sem = sim_cosine_topk(spark, sf_dir).select(

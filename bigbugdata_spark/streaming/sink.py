@@ -133,10 +133,16 @@ def run_partitioned_stream_sink(
     (`compact_partitions(predicate=...)`); here it runs once at
     availableNow completion so the whole lifecycle is testable.
 
-    Exactly-once: the file sink's own manifest is not used — replays are
-    append-idempotent only via the checkpoint's batch tracking, which is
-    the standard foreachBatch contract (same as the upsert sinks above;
-    key-level dedup is upsert_batch's job, layout is this sink's)."""
+    Delivery guarantee — AT-LEAST-ONCE, stated plainly: foreachBatch
+    replays any batch whose checkpoint commit didn't land, and this
+    sink's plain-parquet append has no transaction to make that replay
+    a no-op — a crash between write_partitioned and the checkpoint
+    commit duplicates that batch's rows in the lake. That is the
+    standard foreachBatch + non-transactional-sink contract; exactly-
+    once here needs either key-level dedup downstream (upsert_batch /
+    the bucketed MERGE sinks above — which ARE replay-idempotent by
+    key) or a transactional table format. This sink's job is layout
+    (file budget + partitioning), not delivery semantics."""
     from bigbugdata_spark.sources.partitioned import (
         compact_partitions,
         write_partitioned,

@@ -192,6 +192,42 @@ def test_int8_quantization_preserves_neighbor_order(spark, sf_oracle):
     assert recall >= 0.9, f"quantized ordering collapsed: {recall:.3f}"
 
 
+def test_quantize_zero_vector_guard(spark):
+    """An all-zero embedding must quantize to the zero vector on BOTH
+    builders (ADVICE r6: 127/max|x| divides by zero there — unguarded,
+    0 * inf = NaN poisons every downstream distance, e.g. the kmeans
+    consumer). The non-zero row pins that the guard changed nothing on
+    the normal path."""
+    import duckdb
+
+    from bigbugdata_spark.operators.quantize import quantized_vec, sql_quantized_vec
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["qv"]
+        for r in df.select(
+            "vec_id", quantized_vec(F.col("embedding")).alias("qv")
+        ).collect()
+    }
+    assert got[0] == [0, 0, 0]
+    assert got[1] == [64, -127, 32]
+
+    con = duckdb.connect()
+    sql = con.execute(
+        f"""
+        SELECT vec_id, {sql_quantized_vec("embedding")} AS qv
+        FROM (VALUES (0, [0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5]))
+             AS t(vec_id, embedding)
+        ORDER BY vec_id
+        """
+    ).fetchall()
+    con.close()
+    assert {vid: qv for vid, qv in sql} == got
+
+
 def test_mega_bucket_guard_gates_bucket_joins(tmp_path, spark):
     """max_bucket_width on the LSH bucket-pair expansion: 30 identical
     documents land in ONE simhash bucket per block (30^2/2 pair blowup);
