@@ -14,13 +14,14 @@ n_rows / n_distinct_fk / n_checked columns, and
 tests/test_extensions.py proves every rule actually FIRES on a
 deliberately corrupted fixture.
 
-Scale posture: referential integrity distinct-projects each child's
-foreign-key column first (map-side combinable; result is key-cardinality
-sized), then anti-joins the parent key set — dimension parents
-broadcast, the one big-big pair (lineitem->orders) shuffles on the key
-both sides already aggregate by. Constraint checks are ONE conditional
-aggregate per table — a single scan computing every rule with map-side
-partials, the cheapest possible audit shape at 100 TB.
+Scale posture: referential integrity scans each CHILD TABLE ONCE —
+its FK columns stack into (fk, key) pairs whose single map-side-
+combinable aggregate produces every FK's distinct-key frame, then one
+labeled anti-join per child against the union of its parents' key
+sets (dimension parents broadcast; lineitem->orders shuffles on the
+key the child side already aggregated by). Constraint checks are ONE
+conditional aggregate per table — a single scan computing every rule
+with map-side partials, the cheapest possible audit shape at 100 TB.
 """
 
 from __future__ import annotations
@@ -28,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigbugdata_spark.caching import pin
 from bigbugdata_spark.catalog import table
 from bigbugdata_spark.registry import register
 
@@ -70,28 +72,70 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys have no parent. A non-zero n_orphans means a broken ingest
     (partial parent load, key-type drift) and gates promotion.
 
-    Plan per relation: distinct-project the child's key column (the scan
-    reads ONE column; the aggregate is map-side combinable and produces
-    a key-cardinality-sized frame), then LEFT ANTI against the parent
-    key projection — dimension parents broadcast; lineitem->orders
-    shuffles both distinct-key sets on the join key. The 8 audit rows
-    union driver-side (each branch's result is a single row)."""
-    rows = []
+    Plan — ONE SCAN PER CHILD TABLE (VERDICT r6 #3; the per-relation
+    form scanned lineitem ~6x): each child reads its FK columns once and
+    `stack`s them into (fk, k) pairs, so one map-side-combinable
+    aggregate on (fk, k) yields every FK's distinct-key frame at once —
+    per-key counts roll up to n_rows, key rows count to n_distinct_fk.
+    Orphans come from ONE left-anti join per child against the union of
+    its parents' key sets labeled by fk (parents project to key columns;
+    dimension parents broadcast, the lineitem->orders big-big pair
+    shuffles on the (fk, k) key the child side is already partitioned by
+    from its aggregate). The stack triples lineitem's row stream, but
+    partial aggregation collapses it to key cardinality before any
+    exchange — at 100 TB that beats re-scanning the fact table per
+    relation by the number of relations. Keys cast to BIGINT on both
+    sides (dimension keys are int32, fact keys int64 — exactly the
+    key-type drift this audit exists to catch, made explicit)."""
+    by_child: dict[str, list[tuple[str, str, str, str]]] = {}
     for label, child, fk, parent, pk in RI_RELATIONS:
+        by_child.setdefault(child, []).append((label, fk, parent, pk))
+    frames = []
+    for child, rels in by_child.items():
         c = table(spark, sf_dir, child)
-        p = table(spark, sf_dir, parent).select(pk)
-        keys = c.select(fk).distinct()
-        orphans = keys.join(p, keys[fk] == p[pk], "left_anti")
-        rows.append(
-            c.agg(
-                F.lit(label).alias("relation"),
-                F.count(F.lit(1)).alias("n_rows"),
-                F.countDistinct(fk).alias("n_distinct_fk"),
-            ).crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+        stack = ", ".join(
+            f"'{fk}', CAST({fk} AS BIGINT)" for _, fk, _, _ in rels
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
+        # pinned: keys feeds BOTH the totals aggregate and the anti-join
+        # — without it each consumer re-scans the child (the exact ~6x
+        # lineitem re-scan this rewrite removes); the cached frame is
+        # key-cardinality sized, not child-sized
+        keys = pin(
+            c.select(F.expr(f"stack({len(rels)}, {stack}) AS (fk, k)"))
+            .groupBy("fk", "k")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        totals = keys.groupBy("fk").agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct_fk"),
+        )
+        parents = None
+        for _, fk, parent, pk in rels:
+            p = table(spark, sf_dir, parent).select(
+                F.lit(fk).alias("fk"), F.col(pk).cast("long").alias("k")
+            )
+            parents = p if parents is None else parents.unionByName(p)
+        orph = (
+            keys.join(parents, ["fk", "k"], "left_anti")
+            .groupBy("fk")
+            .agg(F.count(F.lit(1)).alias("n_orph"))
+        )
+        label_expr = F.lit(None).cast("string")
+        for label, fk, _, _ in rels:
+            label_expr = F.when(F.col("fk") == fk, label).otherwise(label_expr)
+        frames.append(
+            totals.join(orph, "fk", "left").select(
+                label_expr.alias("relation"),
+                "n_rows",
+                "n_distinct_fk",
+                F.coalesce(F.col("n_orph"), F.lit(0)).cast("long").alias(
+                    "n_orphans"
+                ),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
     return out
 
 
