@@ -219,47 +219,30 @@ from bigbugdata_spark.functions.fragments import (  # noqa: E402
 )
 
 
-@register(
-    "dq_split_leakage",
-    oracle=f"""
-        WITH pairs AS ({_JACCARD_PAIRS_SQL}),
-        splits AS (
-            SELECT doc_id, {_sql_split_case("doc_id")} AS split
-            FROM documents
-        )
-        SELECT LEAST(s1.split, s2.split) AS split_a,
-               GREATEST(s1.split, s2.split) AS split_b,
-               CAST(COUNT(*) AS BIGINT) AS n_pairs
-        FROM pairs
-        JOIN splits s1 ON s1.doc_id = pairs.d1
-        JOIN splits s2 ON s2.doc_id = pairs.d2
-        GROUP BY split_a, split_b
-    """,
-    tags=("dq", "dedup", "join"),
-)
-def dq_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split-leakage audit — the governance check corpus_split_stratified
-    makes possible and near-dup detection makes necessary: count
-    near-duplicate pairs (exact word-3-gram Jaccard >= 0.5) per
-    unordered split pair. Off-diagonal rows (train x val, train x test)
-    are EVAL LEAKAGE — a test document whose near-twin sits in train
-    inflates benchmark scores without any verbatim decontamination-gram
-    overlap, which is why this runs on the near-dup relation rather
-    than the n-gram containment one. The diagonal rows are the baseline
-    duplication rate inside each split.
+_LEAKAGE_SQL = f"""
+    WITH pairs AS ({_JACCARD_PAIRS_SQL}),
+    splits AS (
+        SELECT doc_id, {_sql_split_case("doc_id")} AS split
+        FROM documents
+    )
+    SELECT LEAST(s1.split, s2.split) AS split_a,
+           GREATEST(s1.split, s2.split) AS split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    JOIN splits s1 ON s1.doc_id = pairs.d1
+    JOIN splits s2 ON s2.doc_id = pairs.d2
+    GROUP BY split_a, split_b
+"""
 
-    Pair source here is the exact inverted-index join (the correctness
-    anchor); at 100 TB the same audit runs off dedup_minhash_lsh's
-    bucketed pairs — identical (split_a, split_b, n_pairs) contract,
-    the swap dedup_cluster_keep_lsh already demonstrates. The split
+
+def _leakage_from_pairs(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame
+) -> DataFrame:
+    """Shared body of both leakage audits: label each near-dup pair with
+    its documents' splits and count per unordered split pair. The split
     join sides are id-equi-joins against the scan-side hash expression
     (no shuffle added beyond the pair source), and the final aggregate
     key space is bounded (3x3 splits)."""
-    # deferred import: dedup registers later in the module order;
-    # importing inside the body keeps registry order exact
-    from bigbugdata_spark.operators.dedup import dedup_ngram_jaccard
-
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
     splits = table(spark, sf_dir, "documents").select(
         "doc_id", _split_col(F.col("doc_id")).alias("split")
     )
@@ -283,4 +266,60 @@ def dq_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("split_a", "split_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "dq_split_leakage",
+    oracle=_LEAKAGE_SQL,
+    tags=("dq", "dedup", "join"),
+)
+def dq_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit — the governance check corpus_split_stratified
+    makes possible and near-dup detection makes necessary: count
+    near-duplicate pairs (exact word-3-gram Jaccard >= 0.5) per
+    unordered split pair. Off-diagonal rows (train x val, train x test)
+    are EVAL LEAKAGE — a test document whose near-twin sits in train
+    inflates benchmark scores without any verbatim decontamination-gram
+    overlap, which is why this runs on the near-dup relation rather
+    than the n-gram containment one. The diagonal rows are the baseline
+    duplication rate inside each split.
+
+    Pair source here is the exact inverted-index join (the correctness
+    anchor); dq_split_leakage_lsh below is the registered 100 TB twin
+    off dedup_minhash_lsh's bucketed pairs."""
+    # deferred import: dedup registers later in the module order;
+    # importing inside the body keeps registry order exact
+    from bigbugdata_spark.operators.dedup import dedup_ngram_jaccard
+
+    return _leakage_from_pairs(
+        spark, sf_dir, dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    )
+
+
+@register(
+    "dq_split_leakage_lsh",
+    oracle=_LEAKAGE_SQL,
+    tags=("dq", "dedup", "join"),
+)
+def dq_split_leakage_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-PATH split-leakage audit (VERDICT r6 #4, completing the
+    promise in dq_split_leakage's docstring): identical (split_a,
+    split_b, n_pairs) contract, pair source swapped to
+    dedup_minhash_lsh's band-bucketed candidates — at 100 TB the exact
+    inverted-index join is the corpus-sized cost, while MinHash banding
+    touches only bucket-colliding candidates.
+
+    This twin carries the SAME hash-exact oracle as the exact-path
+    audit, not a rows-only check: dedup_minhash_lsh's own oracle is the
+    exact Jaccard pair relation (every true pair in this corpus sits at
+    J >= 0.9, where 16x4 banding misses with probability <= 4e-8, and
+    the seeded permutations make the result deterministic), so the
+    leakage rollup over those pairs is oracle-identical too. The
+    exact-vs-LSH agreement is additionally asserted as a frame-level
+    invariant in tests/test_extensions.py."""
+    from bigbugdata_spark.operators.dedup import dedup_minhash_lsh
+
+    return _leakage_from_pairs(
+        spark, sf_dir, dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
     )
