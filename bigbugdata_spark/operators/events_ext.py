@@ -256,91 +256,6 @@ def evt_cohort_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from bigbugdata_spark.functions.fragments import (  # noqa: E402
-    TS_FMT as _TS_FMT,
-    TS_FMT_DUCK as _TS_FMT_DUCK,
-)
-
-
-@register(
-    "evt_user_state_history",
-    oracle=f"""
-        WITH seq AS (
-            SELECT user_id, event_type, ts, event_id,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id)
-                 - ROW_NUMBER() OVER (
-                       PARTITION BY user_id, event_type
-                       ORDER BY ts, event_id) AS island
-            FROM events
-        ),
-        runs AS (
-            SELECT user_id, event_type AS state, island,
-                   MIN(ts) AS vf,
-                   MIN(event_id) AS first_eid,
-                   CAST(COUNT(*) AS BIGINT) AS n_events
-            FROM seq GROUP BY user_id, event_type, island
-        )
-        SELECT user_id, state,
-               strftime(vf, '{_TS_FMT_DUCK}') AS valid_from,
-               strftime(LEAD(vf) OVER hist, '{_TS_FMT_DUCK}') AS valid_to,
-               n_events,
-               CAST(LEAD(vf) OVER hist IS NULL AS INT) AS is_current
-        FROM runs
-        WINDOW hist AS (PARTITION BY user_id ORDER BY vf, first_eid)
-    """,
-    tags=("events", "window"),
-)
-def evt_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2-style state history from an event log: consecutive runs of
-    the same event_type per user collapse into one validity interval
-    (valid_from = first event of the run, valid_to = start of the next
-    run, NULL + is_current=1 on the open-ended last state) — the
-    slowly-changing-dimension type-2 table a warehouse maintains for
-    "what state was this user in at time T" queries, derived here
-    directly from the append-only log with gaps-and-islands numbering
-    (row_number difference is run-constant).
-
-    Determinism discipline: all orderings carry TOTAL-order tiebreaks —
-    (ts, event_id) for the numbering windows, (vf, first event_id of
-    the run) for the history order, so same-instant runs still sort by
-    actual event order (a state-name tiebreak would be nondeterministic
-    in spirit: it could mark the semantically earlier state current);
-    timestamps format to strings on both sides; is_current is an INT.
-
-    Scale: ONE shuffle on user_id serves both row_number windows (the
-    second adds event_type to the PARTITION BY — a subset repartition
-    Spark evaluates within the same exchange), the run collapse is a
-    map-side-combinable aggregate on (user, type, island), and the
-    valid_to LEAD re-sorts runs-per-user without a second exchange.
-    State rows ~ number of state CHANGES, so the output is
-    change-bounded, not event-bounded — at 100 TB that is the point of
-    materializing it."""
-    ev = table(spark, sf_dir, "events")
-    seq_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    type_w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    seq = ev.select(
-        "user_id",
-        "event_type",
-        "ts",
-        "event_id",
-        (F.row_number().over(seq_w) - F.row_number().over(type_w)).alias("island"),
-    )
-    runs = (
-        seq.groupBy("user_id", F.col("event_type").alias("state"), "island")
-        .agg(
-            F.min("ts").alias("vf"),
-            F.min("event_id").alias("first_eid"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-    )
-    hist = Window.partitionBy("user_id").orderBy("vf", "first_eid")
-    nxt = F.lead("vf").over(hist)
-    return runs.select(
-        "user_id",
-        "state",
-        F.date_format("vf", _TS_FMT).alias("valid_from"),
-        F.date_format(nxt, _TS_FMT).alias("valid_to"),
-        "n_events",
-        nxt.isNull().cast("int").alias("is_current"),
-    )
+# evt_user_state_history (SCD2) moved to operators/scd.py in round 7 —
+# it needed its own slot in the registry's driver-cap ordering, and the
+# streaming maintenance twin shares its derivation from there.

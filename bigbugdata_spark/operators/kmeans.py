@@ -42,7 +42,10 @@ from pyspark.sql import functions as F
 from bigbugdata_spark.caching import pin
 from bigbugdata_spark.catalog import table
 from bigbugdata_spark.functions.fragments import EMB_DIM
-from bigbugdata_spark.operators.quantize import quantized_vec, sql_quantized_vec
+from bigbugdata_spark.functions.quantization import (
+    quantized_vec,
+    sql_quantized_vec,
+)
 from bigbugdata_spark.registry import register
 
 KM_K = 8
@@ -107,7 +110,7 @@ _KMEANS_SQL = f"""
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, qv): int8-quantized embedding as array<bigint> — the
-    SHARED definition from operators/quantize.py, so the rounding
+    SHARED definition from functions/quantization.py, so the rounding
     scheme cannot silently diverge between the two oracle contracts."""
     return table(spark, sf_dir, "embeddings").select(
         "vec_id", quantized_vec(F.col("embedding")).alias("qv")

@@ -3,12 +3,10 @@ embedding pipeline (int8 scalar quantization: 4x smaller vectors, the
 standard serving format before IVF/PQ indexes; no analog in the
 reference, which has no vector data at all).
 
-Per vector: scale = 127 / max|x|, q_j = round(x_j * scale) in [-127,127].
-All arithmetic is float->double exact promotion, one double division for
-the scale, and half-away-from-zero rounding — identical in Spark and
-DuckDB, so the registered query has an EXACT oracle over compact
-per-vector summaries (component sum / L1 / extrema of the quantized
-array) rather than 64-column rows.
+The quantization definition itself (Spark + SQL builders in lockstep)
+lives in functions/quantization.py so that consumers — the kmeans
+oracle re-derives it in SQL — can import it without triggering this
+module's query registration.
 
 Scale posture: pure per-row expression work (transform/aggregate HOFs,
 JVM-side, no shuffle at all); at 100 TB this is a map-only pass that
@@ -20,57 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigbugdata_spark.catalog import table
+from bigbugdata_spark.functions.quantization import (
+    quantized_vec,
+    sql_quantized_vec,
+)
 from bigbugdata_spark.registry import register
-
-Q_MAX = 127
-
-
-# THE int8 quantization definition, shared with operators/kmeans.py —
-# the hash-exact oracle contract of every consumer rests on the Spark
-# and SQL forms staying semantically identical, so both live here in
-# one place (same lockstep discipline as functions/hashing.py).
-
-
-def quantized_vec(emb):
-    """array<bigint> int8 quantization of a float-array Column.
-
-    The per-row max|x| is let-bound (hashing.let_bound) so it is
-    EVALUATED ONCE per row: referencing the array_max expression
-    directly inside the per-element lambda would inline and re-run it
-    for every element — interpreted HOFs get no common-subexpression
-    elimination across lambda bodies, turning O(d) into O(d^2) per row
-    (the regression the first shared-builder version shipped).
-
-    An all-zero vector gets scale 0 (not 127/0 = inf, whose 0 * inf =
-    NaN would silently poison every consumer distance — the kmeans
-    assignment shares this builder): its quantized form is the zero
-    vector, the only value that round-trips q_j * (max|x|/127) = x_j."""
-    from pyspark.sql import functions as F
-
-    from bigbugdata_spark.functions.hashing import let_bound
-
-    max_abs = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
-    return let_bound(
-        max_abs,
-        lambda m: F.transform(
-            emb,
-            lambda x: F.round(
-                x.cast("double")
-                * F.when(m == 0.0, F.lit(0.0)).otherwise(F.lit(float(Q_MAX)) / m)
-            ).cast("long"),
-        ),
-    )
-
-
-def sql_quantized_vec(emb: str) -> str:
-    """DuckDB twin of quantized_vec (bit-identical rounding, same
-    all-zero-vector -> zero-vector guard)."""
-    max_abs = f"list_max(list_transform({emb}, y -> abs(CAST(y AS DOUBLE))))"
-    scale = f"(CASE WHEN {max_abs} = 0 THEN 0.0 ELSE {Q_MAX} / {max_abs} END)"
-    return (
-        f"list_transform({emb}, x -> CAST(round(CAST(x AS DOUBLE)"
-        f" * {scale}) AS BIGINT))"
-    )
 
 
 @register(

@@ -31,51 +31,53 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # queries got a row).  Standing rule: never rotate out a query whose fix
 # lacks a driver verdict.
 #
-# Round-6 rotation: the SURVEY §2 contract ops stay first (20), then the
-# NEW oracle'd audit twins (audits, 5 — the r5 VERDICT's top item:
-# driver-hash-verifiable recall/error integers for the five perpetual
-# no-oracle queries), then the NEW IVF-PQ index + its audit twin
-# (similarity_pq, 2), then the stalest driver verdicts oldest-first —
-# text (9, last driver row r2!), multimodal (5, r2/r3), similarity (3,
-# r3), pipeline (1, r3), profile (2, r4), quantize (1, r4) — filling to
-# slot 48, then the two NEW overlap queries (span coverage +
-# containment, slots 49-50 — brand-new code outranks refreshing
-# tpch_full's r4 verdicts for the last cap slots).  The OTHER seven
-# r6-new queries land just beyond the cap (emb_kmeans_assign, dq x3,
-# rag_hybrid_retrieval, corpus_pack_accounting, evt_user_state_history
-# in events_ext) — driver-unverified until r7; rotate them in FIRST
-# next round, with tpch_full (r4 verdicts, oldest remaining) behind
-# them.  Rotated out this round because their rows are
-# freshly green in CORRECTNESS_r05: events/windows/events_ext/joins/
-# stateful/corpus/dedup; tpch/tpch_ext/text_ext hold r4 verdicts.
+# Round-7 rotation (VERDICT r6 #1): the SURVEY §2 contract ops stay
+# first (relational, 20), then the oracle'd audit twins (audits, 5) and
+# the IVF-PQ pair (similarity_pq, 2) — the judge's standing "keep
+# in-cap" set, slots 1-27.  Then the seven r6 queries that registered
+# PAST the cap and have no driver verdict yet, each now inside it:
+# kmeans (1, slot 28), dq (4, slots 29-32 — its three r6 queries plus
+# the NEW dq_split_leakage_lsh scale twin), retrieval (1, slot 33),
+# packing (1, slot 34), scd (1, slot 35 — evt_user_state_history,
+# moved out of events_ext so it takes ONE slot instead of dragging
+# that module's five r5-green queries back in).  Then the stalest
+# remaining verdicts: tpch_full (11, r4, slots 36-46) and text_ext
+# (4, r4, slots 47-50) — exactly filling the cap.  tpch (6) and
+# tpch_ext (5) also hold r4 rows but don't fit; they are first in
+# line past the cap and rotate in next round.  Rotated out this round
+# because their rows are freshly green in CORRECTNESS_r06:
+# overlap/text/multimodal/similarity/pipeline/profile/quantize;
+# events/windows/events_ext/joins/stateful/corpus/dedup hold r5.
 # similarity_ext's single query is rows-only by design (numpy fp-sum
-# order) and now driver-verified through audit_np_parity instead of a
-# cap slot.  All rotated-out queries remain continuously re-proven by
-# the identical local gate in tests/test_oracle_parity.py.
+# order) and stays driver-verified through audit_np_parity.  All
+# rotated-out queries remain continuously re-proven by the identical
+# local gate in tests/test_oracle_parity.py.
 _QUERY_MODULES = (
     "bigbugdata_spark.operators.relational",
     "bigbugdata_spark.operators.audits",
     "bigbugdata_spark.operators.similarity_pq",
+    "bigbugdata_spark.operators.kmeans",
+    "bigbugdata_spark.operators.dq",
+    "bigbugdata_spark.operators.retrieval",
+    "bigbugdata_spark.operators.packing",
+    "bigbugdata_spark.operators.scd",
+    "bigbugdata_spark.operators.tpch_full",
+    "bigbugdata_spark.operators.text_ext",
+    "bigbugdata_spark.operators.tpch",
+    "bigbugdata_spark.operators.tpch_ext",
+    "bigbugdata_spark.operators.overlap",
     "bigbugdata_spark.operators.text",
     "bigbugdata_spark.operators.multimodal",
     "bigbugdata_spark.operators.similarity",
     "bigbugdata_spark.operators.pipeline",
     "bigbugdata_spark.operators.profile",
     "bigbugdata_spark.operators.quantize",
-    "bigbugdata_spark.operators.overlap",
-    "bigbugdata_spark.operators.kmeans",
-    "bigbugdata_spark.operators.dq",
-    "bigbugdata_spark.operators.retrieval",
-    "bigbugdata_spark.operators.packing",
-    "bigbugdata_spark.operators.tpch_full",
-    "bigbugdata_spark.operators.tpch",
-    "bigbugdata_spark.operators.tpch_ext",
-    "bigbugdata_spark.operators.text_ext",
     "bigbugdata_spark.operators.events",
     "bigbugdata_spark.streaming.windows",
     "bigbugdata_spark.operators.events_ext",
     "bigbugdata_spark.streaming.joins",
     "bigbugdata_spark.streaming.stateful",
+    "bigbugdata_spark.streaming.scd_sink",
     "bigbugdata_spark.operators.corpus",
     "bigbugdata_spark.operators.dedup",
     "bigbugdata_spark.operators.similarity_ext",

@@ -200,7 +200,10 @@ def test_quantize_zero_vector_guard(spark):
     the normal path."""
     import duckdb
 
-    from bigbugdata_spark.operators.quantize import quantized_vec, sql_quantized_vec
+    from bigbugdata_spark.functions.quantization import (
+        quantized_vec,
+        sql_quantized_vec,
+    )
 
     df = spark.createDataFrame(
         [(0, [0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5])],
