@@ -240,3 +240,92 @@ def test_partitioned_stream_sink_layout_and_rows(tmp_path, spark, sf_oracle):
         back.select(F.sum("event_id")).first()[0]
         == src.select(F.sum("event_id")).first()[0]
     )
+
+
+def test_scd2_incremental_sink_matches_batch_and_is_idempotent(
+    tmp_path, spark, sf_oracle
+):
+    """The run-set maintenance sink (streaming/scd_sink.py): four
+    time-sliced triggers must reproduce the batch SCD2 derivation
+    row-for-row (the registered query's oracle checks this vs DuckDB;
+    here it's asserted engine-internally vs evt_user_state_history),
+    replaying the final slice must change NOTHING (the last_eid guard —
+    a naive merge would double-count n_events), and a batch touching
+    one user must leave unaffected buckets' files untouched (dynamic
+    overwrite incrementality)."""
+    import os
+
+    from bigbugdata_spark.catalog import table
+    from bigbugdata_spark.registry import load_all
+    from bigbugdata_spark.streaming.scd_sink import (
+        BUCKET_COL,
+        read_state_history,
+        run_scd2_stream_sink,
+        upsert_state_runs,
+    )
+
+    specs = load_all()
+    ev = table(spark, sf_oracle, "events")
+    src = str(tmp_path / "src")
+    bounds = [None, "2024-01-08", "2024-01-16", "2024-01-24", None]
+    for i in range(4):
+        sl = ev
+        if bounds[i] is not None:
+            sl = sl.filter(F.col("ts") >= F.lit(bounds[i]).cast("timestamp"))
+        if bounds[i + 1] is not None:
+            sl = sl.filter(F.col("ts") < F.lit(bounds[i + 1]).cast("timestamp"))
+        sl.coalesce(1).write.parquet(f"{src}/slice_{i}")
+    out = str(tmp_path / "table")
+    run_scd2_stream_sink(
+        spark, f"{src}/slice_*/*.parquet", out, str(tmp_path / "ckpt")
+    )
+
+    def key(r):
+        return (r["user_id"], r["state"], r["valid_from"])
+
+    batch_rows = {
+        key(r): (r["valid_to"], r["n_events"], r["is_current"])
+        for r in specs["evt_user_state_history"].fn(spark, sf_oracle).collect()
+    }
+    inc_rows = {
+        key(r): (r["valid_to"], r["n_events"], r["is_current"])
+        for r in read_state_history(spark, out).collect()
+    }
+    assert inc_rows == batch_rows
+
+    # replay the final slice (a committed foreachBatch re-run): no-op
+    last_slice = spark.read.parquet(f"{src}/slice_3")
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(out).drop(BUCKET_COL).collect()
+    )
+    upsert_state_runs(spark, last_slice, out)
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(out).drop(BUCKET_COL).collect()
+    )
+    assert after == before
+
+    # single-user batch: only that user's bucket partition is rewritten
+    one_user = ev.orderBy("user_id").select("user_id").first()[0]
+    bucket_dirs = sorted(
+        d for d in os.listdir(out) if d.startswith(f"{BUCKET_COL}=")
+    )
+    mtimes = {
+        d: max(
+            os.path.getmtime(os.path.join(out, d, f))
+            for f in os.listdir(os.path.join(out, d))
+            if f.endswith(".parquet")
+        )
+        for d in bucket_dirs
+    }
+    upsert_state_runs(spark, ev.filter(F.col("user_id") == one_user), out)
+    touched = [
+        d
+        for d in bucket_dirs
+        if max(
+            os.path.getmtime(os.path.join(out, d, f))
+            for f in os.listdir(os.path.join(out, d))
+            if f.endswith(".parquet")
+        )
+        > mtimes[d]
+    ]
+    assert len(touched) == 1, touched
