@@ -328,6 +328,10 @@ def _warm_engine_machinery(spark) -> None:
     flat.write.option("header", True).mode("overwrite").csv(str(tmp / "csvout"))
     w = Window.partitionBy("v").orderBy("id")
     j.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2).count()
+    # first localCheckpoint of a session initializes the RDD checkpoint
+    # machinery (block replication path + cleaner registration) — pay it
+    # here, not inside the measured pipeline's rpm materialization
+    spark.range(16).localCheckpoint().count()
 
 
 def bench_kraken_e2e(spark) -> dict[str, float]:
