@@ -259,3 +259,89 @@ def evt_cohort_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # evt_user_state_history (SCD2) moved to operators/scd.py in round 7 —
 # it needed its own slot in the registry's driver-cap ordering, and the
 # streaming maintenance twin shares its derivation from there.
+
+
+from bigbugdata_spark.functions.fragments import (  # noqa: E402
+    TS_FMT as _TS_FMT,
+    TS_FMT_DUCK as _TS_FMT_DUCK,
+)
+
+# fixed weekly probe instants across the events range — the "as of T"
+# questions the SCD2 table exists to answer
+ASOF_PROBES = (
+    "2024-01-05 00:00:00",
+    "2024-01-12 00:00:00",
+    "2024-01-19 00:00:00",
+    "2024-01-26 00:00:00",
+)
+
+_ASOF_PROBES_SQL = ", ".join(f"(TIMESTAMP '{p}')" for p in ASOF_PROBES)
+
+
+@register(
+    "evt_state_asof",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_type, ts, event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                 - ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS island
+            FROM events
+        ),
+        runs AS (
+            SELECT user_id, event_type AS state, island,
+                   MIN(ts) AS vf, MIN(event_id) AS first_eid
+            FROM seq GROUP BY user_id, event_type, island
+        ),
+        probes AS (SELECT * FROM (VALUES {_ASOF_PROBES_SQL}) AS t(probe_ts))
+        SELECT strftime(probe_ts, '{_TS_FMT_DUCK}') AS probe_ts,
+               user_id, state,
+               strftime(vf, '{_TS_FMT_DUCK}') AS since
+        FROM (
+            SELECT p.probe_ts, r.user_id, r.state, r.vf,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.probe_ts, r.user_id
+                       ORDER BY r.vf DESC, r.first_eid DESC) AS rn
+            FROM probes p JOIN runs r ON r.vf <= p.probe_ts
+        ) WHERE rn = 1
+    """,
+    tags=("events", "window", "join"),
+)
+def evt_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 state model (round 7 —
+    completes the family: evt_user_state_history BUILDS the history,
+    streaming/scd_sink.py MAINTAINS it, this QUERIES it): for each fixed
+    probe instant, each user's state at that instant and when it began —
+    the latest run starting at or before the probe. Users with no run
+    yet at a probe are absent (no state to report), identically on both
+    engines.
+
+    Plan: the run set is change-bounded (not event-bounded); the 4-row
+    probe frame joins it with a broadcast nested-loop on the vf <= T
+    inequality (expansion factor <= |probes|), and one (probe, user)
+    window picks the latest run — a single user-keyed shuffle after the
+    run collapse. At 100 TB this query would read the MATERIALIZED run
+    table (the scd_sink lake) instead of re-deriving runs, same plan
+    from the join down."""
+    from bigbugdata_spark.operators.scd import runs_from_events
+
+    runs = runs_from_events(table(spark, sf_dir, "events"))
+    probes = spark.createDataFrame(
+        [(p,) for p in ASOF_PROBES], "probe_raw string"
+    ).select(F.col("probe_raw").cast("timestamp").alias("probe_ts"))
+    j = runs.join(F.broadcast(probes), runs.vf <= probes.probe_ts)
+    w = Window.partitionBy("probe_ts", "user_id").orderBy(
+        F.col("vf").desc(), F.col("first_eid").desc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.date_format("probe_ts", _TS_FMT).alias("probe_ts"),
+            "user_id",
+            "state",
+            F.date_format("vf", _TS_FMT).alias("since"),
+        )
+    )

@@ -81,6 +81,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.corpus",
     "bigbugdata_spark.operators.dedup",
     "bigbugdata_spark.operators.similarity_ext",
+    "bigbugdata_spark.operators.dq_ext",
 )
 
 

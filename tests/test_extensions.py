@@ -792,3 +792,66 @@ def test_pack_accounting_conserves_tokens(spark, sf_oracle):
         .first()["t"]
     )
     assert sum(r["n_tokens"] for r in rows) == total
+
+
+def test_volume_anomaly_fires_on_planted_outage(tmp_path, spark):
+    """dq_volume_anomaly is all-zero flags on the clean corpus (its
+    oracle pins the z machinery); here the flag is proven live — 9
+    steady days plus one collapsed day must flag exactly the outage."""
+    import datetime as dt
+
+    from bigbugdata_spark.operators.dq_ext import dq_volume_anomaly
+
+    rows = []
+    eid = 0
+    for d in range(1, 11):
+        n = 5 if d == 7 else 100  # day 7: the outage
+        for i in range(n):
+            rows.append(
+                (eid, dt.datetime(2024, 3, d, 12, 0, i % 60), 1, "view", 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    out = {r["day"]: r for r in dq_volume_anomaly(spark, str(tmp_path)).collect()}
+    assert out["2024-03-07"]["is_anomaly"] == 1
+    assert out["2024-03-07"]["z"] < -2  # collapsed volume: strongly negative z
+    assert sum(r["is_anomaly"] for r in out.values()) == 1
+
+
+def test_state_asof_agrees_with_history_intervals(spark, sf_oracle):
+    """Point-in-time lookups must agree with interval containment on the
+    SCD2 table: for every probe, each user's reported state is exactly
+    the history row whose [valid_from, valid_to) contains the probe, and
+    users absent from the as-of result have no interval containing it."""
+    from bigbugdata_spark.operators.events_ext import ASOF_PROBES
+
+    hist: dict[int, list] = {}
+    for r in SPECS["evt_user_state_history"].fn(spark, sf_oracle).collect():
+        hist.setdefault(r["user_id"], []).append(r)
+    asof = {
+        (r["probe_ts"], r["user_id"]): (r["state"], r["since"])
+        for r in SPECS["evt_state_asof"].fn(spark, sf_oracle).collect()
+    }
+    assert asof
+    for probe in ASOF_PROBES:
+        p = probe + ".000000"  # probes format with microseconds
+        for uid, rows in hist.items():
+            containing = [
+                r
+                for r in rows
+                if r["valid_from"] <= p
+                and (r["valid_to"] is None or p < r["valid_to"])
+            ]
+            got = asof.get((p, uid))
+            if containing:
+                assert got == (
+                    containing[0]["state"],
+                    containing[0]["valid_from"],
+                ), (p, uid, got, containing)
+            else:
+                assert got is None, (p, uid, got)

@@ -448,6 +448,39 @@ def test_retrieval_no_corpus_cartesian(spark, sf):
     assert "SortMergeJoin" in kinds or "ShuffledHashJoin" in kinds
 
 
+def test_rare_token_ratio_one_pinned_scan(spark, sf):
+    """text_rare_token_ratio: the exploded token frame is pinned and
+    feeds all three consumers (df agg, totals, rare recount) — one
+    documents scan pruned to (doc_id, text); joins stay hash joins."""
+    df = SPECS["text_rare_token_ratio"].fn(spark, sf)
+    assert len(I.scan_info(df)) == 1
+    assert I.read_columns(df)[0] == {"doc_id", "text"}
+    assert "CartesianProduct" not in I.plan_string(df)
+
+
+def test_state_asof_broadcast_probes_single_shuffle(spark, sf):
+    """evt_state_asof: the 4-row probe frame broadcasts into the
+    inequality join (never a corpus-side cartesian), and the run
+    collapse + latest-run window share ONE user-keyed exchange."""
+    df = SPECS["evt_state_asof"].fn(spark, sf)
+    assert len(I.scan_info(df)) == 1
+    assert I.join_kinds(df) == ["BroadcastNestedLoopJoin"]
+    assert "CartesianProduct" not in I.plan_string(df)
+    assert I.shuffle_count(df) <= 2
+
+
+def test_volume_anomaly_one_pinned_rollup(spark, sf):
+    """dq_volume_anomaly: the days-sized rollup is pinned, so events is
+    scanned once (ts column only) even though the rollup feeds both the
+    moments row and the final join; the moments side broadcasts."""
+    df = SPECS["dq_volume_anomaly"].fn(spark, sf)
+    assert len(I.scan_info(df)) == 1
+    assert I.read_columns(df)[0] == {"ts"}
+    # rollup agg + the two 1-row/days-sized reductions — all post-scan
+    # exchanges move day-cardinality rows, nothing event-sized
+    assert I.shuffle_count(df) <= 3
+
+
 def test_packing_join_free_single_prefix_sum(spark, sf):
     """corpus_pack_accounting: one documents scan, zero joins, and the
     bucket-partitioned prefix sum is the only exchange the plan needs
