@@ -855,3 +855,26 @@ def test_state_asof_agrees_with_history_intervals(spark, sf_oracle):
                 ), (p, uid, got, containing)
             else:
                 assert got is None, (p, uid, got)
+
+
+def test_phash_near_dup_finds_planted_twin(tmp_path, spark):
+    """mm_phash_near_dup fires live: two payloads of EQUAL byte length
+    (different content — the hash sees decoded structure, here the
+    deterministic fake of it) must pair at hamming 0; a doc of wildly
+    different length pairs with neither."""
+    from bigbugdata_spark.operators.multimodal import mm_phash_near_dup
+
+    rows = [
+        (1, "a" * 40, "en", "s", 0),
+        (2, "b" * 40, "en", "s", 0),   # same length as doc 1
+        (3, "c" * 977, "en", "s", 0),  # far away
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in mm_phash_near_dup(spark, str(tmp_path)).collect()
+    }
+    assert got.get((1, 2)) == 0
+    assert all(3 not in pair for pair in got)

@@ -489,3 +489,14 @@ def test_packing_join_free_single_prefix_sum(spark, sf):
     assert I.join_kinds(df) == []
     assert len(I.scan_info(df)) == 1
     assert I.shuffle_count(df) <= 2
+
+
+def test_phash_near_dup_no_cartesian_payload_pruned(spark, sf):
+    """mm_phash_near_dup: the candidate search is bucket equi-joins on
+    the pinned 4-int blocks frame — no all-pairs join; the one
+    documents scan reads only (doc_id, text), and the payload never
+    crosses a shuffle (only blocks and ids do)."""
+    df = SPECS["mm_phash_near_dup"].fn(spark, sf)
+    assert "CartesianProduct" not in I.plan_string(df)
+    assert len(I.scan_info(df)) == 1
+    assert I.read_columns(df)[0] == {"doc_id", "text"}
