@@ -433,6 +433,19 @@ def main() -> None:
             spark.stop()
             spark = get_spark(app_name="bigbugdata-bench-kraken")
             kraken = bench_kraken_e2e(spark)
+            # kraken runs on its own fresh session, so it gets its own
+            # canary for normalization (the query-loop canary measures a
+            # different session's window); measured AFTER the runs so a
+            # mid-bench drift shows up in it
+            kc = _spark_canary(spark)
+            kraken["spark_canary_sec"] = kc
+            if kc:
+                kraken["first_adj"] = round(
+                    kraken["first"] * SPARK_CANARY_REF_SEC / kc, 4
+                )
+                kraken["min_adj"] = round(
+                    kraken["min"] * SPARK_CANARY_REF_SEC / kc, 4
+                )
         except Exception as exc:  # noqa: BLE001
             errors["kraken_e2e"] = f"{type(exc).__name__}: {exc}"[:300]
             try:  # the restart itself may have failed: the scale probe
