@@ -878,3 +878,25 @@ def test_phash_near_dup_finds_planted_twin(tmp_path, spark):
     }
     assert got.get((1, 2)) == 0
     assert all(3 not in pair for pair in got)
+
+
+def test_incremental_dedup_equals_restricted_full_relation(spark, sf_oracle):
+    """dedup_incremental must equal the full near-dup relation restricted
+    to batch-side documents, reported from the new doc's perspective —
+    no pair invented, none lost by the asymmetric join."""
+    from bigbugdata_spark.operators.dedup import _INC_A, _INC_B, _INC_MOD, _INC_P, _INC_REM
+
+    def incoming(d):
+        return ((d * _INC_A + _INC_B) % _INC_P) % _INC_MOD == _INC_REM
+
+    full = {
+        (r["d1"], r["d2"])
+        for r in SPECS["dedup_ngram_jaccard"].fn(spark, sf_oracle).collect()
+    }
+    expected = {(a, b) for d1, d2 in full for a, b in ((d1, d2), (d2, d1)) if incoming(a)}
+    got = {
+        (r["new_id"], r["match_id"])
+        for r in SPECS["dedup_incremental"].fn(spark, sf_oracle).collect()
+    }
+    assert got == expected
+    assert got, "slice should intersect the corpus' near-dup pairs"
