@@ -107,7 +107,13 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         totals = keys.groupBy("fk").agg(
             F.sum("n").cast("long").alias("n_rows"),
-            F.count(F.lit(1)).alias("n_distinct_fk"),
+            # NOT count(*): a NULL FK contributes a keys-frame row, but
+            # COUNT(DISTINCT fk) excludes NULL on both engines — count
+            # only non-null keys so the audit stays oracle-exact when a
+            # dirty batch carries NULL foreign keys (the anti-join below
+            # still reports the NULL-key row as an orphan, also on both
+            # engines)
+            F.sum(F.col("k").isNotNull().cast("long")).alias("n_distinct_fk"),
         )
         parents = None
         for _, fk, parent, pk in rels:

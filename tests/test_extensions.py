@@ -621,7 +621,8 @@ def test_dq_rules_fire_on_corrupted_fixture(tmp_path, spark):
       "l_linestatus string, l_shipdate date")
     w("events",
       [(1, dt.datetime(2024, 1, 1, 0, 0), 1, "view", 1.0, "{}"),
-       (2, None, 1, "view", -2.0, "{}")],  # null ts + negative value
+       (2, None, 1, "view", -2.0, "{}"),  # null ts + negative value
+       (3, dt.datetime(2024, 1, 1, 1, 0), None, "view", 1.0, "{}")],  # NULL FK
       "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
     w("documents", [(1, "ok text", "en", "s", 7), (2, "   ", "en", "s", 3),
                     (3, "drift", "en", "s", 99)],
@@ -640,8 +641,33 @@ def test_dq_rules_fire_on_corrupted_fixture(tmp_path, spark):
     assert ri["lineitem->supplier"]["n_orphans"] == 1
     assert ri["orders->customer"]["n_orphans"] == 1      # cust 77
     assert ri["nation->region"]["n_orphans"] == 1        # region 99
-    assert ri["events->customer"]["n_orphans"] == 0
+    assert ri["events->customer"]["n_orphans"] == 1      # NULL user_id
+    assert ri["events->customer"]["n_distinct_fk"] == 1  # NULL excluded
+    assert ri["events->customer"]["n_rows"] == 3
     assert ri["customer->nation"]["n_orphans"] == 0
+
+    # NULL-FK edge parity: the whole RI audit must hash-match its oracle
+    # ON THE DIRTY FIXTURE too (count(*) vs COUNT(DISTINCT fk) diverge
+    # exactly here if the NULL handling slips). Spark wrote directory
+    # tables, so the views glob inside them (tests/parity.duckdb_connect
+    # expects the driver's single-file layout).
+    import duckdb
+
+    from tests.parity import compare
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet/*.parquet'"
+        )
+    ok, msg = compare(
+        dq_referential_integrity(spark, sf),
+        con,
+        SPECS["dq_referential_integrity"].oracle,
+    )
+    con.close()
+    assert ok, msg
 
     dq = {r["rule"]: r for r in dq_constraint_violations(spark, sf).collect()}
     expected = {
