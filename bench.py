@@ -436,16 +436,21 @@ def main() -> None:
             # kraken runs on its own fresh session, so it gets its own
             # canary for normalization (the query-loop canary measures a
             # different session's window); measured AFTER the runs so a
-            # mid-bench drift shows up in it
-            kc = _spark_canary(spark)
-            kraken["spark_canary_sec"] = kc
-            if kc:
-                kraken["first_adj"] = round(
-                    kraken["first"] * SPARK_CANARY_REF_SEC / kc, 4
-                )
-                kraken["min_adj"] = round(
-                    kraken["min"] * SPARK_CANARY_REF_SEC / kc, 4
-                )
+            # mid-bench drift shows up in it. Its OWN try: a canary
+            # failure must not mis-attribute an error to (or discard)
+            # the already-successful kraken result.
+            try:
+                kc = _spark_canary(spark)
+                kraken["spark_canary_sec"] = kc
+                if kc:
+                    kraken["first_adj"] = round(
+                        kraken["first"] * SPARK_CANARY_REF_SEC / kc, 4
+                    )
+                    kraken["min_adj"] = round(
+                        kraken["min"] * SPARK_CANARY_REF_SEC / kc, 4
+                    )
+            except Exception as exc:  # noqa: BLE001
+                errors["kraken_canary"] = f"{type(exc).__name__}: {exc}"[:300]
         except Exception as exc:  # noqa: BLE001
             errors["kraken_e2e"] = f"{type(exc).__name__}: {exc}"[:300]
             try:  # the restart itself may have failed: the scale probe

@@ -126,14 +126,26 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("fk")
             .agg(F.count(F.lit(1)).alias("n_orph"))
         )
-        label_expr = F.lit(None).cast("string")
-        for label, fk, _, _ in rels:
-            label_expr = F.when(F.col("fk") == fk, label).otherwise(label_expr)
+        # anchor on a literal relations frame: an EMPTY child table has
+        # no (fk, k) groups, so totals/orph carry no row for it — but
+        # the audit must still report the relation (n_rows=0 is exactly
+        # the total-outage signal a gate exists for), as the oracle's
+        # scalar-subquery form always does
+        anchor = spark.createDataFrame(
+            [(fk, label) for label, fk, _, _ in rels],
+            "fk string, relation string",
+        )
         frames.append(
-            totals.join(orph, "fk", "left").select(
-                label_expr.alias("relation"),
-                "n_rows",
-                "n_distinct_fk",
+            anchor.join(totals, "fk", "left")
+            .join(orph, "fk", "left")
+            .select(
+                "relation",
+                F.coalesce(F.col("n_rows"), F.lit(0)).cast("long").alias(
+                    "n_rows"
+                ),
+                F.coalesce(F.col("n_distinct_fk"), F.lit(0)).cast("long").alias(
+                    "n_distinct_fk"
+                ),
                 F.coalesce(F.col("n_orph"), F.lit(0)).cast("long").alias(
                     "n_orphans"
                 ),

@@ -72,9 +72,12 @@ def write_versioned(df: DataFrame, path: str) -> int:
     """Append `df` as a new committed version; returns the version id.
 
     The data lands in `data/<uuid>/` (immutable once written); the
-    commit is the manifest rename — os.replace of a same-directory temp
-    file, atomic on POSIX — so a reader never observes a version whose
-    files are incomplete."""
+    commit is an EXCLUSIVE-CREATE hard link of a same-directory temp
+    file onto `v{N}.json` — os.link fails with EEXIST if another writer
+    committed N first, in which case this writer re-reads the new head
+    and retries as N+1 (optimistic concurrency, the table-format
+    commit-conflict loop). A reader therefore never observes a torn
+    version AND no concurrent commit is ever silently overwritten."""
     base = Path(path)
     stage = f"data/{uuid.uuid4().hex}"
     df.write.parquet(str(base / stage))
@@ -82,23 +85,38 @@ def write_versioned(df: DataFrame, path: str) -> int:
         f"{stage}/{p.name}"
         for p in (base / stage).glob("*.parquet")
     )
-    prev = latest_version(path)
-    files = [] if prev is None else list(_read_manifest(path, prev)["files"])
-    files.extend(
+    new_entries = [
         {"path": f, "bytes": (base / f).stat().st_size} for f in new_files
-    )
-    version = 0 if prev is None else prev + 1
+    ]
     mdir = base / _MANIFEST_DIR
     mdir.mkdir(parents=True, exist_ok=True)
-    tmp = mdir / f".v{version}.json.tmp-{uuid.uuid4().hex}"
-    tmp.write_text(
-        json.dumps(
-            {"version": version, "files": files, "parent": prev},
-            indent=1,
+    for _ in range(64):  # commit-conflict retries; each loses at most once
+        prev = latest_version(path)
+        files = (
+            [] if prev is None else list(_read_manifest(path, prev)["files"])
         )
+        version = 0 if prev is None else prev + 1
+        tmp = mdir / f".v{version}.json.tmp-{uuid.uuid4().hex}"
+        tmp.write_text(
+            json.dumps(
+                {
+                    "version": version,
+                    "files": files + new_entries,
+                    "parent": prev,
+                },
+                indent=1,
+            )
+        )
+        try:
+            os.link(tmp, _manifest_path(path, version))
+            return version
+        except FileExistsError:  # lost the race: rebase on the new head
+            continue
+        finally:
+            tmp.unlink(missing_ok=True)
+    raise RuntimeError(
+        f"write_versioned: gave up after 64 commit conflicts at {path}"
     )
-    os.replace(tmp, _manifest_path(path, version))
-    return version
 
 
 def read_versioned(

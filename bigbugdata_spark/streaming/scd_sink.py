@@ -254,19 +254,28 @@ def evt_state_history_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     reproduce the one-shot batch derivation hash-exactly, which pins
     the fusion logic (vf/first_eid preservation, n_events summing,
     valid_to chaining across slice boundaries) at value level."""
+    import shutil
     import tempfile
 
     base = tempfile.mkdtemp(prefix="bigbugdata-scd2-")
-    src, out, ckpt = f"{base}/src", f"{base}/table", f"{base}/ckpt"
-    ev = table(spark, sf_dir, "events")
-    bounds = (None, *_SLICE_BOUNDS, None)
-    for i in range(len(bounds) - 1):
-        sl = ev
-        if bounds[i] is not None:
-            sl = sl.filter(F.col("ts") >= F.lit(bounds[i]).cast("timestamp"))
-        if bounds[i + 1] is not None:
-            sl = sl.filter(F.col("ts") < F.lit(bounds[i + 1]).cast("timestamp"))
-        # one file per slice: slice == trigger under maxFilesPerTrigger=1
-        sl.coalesce(1).write.mode("overwrite").parquet(f"{src}/slice_{i}")
-    run_scd2_stream_sink(spark, f"{src}/slice_*/*.parquet", out, ckpt)
-    return read_state_history(spark, out)
+    try:
+        src, out, ckpt = f"{base}/src", f"{base}/table", f"{base}/ckpt"
+        ev = table(spark, sf_dir, "events")
+        bounds = (None, *_SLICE_BOUNDS, None)
+        for i in range(len(bounds) - 1):
+            sl = ev
+            if bounds[i] is not None:
+                sl = sl.filter(F.col("ts") >= F.lit(bounds[i]).cast("timestamp"))
+            if bounds[i + 1] is not None:
+                sl = sl.filter(
+                    F.col("ts") < F.lit(bounds[i + 1]).cast("timestamp")
+                )
+            # one file per slice: slice == trigger under maxFilesPerTrigger=1
+            sl.coalesce(1).write.mode("overwrite").parquet(f"{src}/slice_{i}")
+        run_scd2_stream_sink(spark, f"{src}/slice_*/*.parquet", out, ckpt)
+        # eager checkpoint so the returned frame no longer depends on the
+        # scratch tree, which is deleted immediately — repeated bench/
+        # parity invocations must not accumulate corpus-sized /tmp copies
+        return read_state_history(spark, out).localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

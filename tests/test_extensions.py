@@ -926,3 +926,56 @@ def test_incremental_dedup_equals_restricted_full_relation(spark, sf_oracle):
     }
     assert got == expected
     assert got, "slice should intersect the corpus' near-dup pairs"
+
+
+def test_ri_reports_empty_child_tables(tmp_path, spark):
+    """An EMPTY child table is the strongest referential-integrity
+    signal there is (total feed outage) — the audit must still emit the
+    relation row with zeros, exactly as the oracle's scalar-subquery
+    form does (code-review r7: the stack/groupBy rewrite initially
+    dropped such rows)."""
+    import datetime as dt
+
+    import duckdb
+
+    from bigbugdata_spark.operators.dq import dq_referential_integrity
+    from tests.parity import compare
+
+    sf = str(tmp_path)
+
+    def w(name, rows, schema):
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            f"{sf}/{name}.parquet"
+        )
+
+    w("region", [(1, "r")], "r_regionkey long, r_name string")
+    w("nation", [(1, "n", 1)], "n_nationkey long, n_name string, n_regionkey long")
+    w("customer", [(1, "c", 1)], "c_custkey long, c_name string, c_nationkey long")
+    w("supplier", [(1, "s", 1)], "s_suppkey long, s_name string, s_nationkey long")
+    w("part", [(1, "p")], "p_partkey long, p_name string")
+    w("orders", [(1, 1, dt.date(2024, 1, 1))],
+      "o_orderkey long, o_custkey long, o_orderdate date")
+    # EMPTY children: lineitem and events
+    w("lineitem", [], "l_orderkey long, l_partkey long, l_suppkey long")
+    w("events", [], "event_id long, ts timestamp, user_id long")
+
+    ri = {r["relation"]: r for r in dq_referential_integrity(spark, sf).collect()}
+    assert len(ri) == 8  # every relation present, including empty children
+    for rel in ("lineitem->orders", "lineitem->part", "lineitem->supplier",
+                "events->customer"):
+        assert (ri[rel]["n_rows"], ri[rel]["n_distinct_fk"],
+                ri[rel]["n_orphans"]) == (0, 0, 0), (rel, ri[rel])
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet/*.parquet'"
+        )
+    ok, msg = compare(
+        dq_referential_integrity(spark, sf),
+        con,
+        SPECS["dq_referential_integrity"].oracle,
+    )
+    con.close()
+    assert ok, msg
