@@ -423,3 +423,62 @@ def pipe_governed_corpus(
             F.sum("_len").alias("total_chars"),
         )
     )
+
+
+@register(
+    "corpus_version_diff",
+    oracle="""
+        SELECT CAST(0 AS INT) AS version, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents WHERE lang = 'en' GROUP BY lang
+        UNION ALL
+        SELECT CAST(1 AS INT), lang,
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(n_chars) AS BIGINT)
+        FROM documents GROUP BY lang
+    """,
+    tags=("corpus", "storage", "agg"),
+)
+def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version accounting through the MANIFEST-VERSIONED table
+    (round 7 — puts sources/versioned.py under the driver's hash gate,
+    not just layout tests): commit v0 = the English slice, commit v1
+    appending every other language, then TIME-TRAVEL READ both versions
+    and report per-(version, lang) document/char totals — the dataset
+    card a governed pipeline publishes per corpus release ("v1 added
+    2.1M German docs"). Both reads go through read_versioned's pinned
+    file lists, so a wrong manifest (lost commit, leaked file, torn
+    read) shifts the counts and fails the hash compare.
+
+    Scale: commits are file-count-sized manifest writes; the accounting
+    is one map-side-combinable aggregate per version read. Scratch tree
+    is deleted after an eager checkpoint, as in the SCD2 twin."""
+    import shutil
+    import tempfile
+
+    from bigbugdata_spark.sources.versioned import (
+        read_versioned,
+        write_versioned,
+    )
+
+    base = tempfile.mkdtemp(prefix="bigbugdata-vdiff-")
+    try:
+        path = f"{base}/corpus"
+        docs = table(spark, sf_dir, "documents")
+        v0 = write_versioned(docs.filter(F.col("lang") == "en"), path)
+        v1 = write_versioned(docs.filter(F.col("lang") != "en"), path)
+        snap = read_versioned(spark, path, v0).select(
+            F.lit(0).cast("int").alias("version"), "lang", "n_chars"
+        ).unionByName(
+            read_versioned(spark, path, v1).select(
+                F.lit(1).cast("int").alias("version"), "lang", "n_chars"
+            )
+        )
+        out = snap.groupBy("version", "lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
