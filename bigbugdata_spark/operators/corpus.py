@@ -482,3 +482,59 @@ def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# quality-weighted sampling draw (fresh affine constants — must not
+# correlate with the split/mix/seed/incremental-batch hashes)
+_QW_A, _QW_B, _QW_P = 76_543, 911, 1_000_000_007
+_QW_DRAW_SQL = f"((doc_id * {_QW_A} + {_QW_B}) % {_QW_P}) % 1000"
+
+# order-safe module import: text precedes corpus in _QUERY_MODULES, so
+# pulling its shared quality definition here cannot perturb the cap
+from bigbugdata_spark.operators.text import QUALITY_SQL as _QUALITY_SQL  # noqa: E402
+
+
+@register(
+    "corpus_quality_weighted_sample",
+    oracle=f"""
+        WITH q AS ({_QUALITY_SQL})
+        SELECT doc_id,
+               CAST(ROUND(quality * 1000) AS BIGINT) AS q_milli,
+               CAST({_QW_DRAW_SQL} AS BIGINT) AS draw
+        FROM q
+        WHERE {_QW_DRAW_SQL} < ROUND(quality * 1000)
+    """,
+    tags=("corpus", "text", "filter"),
+)
+def corpus_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted downsampling — the non-uniform cousin of
+    corpus_mix_sample: each document's acceptance PROBABILITY is its
+    quality score (text_quality_score's 0..1 rule sum), realized by a
+    deterministic affine-hash draw in [0, 1000) against the score in
+    milli-units. High-quality docs survive at ~their score rate,
+    zero-quality docs never — the standard quality-proportional
+    retention a pretraining mix applies, but ingest-stable and
+    reproducible (re-running the pipeline keeps exactly the same
+    documents; no RNG, no sampling drift between runs).
+
+    Determinism discipline: the draw is pure integer arithmetic on
+    doc_id; the threshold ROUND(quality*1000) is computed from the
+    SHARED quality expression (text.QUALITY_SQL / text_quality_score),
+    so both engines compare identical integers — fp quality sums like
+    0.4+0.3 round identically because the expression tree is identical.
+    Plan: per-row expressions only, no shuffle; the filter composes
+    with the scan's column pruning."""
+    # deferred import keeps registration order exact under load_all
+    from bigbugdata_spark.operators.text import text_quality_score
+
+    q = text_quality_score(spark, sf_dir)
+    draw = (F.col("doc_id") * _QW_A + _QW_B) % _QW_P % 1000
+    thresh = F.round(F.col("quality") * 1000)
+    return (
+        q.select(
+            "doc_id",
+            thresh.cast("long").alias("q_milli"),
+            draw.cast("long").alias("draw"),
+        )
+        .filter(F.col("draw") < F.col("q_milli"))
+    )

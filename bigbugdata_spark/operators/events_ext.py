@@ -345,3 +345,94 @@ def evt_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("vf", _TS_FMT).alias("since"),
         )
     )
+
+
+_CDC_T1, _CDC_T2 = "2024-01-12 00:00:00", "2024-01-26 00:00:00"
+
+
+@register(
+    "evt_state_cdc",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_type, ts, event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                 - ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS island
+            FROM events
+        ),
+        runs AS (
+            SELECT user_id, event_type AS state, island,
+                   MIN(ts) AS vf, MIN(event_id) AS first_eid
+            FROM seq GROUP BY user_id, event_type, island
+        ),
+        s1 AS (
+            SELECT user_id, state FROM (
+                SELECT user_id, state,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY vf DESC, first_eid DESC) AS rn
+                FROM runs WHERE vf <= TIMESTAMP '{_CDC_T1}'
+            ) WHERE rn = 1
+        ),
+        s2 AS (
+            SELECT user_id, state FROM (
+                SELECT user_id, state,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY vf DESC, first_eid DESC) AS rn
+                FROM runs WHERE vf <= TIMESTAMP '{_CDC_T2}'
+            ) WHERE rn = 1
+        )
+        SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+               s1.state AS state_t1, s2.state AS state_t2,
+               CASE WHEN s1.user_id IS NULL THEN 'new'
+                    WHEN s2.user_id IS NULL THEN 'gone'
+                    ELSE 'changed' END AS change
+        FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id
+        WHERE s1.state IS DISTINCT FROM s2.state
+    """,
+    tags=("events", "window", "join"),
+)
+def evt_state_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-transition CDC between two instants — the change feed a
+    downstream consumer subscribes to instead of re-reading the whole
+    SCD2 table: per user whose state at T2 differs from T1, the old and
+    new states plus a change class ('new' users had no state at T1;
+    'gone' cannot occur on an append-only log but the contract keeps the
+    full outer semantics honest). Audit shape of "who moved this
+    fortnight" on the same run set the whole SCD2 family shares.
+
+    Plan: the run collapse is the one event-sized stage; both as-of
+    picks are windows over the SAME user_id partitioning (one exchange
+    serves them), and the full outer join moves user-cardinality rows.
+    At 100 TB the picks read the maintained run table (scd_sink lake)
+    instead of re-deriving runs."""
+    from bigbugdata_spark.operators.scd import runs_from_events
+
+    runs = runs_from_events(table(spark, sf_dir, "events"))
+
+    def pick(t: str, out: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("vf").desc(), F.col("first_eid").desc()
+        )
+        return (
+            runs.filter(F.col("vf") <= F.lit(t).cast("timestamp"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("user_id").alias(f"u_{out}"), F.col("state").alias(out))
+        )
+
+    s1, s2 = pick(_CDC_T1, "state_t1"), pick(_CDC_T2, "state_t2")
+    j = s1.join(s2, s1.u_state_t1 == s2.u_state_t2, "full_outer")
+    return (
+        j.filter(~F.col("state_t1").eqNullSafe(F.col("state_t2")))
+        .select(
+            F.coalesce(F.col("u_state_t1"), F.col("u_state_t2")).alias("user_id"),
+            "state_t1",
+            "state_t2",
+            F.when(F.col("u_state_t1").isNull(), "new")
+            .when(F.col("u_state_t2").isNull(), "gone")
+            .otherwise("changed")
+            .alias("change"),
+        )
+    )

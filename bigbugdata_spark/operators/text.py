@@ -166,9 +166,10 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "true_lang", pred.alias("pred_lang"))
 
 
-@register(
-    "text_quality_score",
-    oracle=f"""
+# shared with corpus.py's quality-weighted sampler — one definition of
+# "quality" on both engines, so the sampler's acceptance threshold can
+# never drift from the registered score
+QUALITY_SQL = f"""
         WITH base AS (
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars_obs,
@@ -187,7 +188,12 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.01 THEN 0.3 ELSE 0.0 END
                ) AS quality
         FROM base
-    """,
+"""
+
+
+@register(
+    "text_quality_score",
+    oracle=QUALITY_SQL,
     tags=("text", "project"),
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
