@@ -120,11 +120,23 @@ def write_versioned(df: DataFrame, path: str) -> int:
 
 
 def read_versioned(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """The table exactly as of `version` (default: latest). Raises
     FileNotFoundError for a version never committed — a pinned run
-    failing loudly beats silently reading a different corpus."""
+    failing loudly beats silently reading a different corpus.
+
+    `merge_schema=True` is the SCHEMA-EVOLUTION read: when a later
+    commit added columns (the standard additive evolution an append-only
+    corpus sees — a new quality_score, a new provenance tag), the merged
+    read null-extends older files; without it Spark samples one footer
+    and older versions' readers stay pinned to their own schema — both
+    behaviors are correct, the flag states which contract the caller
+    wants. Non-additive changes (type flips) fail loudly at read, as
+    they should."""
     v = latest_version(path) if version is None else version
     if v is None or not _manifest_path(path, v).exists():
         raise FileNotFoundError(f"no committed version {version!r} at {path}")
@@ -133,7 +145,10 @@ def read_versioned(
     file_paths = [str(base / f["path"]) for f in m["files"]]
     if not file_paths:
         raise FileNotFoundError(f"version {v} at {path} lists no files")
-    return spark.read.parquet(*file_paths)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*file_paths)
 
 
 def versions(path: str) -> list[dict]:

@@ -98,3 +98,27 @@ def test_versioned_concurrent_commits_lose_nothing(tmp_path, spark):
     # every intermediate version is readable and monotone in size
     sizes = [read_versioned(spark, path, v).count() for v in range(8)]
     assert sizes == sorted(sizes) and sizes[-1] == 8
+
+
+def test_versioned_additive_schema_evolution(tmp_path, spark):
+    """Additive evolution: a later commit adds a column; the merged read
+    of the head sees it null-extended over old files, while a PINNED
+    read of the old version keeps exactly the old schema (a reproducing
+    training job must not suddenly see new columns)."""
+    path = str(tmp_path / "corpus")
+    write_versioned(
+        spark.createDataFrame([(1, "a")], "doc_id long, text string"), path
+    )
+    write_versioned(
+        spark.createDataFrame(
+            [(2, "b", 0.9)], "doc_id long, text string, quality double"
+        ),
+        path,
+    )
+    head = read_versioned(spark, path, merge_schema=True)
+    assert set(head.columns) == {"doc_id", "text", "quality"}
+    rows = {r["doc_id"]: r["quality"] for r in head.collect()}
+    assert rows == {1: None, 2: 0.9}
+    pinned = read_versioned(spark, path, 0)
+    assert set(pinned.columns) == {"doc_id", "text"}
+    assert pinned.count() == 1
