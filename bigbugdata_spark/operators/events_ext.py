@@ -407,9 +407,12 @@ def evt_state_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     serves them), and the full outer join moves user-cardinality rows.
     At 100 TB the picks read the maintained run table (scd_sink lake)
     instead of re-deriving runs."""
+    from bigbugdata_spark.caching import pin
     from bigbugdata_spark.operators.scd import runs_from_events
 
-    runs = runs_from_events(table(spark, sf_dir, "events"))
+    # pinned: the change-bounded run set feeds BOTH as-of picks —
+    # without it each pick re-scans and re-collapses the event log
+    runs = pin(runs_from_events(table(spark, sf_dir, "events")))
 
     def pick(t: str, out: str) -> DataFrame:
         w = Window.partitionBy("user_id").orderBy(

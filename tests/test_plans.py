@@ -500,3 +500,33 @@ def test_phash_near_dup_no_cartesian_payload_pruned(spark, sf):
     assert "CartesianProduct" not in I.plan_string(df)
     assert len(I.scan_info(df)) == 1
     assert I.read_columns(df)[0] == {"doc_id", "text"}
+
+
+def test_dedup_incremental_one_scan_no_cartesian(spark, sf):
+    """dedup_incremental: the pinned gram frame serves sizes and both
+    asymmetric join sides — one documents scan pruned to (doc_id, text),
+    all joins keyed (the batch side filters BEFORE the join)."""
+    df = SPECS["dedup_incremental"].fn(spark, sf)
+    assert len(I.scan_info(df)) == 1
+    assert I.read_columns(df)[0] == {"doc_id", "text"}
+    assert "CartesianProduct" not in I.plan_string(df)
+
+
+def test_state_cdc_pinned_runs_single_scan(spark, sf):
+    """evt_state_cdc: the change-bounded run set is pinned and feeds
+    both as-of picks — one events scan; the final join moves
+    user-cardinality rows through hash joins only."""
+    df = SPECS["evt_state_cdc"].fn(spark, sf)
+    assert len(I.scan_info(df)) == 1
+    assert "CartesianProduct" not in I.plan_string(df)
+
+
+def test_quality_weighted_sample_map_only(spark, sf):
+    """corpus_quality_weighted_sample is a pure map-side filter: one
+    pruned scan, zero joins, zero shuffles — the cheapest possible
+    sampling plan, which is the point of hash-draw sampling."""
+    df = SPECS["corpus_quality_weighted_sample"].fn(spark, sf)
+    assert len(I.scan_info(df)) == 1
+    assert I.read_columns(df)[0] == {"doc_id", "text"}
+    assert I.join_kinds(df) == []
+    assert I.shuffle_count(df) == 0
