@@ -91,6 +91,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.streaming.joins",
     "bigbugdata_spark.streaming.stateful",
     "bigbugdata_spark.streaming.scd_sink",
+    "bigbugdata_spark.streaming.enrich",
     "bigbugdata_spark.operators.corpus",
     "bigbugdata_spark.operators.dedup",
     "bigbugdata_spark.operators.similarity_ext",

@@ -329,3 +329,24 @@ def test_scd2_incremental_sink_matches_batch_and_is_idempotent(
         > mtimes[d]
     ]
     assert len(touched) == 1, touched
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_oracle):
+    """The stream-static enrichment join (streaming/enrich.py): the
+    availableNow complete-mode result must equal the batch twin of the
+    same shared plan row-for-row (the registered oracle additionally
+    re-derives it in DuckDB)."""
+    from bigbugdata_spark.registry import load_all
+    from bigbugdata_spark.streaming.enrich import batch_enriched_totals
+
+    specs = load_all()
+    streamed = {
+        (r["mktsegment"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in specs["evt_stream_enriched_totals"].fn(spark, sf_oracle).collect()
+    }
+    batch = {
+        (r["mktsegment"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in batch_enriched_totals(spark, sf_oracle).collect()
+    }
+    assert streamed == batch
+    assert streamed  # non-degenerate: events do join the dimension
