@@ -276,3 +276,116 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(F.sum("volume_e4").alias("revenue_e4"))
     )
+
+
+BASKET_MIN_SUPPORT = 2
+BASKET_TOP_K = 100
+
+
+@register(
+    "orders_market_basket",
+    oracle=f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        totals AS (
+            SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+            FROM items
+        ),
+        cnt AS (
+            SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM items
+            GROUP BY l_partkey
+        ),
+        sup AS (
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                   CAST(COUNT(*) AS BIGINT) AS support
+            FROM items a
+            JOIN items b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+            GROUP BY p1, p2
+            HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+        )
+        SELECT p1, p2, support,
+               CAST(support * n_orders AS DOUBLE)
+                   / CAST(n1 * n2 AS DOUBLE) AS lift,
+               CAST(rnk AS INT) AS rnk
+        FROM (
+            SELECT sup.*, n_orders, c1.n AS n1, c2.n AS n2,
+                   ROW_NUMBER() OVER (
+                       ORDER BY support DESC, p1 ASC, p2 ASC) AS rnk
+            FROM sup CROSS JOIN totals
+            JOIN cnt c1 ON sup.p1 = c1.l_partkey
+            JOIN cnt c2 ON sup.p2 = c2.l_partkey
+        )
+        WHERE rnk <= {BASKET_TOP_K}
+    """,
+    tags=("tpch", "join", "window", "agg"),
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining (round 7 — the association-
+    analytics query class, absent from both the reference and TPC-H):
+    the top-{BASKET_TOP_K} part PAIRS by the number of orders containing
+    both (support >= {BASKET_MIN_SUPPORT}), with the lift ratio
+    support·N / (n1·n2) — lift > 1 means the parts co-occur more than
+    independence predicts, the signal behind "frequently bought
+    together".
+
+    Plan: distinct (order, part) items [one shuffle], a self-equi-join
+    ON THE ORDER KEY whose pair expansion is bounded by basket size
+    squared per order (baskets are naturally small — max 13 here; a
+    degenerate mega-basket is the same hazard class as a hot gram, and
+    the same cap valve applies), a (p1, p2) aggregate, part-cardinality
+    count joins that broadcast, and one global top-k window over the
+    support-filtered pair set. Determinism: support and the per-part
+    counts are exact integers; lift is one fp64 division of exact
+    integer products; the ranking is total-ordered (support DESC, p1,
+    p2)."""
+    from bigbugdata_spark.caching import pin
+
+    items = pin(
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    totals = items.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = items.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2")
+    )
+    sup = (
+        a.join(b, (a.o == b.o) & (F.col("p1") < F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= BASKET_MIN_SUPPORT)
+    )
+    from pyspark.sql import Window
+
+    ranked = (
+        sup.crossJoin(F.broadcast(totals))
+        .join(
+            F.broadcast(cnt.select(F.col("l_partkey").alias("p1"), F.col("n").alias("n1"))),
+            "p1",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("l_partkey").alias("p2"), F.col("n").alias("n2"))),
+            "p2",
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("support"), F.asc("p1"), F.asc("p2"))
+            ),
+        )
+        .filter(F.col("rnk") <= BASKET_TOP_K)
+    )
+    lift = (F.col("support") * F.col("n_orders")).cast("double") / (
+        F.col("n1") * F.col("n2")
+    ).cast("double")
+    return ranked.select(
+        "p1", "p2", "support", lift.alias("lift"), F.col("rnk").cast("int").alias("rnk")
+    )

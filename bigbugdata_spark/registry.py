@@ -53,15 +53,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # rotated-out queries remain continuously re-proven by the identical
 # local gate in tests/test_oracle_parity.py.
 #
-# Round-8 rotation plan: rotate IN the ten r7-new past-cap queries
+# Round-8 rotation plan: rotate IN the eleven r7-new past-cap queries
 # (dq_volume_anomaly in dq_ext; evt_state_asof + evt_state_cdc in
 # events_ext; text_rare_token_ratio in text, mm_phash_near_dup in
 # multimodal, dedup_incremental in dedup, corpus_version_diff +
 # corpus_quality_weighted_sample in corpus,
 # evt_state_history_incremental in scd_sink,
-# evt_stream_enriched_totals in streaming/enrich — most live in
-# multi-query modules and need the single-query-module split treatment
-# scd got, or their module rotated whole) plus tpch (6) and
+# evt_stream_enriched_totals in streaming/enrich,
+# orders_market_basket in tpch_ext — most live in multi-query modules
+# and need the single-query-module split treatment scd got, or their
+# module rotated whole) plus tpch (6) and
 # tpch_ext (5), whose r4 verdicts are the oldest remaining; rotate OUT
 # tpch_full and text_ext (fresh r7 verdicts) and as many §2-adjacent
 # slots as the cap demands — never the 20 §2 ops, the 5 audit twins,
