@@ -685,3 +685,44 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_id", "match_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
     )
+
+
+@register(
+    "dedup_cluster_sizes",
+    oracle=f"""
+        WITH labels AS ({_CLUSTER_KEEP_SQL}),
+        per_cluster AS (
+            SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM labels GROUP BY cluster_rep
+        )
+        SELECT cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+               CAST(SUM(cluster_size - 1) AS BIGINT) AS n_droppable
+        FROM per_cluster GROUP BY cluster_size
+    """,
+    tags=("dedup", "iterative", "agg"),
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size HISTOGRAM — the dataset-card view of the
+    clustering (round 7): per cluster size, how many components exist,
+    how many documents they hold, and how many a keep-one policy drops.
+    This is the number a dedup report actually publishes ("0.8% of the
+    corpus sits in 214 duplicate clusters, largest of size 9") and the
+    early-warning for pathological clustering (one giant component =
+    a threshold or boilerplate problem).
+
+    Plan: the connected-components labels (min-label propagation,
+    dedup_cluster_keep's loop) roll up twice — cluster_rep then
+    cluster_size — both map-side-combinable aggregates over the
+    label frame; output is histogram-sized. The oracle re-derives the
+    fixpoint via the recursive CTE and the same double rollup."""
+    labels = dedup_cluster_keep(spark, sf_dir)
+    per_cluster = labels.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return per_cluster.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+        F.sum(F.col("cluster_size") - 1).alias("n_droppable"),
+    )

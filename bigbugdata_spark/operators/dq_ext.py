@@ -93,3 +93,67 @@ def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+# (table, primary-key column) — every base table's uniqueness contract
+PK_COLUMNS = (
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+)
+
+_PK_SQL = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{tbl}' AS tbl,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT {pk}) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT {pk}) AS BIGINT) AS n_extra_rows,
+           CAST(SUM(CASE WHEN {pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_keys
+    FROM {tbl}
+    """
+    for tbl, pk in PK_COLUMNS
+)
+
+
+@register(
+    "dq_pk_uniqueness",
+    oracle=_PK_SQL,
+    tags=("dq", "agg"),
+)
+def dq_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit — the third leg of the canonical
+    ingest-gate trio (referential integrity, constraint rules, PK
+    uniqueness): per base table, row count, distinct key count, how many
+    EXTRA rows duplicate keys account for, and how many NULL keys exist
+    (COUNT(DISTINCT) ignores NULLs on both engines, so they are counted
+    separately — a NULL key is its own defect class, not a duplicate).
+    A replayed ingest or a bad merge shows up here before any downstream
+    join silently fans out.
+
+    Plan: ONE conditional aggregate per table (count + distinct-count +
+    null-count in a single scan with map-side partials) — the same
+    cheapest-audit shape as dq_constraint_violations; output is
+    table-count-sized."""
+    frames = []
+    for tbl, pk in PK_COLUMNS:
+        t = table(spark, sf_dir, tbl)
+        frames.append(
+            t.agg(
+                F.lit(tbl).alias("tbl"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(pk).alias("n_distinct"),
+                (F.count(F.lit(1)) - F.countDistinct(pk)).alias("n_extra_rows"),
+                F.sum(F.col(pk).isNull().cast("long")).alias("n_null_keys"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out

@@ -53,10 +53,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # rotated-out queries remain continuously re-proven by the identical
 # local gate in tests/test_oracle_parity.py.
 #
-# Round-8 rotation plan: rotate IN the eleven r7-new past-cap queries
-# (dq_volume_anomaly in dq_ext; evt_state_asof + evt_state_cdc in
-# events_ext; text_rare_token_ratio in text, mm_phash_near_dup in
-# multimodal, dedup_incremental in dedup, corpus_version_diff +
+# Round-8 rotation plan: rotate IN the thirteen r7-new past-cap
+# queries (dq_volume_anomaly + dq_pk_uniqueness in dq_ext;
+# evt_state_asof + evt_state_cdc in events_ext; text_rare_token_ratio
+# in text, mm_phash_near_dup in multimodal, dedup_incremental +
+# dedup_cluster_sizes in dedup, corpus_version_diff +
 # corpus_quality_weighted_sample in corpus,
 # evt_state_history_incremental in scd_sink,
 # evt_stream_enriched_totals in streaming/enrich,
