@@ -43,6 +43,36 @@ JACCARD_PAIRS_SQL = f"""
     WHERE CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) >= {JACCARD_T}
 """
 
+# Shared by the exact and LSH cluster-keep registrations (operators/dedup.py)
+# AND the cluster-size histogram's early-slot twin (operators/dedup_incr.py):
+# connected components over the verified near-dup pair graph, as a DuckDB
+# recursive CTE (transitive closure -> min reachable id). Both Spark variants
+# produce the identical pair set on this corpus (banding miss probability
+# <= 4e-8 at its J >= 0.9 level; tests assert set equality), so one
+# ground-truth oracle serves all of them. Lives here (not dedup.py) so the
+# driver-cap split module can build its oracle without importing — and
+# thereby registering — the whole dedup family first.
+CLUSTER_KEEP_SQL = f"""
+    WITH RECURSIVE pairs AS ({JACCARD_PAIRS_SQL}),
+    edges AS (
+        SELECT d1 AS a, d2 AS b FROM pairs
+        UNION
+        SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT doc_id,
+           CAST(LEAST(doc_id, COALESCE(MIN(r.b), doc_id)) AS BIGINT)
+               AS cluster_rep,
+           CAST(doc_id = LEAST(doc_id, COALESCE(MIN(r.b), doc_id)) AS INT)
+               AS keep
+    FROM documents LEFT JOIN reach r ON doc_id = r.a
+    GROUP BY doc_id
+"""
+
 # --- text family -----------------------------------------------------------
 
 STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "it", "on", "for")
@@ -52,6 +82,36 @@ CHUNK_SIZE, CHUNK_STRIDE = 32, 24  # 8-token overlap
 
 def sql_list(words: tuple[str, ...]) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# THE definition of document "quality" (length band, punctuation ratio,
+# stopword presence — the C4/Gopher-style rule family), shared by
+# operators/text.py (text_quality_score), operators/corpus_version.py
+# (corpus_quality_weighted_sample's acceptance threshold) and
+# operators/pipeline.py. One expression tree on both engines so the
+# sampler's threshold can never drift from the registered score; lives
+# here so the driver-cap split modules can build their oracles without
+# importing (and registering) the whole text family first.
+QUALITY_SQL = f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_obs,
+                   CAST(len({H.sql_tokens('text')}) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_punct,
+                   CAST(len(list_filter({H.sql_tokens('text')},
+                        t -> list_contains({sql_list(STOPWORDS)}, t))) AS BIGINT) AS n_stop
+            FROM documents
+        )
+        SELECT doc_id, n_chars_obs, n_tokens,
+               CAST(n_chars_obs AS DOUBLE) / n_tokens AS chars_per_token,
+               CAST(n_punct AS DOUBLE) / n_chars_obs AS punct_ratio,
+               CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+               (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 0.4 ELSE 0.0 END
+                + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars_obs < 0.1 THEN 0.3 ELSE 0.0 END
+                + CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.01 THEN 0.3 ELSE 0.0 END
+               ) AS quality
+        FROM base
+"""
 
 
 # --- events family ---------------------------------------------------------

@@ -47,6 +47,7 @@ from bigbugdata_spark.caching import pin
 from bigbugdata_spark.catalog import table
 from bigbugdata_spark.functions import hashing as H
 from bigbugdata_spark.functions.fragments import (
+    CLUSTER_KEEP_SQL as _CLUSTER_KEEP_SQL,
     COSINE_T,
     EMB_DIM as _EMB_DIM,
     EMB_LSH_BITS as _BITS_PER_TABLE,
@@ -129,32 +130,10 @@ def _bucket_pairs(
     )
 
 
-# Shared by the exact and LSH cluster-keep registrations: connected
-# components over the verified near-dup pair graph, as a DuckDB
-# recursive CTE (transitive closure -> min reachable id). Both Spark
-# variants produce the identical pair set on this corpus (banding miss
-# probability <= 4e-8 at its J >= 0.9 level; tests assert set equality),
-# so one ground-truth oracle serves both.
-_CLUSTER_KEEP_SQL = f"""
-    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
-    edges AS (
-        SELECT d1 AS a, d2 AS b FROM pairs
-        UNION
-        SELECT d2 AS a, d1 AS b FROM pairs
-    ),
-    reach(a, b) AS (
-        SELECT a, b FROM edges
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-    )
-    SELECT doc_id,
-           CAST(LEAST(doc_id, COALESCE(MIN(r.b), doc_id)) AS BIGINT)
-               AS cluster_rep,
-           CAST(doc_id = LEAST(doc_id, COALESCE(MIN(r.b), doc_id)) AS INT)
-               AS keep
-    FROM documents LEFT JOIN reach r ON doc_id = r.a
-    GROUP BY doc_id
-"""
+# The connected-components oracle (CLUSTER_KEEP_SQL) moved to
+# functions/fragments.py in round 8 so the driver-cap split module
+# operators/dedup_incr.py can build its histogram oracle without
+# importing (and registering) this family first.
 
 
 # Registered FIRST in this module on purpose: the driver's correctness
@@ -591,138 +570,7 @@ def dedup_emb_lsh(
     )
 
 
-# ---------------------------------------------------------------------------
-# incremental ingest dedup (round 7)
-# ---------------------------------------------------------------------------
-
-# deterministic affine-hash "today's batch" predicate (~10% of docs);
-# distinct constants from the split/mix/seed hashes so the slice does
-# not correlate with any other assignment
-_INC_A, _INC_B, _INC_P, _INC_MOD, _INC_REM = 94_651, 10_399, 1_000_000_007, 10, 3
-_INC_PRED_SQL = (
-    f"((doc_id * {_INC_A} + {_INC_B}) % {_INC_P}) % {_INC_MOD} = {_INC_REM}"
-)
-
-
-def _incoming_col():
-    return (
-        (F.col("doc_id") * _INC_A + _INC_B) % _INC_P % _INC_MOD == _INC_REM
-    )
-
-
-@register(
-    "dedup_incremental",
-    oracle=f"""
-        WITH sh AS (
-            SELECT doc_id,
-                   {H.sql_shingle_hashes(H.sql_word_hashes(H.sql_tokens('text')))}
-                       AS grams
-            FROM documents
-        ),
-        grams AS (
-            SELECT doc_id, unnest(grams) AS g FROM sh WHERE len(grams) > 0
-        ),
-        sizes AS (
-            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
-            FROM grams GROUP BY doc_id
-        ),
-        newg AS (SELECT * FROM grams WHERE {_INC_PRED_SQL}),
-        common AS (
-            SELECT n.doc_id AS new_id, c.doc_id AS match_id,
-                   CAST(COUNT(*) AS BIGINT) AS c
-            FROM newg n JOIN grams c ON n.g = c.g AND n.doc_id <> c.doc_id
-            GROUP BY n.doc_id, c.doc_id
-        )
-        SELECT new_id, match_id,
-               CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) AS jaccard
-        FROM common
-        JOIN sizes s1 ON common.new_id = s1.doc_id
-        JOIN sizes s2 ON common.match_id = s2.doc_id
-        WHERE CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) >= {JACCARD_T}
-    """,
-    tags=("dedup", "join"),
-)
-def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INGEST-SHAPED near-dup detection (round 7): for every document in
-    "today's batch" (a deterministic ~10% affine-hash slice standing in
-    for the daily arrival), its near-dup partners ANYWHERE in the corpus
-    — (new_id, match_id, jaccard), both directions when two new docs
-    collide. This is the query a production pipeline actually runs per
-    ingest cycle: the decision "admit or drop this new document" needs
-    new-vs-corpus pairs only, never corpus-vs-corpus.
-
-    THE scale point: the inverted-index join is ASYMMETRIC — the
-    exploded gram frame is built once (pinned; also serving sizes), but
-    only the batch slice's grams enter the join's left side, so pair
-    expansion is bounded by |batch| x matches instead of the corpus-
-    squared cost a full-dedup re-run would pay per day. At 100 TB with
-    a 0.1% daily batch that asymmetry is the difference between a
-    nightly job and an impossibility; the stop-gram cap story from
-    dedup_ngram_jaccard applies to the shared gram key unchanged."""
-    sh = _doc_shingles(spark, sf_dir)
-    grams = pin(sh.select("doc_id", F.explode("grams").alias("g")))
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    newg = grams.filter(_incoming_col())
-    common = (
-        newg.alias("n")
-        .join(
-            grams.alias("c"),
-            (F.col("n.g") == F.col("c.g"))
-            & (F.col("n.doc_id") != F.col("c.doc_id")),
-        )
-        .groupBy(
-            F.col("n.doc_id").alias("new_id"),
-            F.col("c.doc_id").alias("match_id"),
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    s1 = sizes.select(F.col("doc_id").alias("new_id"), F.col("sz").alias("sz1"))
-    s2 = sizes.select(F.col("doc_id").alias("match_id"), F.col("sz").alias("sz2"))
-    jac = F.col("c").cast("double") / (F.col("sz1") + F.col("sz2") - F.col("c"))
-    return (
-        common.join(s1, "new_id")
-        .join(s2, "match_id")
-        .select("new_id", "match_id", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_T)
-    )
-
-
-@register(
-    "dedup_cluster_sizes",
-    oracle=f"""
-        WITH labels AS ({_CLUSTER_KEEP_SQL}),
-        per_cluster AS (
-            SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
-            FROM labels GROUP BY cluster_rep
-        )
-        SELECT cluster_size,
-               CAST(COUNT(*) AS BIGINT) AS n_clusters,
-               CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
-               CAST(SUM(cluster_size - 1) AS BIGINT) AS n_droppable
-        FROM per_cluster GROUP BY cluster_size
-    """,
-    tags=("dedup", "iterative", "agg"),
-)
-def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup cluster-size HISTOGRAM — the dataset-card view of the
-    clustering (round 7): per cluster size, how many components exist,
-    how many documents they hold, and how many a keep-one policy drops.
-    This is the number a dedup report actually publishes ("0.8% of the
-    corpus sits in 214 duplicate clusters, largest of size 9") and the
-    early-warning for pathological clustering (one giant component =
-    a threshold or boilerplate problem).
-
-    Plan: the connected-components labels (min-label propagation,
-    dedup_cluster_keep's loop) roll up twice — cluster_rep then
-    cluster_size — both map-side-combinable aggregates over the
-    label frame; output is histogram-sized. The oracle re-derives the
-    fixpoint via the recursive CTE and the same double rollup."""
-    labels = dedup_cluster_keep(spark, sf_dir)
-    per_cluster = labels.groupBy("cluster_rep").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return per_cluster.groupBy("cluster_size").agg(
-        F.count(F.lit(1)).alias("n_clusters"),
-        F.sum("cluster_size").alias("n_docs"),
-        F.sum(F.col("cluster_size") - 1).alias("n_droppable"),
-    )
+# dedup_incremental and dedup_cluster_sizes moved to
+# operators/dedup_incr.py in round 8 — the registry's driver-cap
+# rotation needed them to hold their own early slots without dragging
+# this module's eight multi-round-green queries back into the cap.

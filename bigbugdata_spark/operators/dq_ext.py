@@ -113,7 +113,7 @@ _PK_SQL = "\nUNION ALL\n".join(
     SELECT '{tbl}' AS tbl,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(DISTINCT {pk}) AS BIGINT) AS n_distinct,
-           CAST(COUNT(*) - COUNT(DISTINCT {pk}) AS BIGINT) AS n_extra_rows,
+           CAST(COUNT({pk}) - COUNT(DISTINCT {pk}) AS BIGINT) AS n_extra_rows,
            CAST(SUM(CASE WHEN {pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS n_null_keys
     FROM {tbl}
@@ -131,9 +131,10 @@ def dq_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Primary-key uniqueness audit — the third leg of the canonical
     ingest-gate trio (referential integrity, constraint rules, PK
     uniqueness): per base table, row count, distinct key count, how many
-    EXTRA rows duplicate keys account for, and how many NULL keys exist
-    (COUNT(DISTINCT) ignores NULLs on both engines, so they are counted
-    separately — a NULL key is its own defect class, not a duplicate).
+    EXTRA rows duplicate keys account for (counted over NON-NULL keys:
+    COUNT(pk) - COUNT(DISTINCT pk), so a table of N null keys and no
+    true duplicates reports 0 — advisor r7 fix), and how many NULL keys
+    exist (a NULL key is its own defect class, not a duplicate).
     A replayed ingest or a bad merge shows up here before any downstream
     join silently fans out.
 
@@ -149,7 +150,7 @@ def dq_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(tbl).alias("tbl"),
                 F.count(F.lit(1)).alias("n_rows"),
                 F.countDistinct(pk).alias("n_distinct"),
-                (F.count(F.lit(1)) - F.countDistinct(pk)).alias("n_extra_rows"),
+                (F.count(pk) - F.countDistinct(pk)).alias("n_extra_rows"),
                 F.sum(F.col(pk).isNull().cast("long")).alias("n_null_keys"),
             )
         )

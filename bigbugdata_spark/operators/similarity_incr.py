@@ -1,0 +1,144 @@
+"""Incremental ANN index maintenance (round 8, VERDICT r7 #4) — the
+ingest-shaped twin for the similarity family, matching what
+dedup_incremental did for dedup: a new-embedding batch is assigned to
+the EXISTING IVF codebook without recomputing it, and the registered
+query is the per-cell assignment-delta accounting a production index
+maintainer publishes per ingest cycle ("cell 7 grew 12%; rebalance when
+drift exceeds threshold").
+
+Why the codebook is frozen: at 100 TB the coarse quantizer is trained
+once (or per rebuild window) and serves many ingest cycles — assignment
+of a daily batch is O(|batch| x k) with k constant, embarrassingly
+parallel, and requires NO corpus scan. Recomputing the codebook per
+batch would both cost a corpus scan and silently invalidate every
+stored assignment (cell ids shift), which is exactly the bug class the
+delta accounting would expose: n_after must equal n_before + n_added
+per cell, an invariant the oracle re-derives from scratch.
+
+The batch slice is a deterministic ~10% affine-hash of vec_id (fresh
+constants — must not correlate with the codebook-sampling hash or any
+doc-side slice), standing in for the daily arrival exactly as
+dedup_incremental's slice does.
+
+No analog in the reference (SURVEY §2.1); ANN extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigbugdata_spark.functions import hashing as H
+from bigbugdata_spark.functions.fragments import (
+    EMB_DIM as _DIM,
+    IVF_ASSIGN,
+    IVF_CODEBOOK_HASH_SQL,
+    IVF_K,
+)
+from bigbugdata_spark.registry import register
+
+# deterministic affine-hash "today's batch" predicate (~10% of vectors)
+_VINC_A, _VINC_B, _VINC_P = 123_457, 77_713, 1_000_000_007
+_VINC_MOD, _VINC_REM = 10, 4
+_VINC_PRED_SQL = (
+    f"((vec_id * {_VINC_A} + {_VINC_B}) % {_VINC_P}) % {_VINC_MOD} = {_VINC_REM}"
+)
+
+
+def incoming_vec_col():
+    return (
+        (F.col("vec_id") * _VINC_A + _VINC_B) % _VINC_P % _VINC_MOD
+        == _VINC_REM
+    )
+
+
+_ASSIGN_RANK_SQL = """
+        SELECT vec_id, cell_id FROM (
+            SELECT s.vec_id, ct.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id
+                       ORDER BY {dot} / (s.nrm * ct.c_nrm) DESC,
+                                ct.cell_id ASC
+                   ) AS arn
+            FROM {src} s CROSS JOIN cents ct
+        ) WHERE arn <= {n_assign}
+"""
+
+
+def _assign_sql(src: str) -> str:
+    return _ASSIGN_RANK_SQL.format(
+        src=src,
+        dot=H.sql_dot("s.embedding", "ct.c_emb", _DIM),
+        n_assign=IVF_ASSIGN,
+    )
+
+
+@register(
+    "sim_ivf_incremental_assign",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT vec_id, embedding,
+                   {H.sql_norm('embedding', _DIM)} AS nrm
+            FROM embeddings
+        ),
+        existing AS (SELECT * FROM corpus WHERE NOT ({_VINC_PRED_SQL})),
+        batch AS (SELECT * FROM corpus WHERE {_VINC_PRED_SQL}),
+        cents AS (
+            SELECT vec_id AS cell_id, embedding AS c_emb, nrm AS c_nrm
+            FROM existing ORDER BY {IVF_CODEBOOK_HASH_SQL}, vec_id
+            LIMIT {IVF_K}
+        ),
+        a_old AS ({_assign_sql('existing')}),
+        a_new AS ({_assign_sql('batch')}),
+        unioned AS (
+            SELECT cell_id, 0 AS is_new FROM a_old
+            UNION ALL
+            SELECT cell_id, 1 AS is_new FROM a_new
+        )
+        SELECT cell_id,
+               CAST(SUM(1 - is_new) AS BIGINT) AS n_before,
+               CAST(SUM(is_new) AS BIGINT) AS n_added,
+               CAST(COUNT(*) AS BIGINT) AS n_after
+        FROM unioned GROUP BY cell_id
+    """,
+    tags=("similarity", "vector", "agg"),
+)
+def sim_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell assignment delta for one ingest cycle: the existing
+    corpus (~90%) trains the codebook and holds its stored assignments
+    (n_before); the batch (~10%) is assigned against that FROZEN
+    codebook (n_added); n_after is the maintained inverted file's new
+    size per cell. The oracle re-derives codebook and both assignment
+    sets from scratch (portable affine codebook hash, rank-over-cosine
+    assignment — the audit_ivf_recall machinery), so a codebook that
+    silently drifted, a batch vector dropped, or a cell id shift all
+    shift the integers and fail the hash compare.
+
+    Plan: ONE scan of embeddings feeds both slices (the batch predicate
+    is a row-level filter, not a second read); the codebook is a
+    distributed top-k that broadcasts (k=16 rows); both assignments are
+    corpus x broadcast-codebook with a vec_id window — no shuffle ever
+    carries more than (rows x IVF_ASSIGN) skinny pairs. At 100 TB only
+    the BATCH assignment runs per cycle (existing assignments are the
+    stored inverted file); this query recomputes n_before only to make
+    the invariant oracle-checkable end to end."""
+    from bigbugdata_spark.catalog import table
+    from bigbugdata_spark.operators.similarity import ivf_assign, ivf_cents
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", H.norm(F.col("embedding")).alias("nrm")
+    )
+    existing = e.filter(~incoming_vec_col())
+    batch = e.filter(incoming_vec_col())
+    cents = ivf_cents(existing)
+    a_old = ivf_assign(existing, cents).withColumn("is_new", F.lit(0))
+    a_new = ivf_assign(batch, cents).withColumn("is_new", F.lit(1))
+    return (
+        a_old.unionByName(a_new)
+        .groupBy("cell_id")
+        .agg(
+            F.sum(1 - F.col("is_new")).alias("n_before"),
+            F.sum("is_new").alias("n_added"),
+            F.count(F.lit(1)).alias("n_after"),
+        )
+    )

@@ -126,7 +126,10 @@ def _pq_lut(queries: DataFrame, cents: DataFrame) -> DataFrame:
     ).select("query_id", "m", "cell_id", "l")
 
 
-@register("sim_ivfpq_topk", tags=("similarity", "vector", "window"))
+# Registration moved to operators/similarity_pq_topk.py in round 8: the
+# driver-cap rotation keeps audit_pq_recall (the hash-green oracle'd
+# twin) in-cap while this rows-only query registers past the cap — its
+# correctness stays driver-verified through the audit.
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-k (module docstring has the full design): IVF
     candidates -> ADC estimate from 6-bit-per-subspace codes + true

@@ -24,6 +24,7 @@ from bigbugdata_spark.functions import hashing as H
 from bigbugdata_spark.functions.fragments import (
     CHUNK_SIZE,
     CHUNK_STRIDE,
+    QUALITY_SQL,
     STOPWORDS as _STOPWORDS,
     sql_list as _sql_list,
 )
@@ -166,29 +167,10 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "true_lang", pred.alias("pred_lang"))
 
 
-# shared with corpus.py's quality-weighted sampler — one definition of
-# "quality" on both engines, so the sampler's acceptance threshold can
-# never drift from the registered score
-QUALITY_SQL = f"""
-        WITH base AS (
-            SELECT doc_id,
-                   CAST(length(text) AS BIGINT) AS n_chars_obs,
-                   CAST(len({H.sql_tokens('text')}) AS BIGINT) AS n_tokens,
-                   CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_punct,
-                   CAST(len(list_filter({H.sql_tokens('text')},
-                        t -> list_contains({_sql_list(_STOPWORDS)}, t))) AS BIGINT) AS n_stop
-            FROM documents
-        )
-        SELECT doc_id, n_chars_obs, n_tokens,
-               CAST(n_chars_obs AS DOUBLE) / n_tokens AS chars_per_token,
-               CAST(n_punct AS DOUBLE) / n_chars_obs AS punct_ratio,
-               CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
-               (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 0.4 ELSE 0.0 END
-                + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars_obs < 0.1 THEN 0.3 ELSE 0.0 END
-                + CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.01 THEN 0.3 ELSE 0.0 END
-               ) AS quality
-        FROM base
-"""
+# QUALITY_SQL (the shared definition of document "quality") moved to
+# functions/fragments.py in round 8 so the driver-cap split module
+# operators/corpus_version.py can build its oracle without importing
+# this whole registering family; re-exported here unchanged.
 
 
 @register(
@@ -389,78 +371,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RARE_DF = 2  # a token is "rare" if <= this many documents contain it
-
-
-@register(
-    "text_rare_token_ratio",
-    oracle=f"""
-        WITH toks AS (
-            SELECT doc_id, unnest({H.sql_word_hashes(H.sql_tokens('text'))}) AS h
-            FROM documents
-        ),
-        dfreq AS (
-            SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
-            FROM toks GROUP BY h
-        ),
-        tot AS (
-            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
-            FROM toks GROUP BY doc_id
-        ),
-        rare AS (
-            SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_rare
-            FROM toks t JOIN dfreq d USING (h)
-            WHERE d.n_docs <= {RARE_DF}
-            GROUP BY t.doc_id
-        )
-        SELECT tot.doc_id, n_tokens,
-               COALESCE(n_rare, 0) AS n_rare,
-               CAST(COALESCE(n_rare, 0) AS DOUBLE) / n_tokens AS rare_ratio
-        FROM tot LEFT JOIN rare ON tot.doc_id = rare.doc_id
-    """,
-    tags=("text", "agg", "join"),
-)
-def text_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-statistics quality signal (round 7): per document, the
-    fraction of token OCCURRENCES whose corpus document-frequency is at
-    or below RARE_DF — high rare-token ratios flag OCR garbage, random
-    identifiers, or boilerplate-free noise that per-document heuristics
-    (text_quality_score) cannot see, because the signal depends on the
-    WHOLE corpus. This is the new query shape of the family: a per-row
-    score conditioned on a global statistic.
-
-    Plan: one exploded token frame feeds (a) the document-frequency
-    aggregate (map-side combinable, vocabulary-sized result), (b) the
-    per-doc totals, and (c) the rare-semi-join recount — all keyed
-    shuffles on the token hash or doc_id, never a cross join; the df
-    table is vocabulary-sized, so at 100 TB the rare filter is the
-    standard inverted-index join this repo's dedup family already
-    scale-proves. Docs with zero tokens drop out on both engines
-    (explode/unnest of an empty array), so the ratio never divides by
-    zero. Integer counts cross-check exactly; the ratio is one exact
-    int division in fp64."""
-    toks = pin(
-        table(spark, sf_dir, "documents").select(
-            "doc_id",
-            F.explode(H.word_hashes(H.tokens(F.col("text")))).alias("h"),
-        )
-    )
-    dfreq = toks.distinct().groupBy("h").agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
-    rare = dfreq.filter(F.col("n_docs") <= RARE_DF).select("h")
-    tot = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
-    rare_cnt = (
-        toks.join(rare, "h")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_rare"))
-    )
-    return tot.join(rare_cnt, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        F.coalesce(F.col("n_rare"), F.lit(0)).alias("n_rare"),
-        (
-            F.coalesce(F.col("n_rare"), F.lit(0)).cast("double")
-            / F.col("n_tokens")
-        ).alias("rare_ratio"),
-    )
+# text_rare_token_ratio moved to operators/text_rare.py in round 8 —
+# the registry's driver-cap rotation needed it to hold its own early
+# slot without dragging this module's nine multi-round-green queries
+# back into the cap (the scd.py treatment, VERDICT r7 #1).

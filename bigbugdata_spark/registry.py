@@ -31,47 +31,58 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # queries got a row).  Standing rule: never rotate out a query whose fix
 # lacks a driver verdict.
 #
-# Round-7 rotation (VERDICT r6 #1): the SURVEY §2 contract ops stay
-# first (relational, 20), then the oracle'd audit twins (audits, 5) and
-# the IVF-PQ pair (similarity_pq, 2) — the judge's standing "keep
-# in-cap" set, slots 1-27.  Then the seven r6 queries that registered
-# PAST the cap and have no driver verdict yet, each now inside it:
-# kmeans (1, slot 28), dq (4, slots 29-32 — its three r6 queries plus
-# the NEW dq_split_leakage_lsh scale twin), retrieval (1, slot 33),
-# packing (1, slot 34), scd (1, slot 35 — evt_user_state_history,
-# moved out of events_ext so it takes ONE slot instead of dragging
-# that module's five r5-green queries back in).  Then the stalest
-# remaining verdicts: tpch_full (11, r4, slots 36-46) and text_ext
-# (4, r4, slots 47-50) — exactly filling the cap.  tpch (6) and
-# tpch_ext (5) also hold r4 rows but don't fit; they are first in
-# line past the cap and rotate in next round.  Rotated out this round
-# because their rows are freshly green in CORRECTNESS_r06:
-# overlap/text/multimodal/similarity/pipeline/profile/quantize;
+# Round-8 rotation (VERDICT r7 #1, executed exactly as planned): the
+# SURVEY §2 contract ops stay first (relational, 20), then the oracle'd
+# audit twins (audits, 5) and audit_pq_recall (similarity_pq, now 1 —
+# sim_ivfpq_topk's rows-only registration moved to the late shim
+# operators/similarity_pq_topk.py so the cap slot goes to the
+# hash-green audit) — the judge's standing "keep in-cap" set, slots
+# 1-26.  Then the thirteen r7 queries that registered PAST the cap and
+# held no driver verdict, each now inside it via the scd.py-style
+# single-query-module splits: dq_ext (2, slots 27-28), events_state
+# (2, slots 29-30 — evt_state_asof + evt_state_cdc out of events_ext),
+# text_rare (1, slot 31 — out of text), mm_phash (1, slot 32 — out of
+# multimodal), dedup_incr (2, slots 33-34 — out of dedup),
+# corpus_version (2, slots 35-36 — out of corpus), scd_sink (1, slot
+# 37 — its operators.scd dependency moved to the non-registering
+# operators/scd_core.py so importing it early no longer drags
+# evt_user_state_history's registration forward), enrich (1, slot 38).
+# Then the stalest remaining verdicts: tpch (6, r4, slots 39-44) and
+# tpch_ext (6, slots 45-50 — of which 5 hold r4 verdicts;
+# orders_market_basket is the thirteenth r7-new query) — exactly
+# filling the cap: 26 + 12 + 12 = 50.  Rotated out this round because
+# their rows are freshly green in CORRECTNESS_r07: kmeans, dq,
+# retrieval, packing, scd, tpch_full, text_ext; overlap/text/
+# multimodal/similarity/pipeline/profile/quantize hold r6;
 # events/windows/events_ext/joins/stateful/corpus/dedup hold r5.
 # similarity_ext's single query is rows-only by design (numpy fp-sum
-# order) and stays driver-verified through audit_np_parity.  All
-# rotated-out queries remain continuously re-proven by the identical
-# local gate in tests/test_oracle_parity.py.
+# order) and stays driver-verified through audit_np_parity; likewise
+# sim_ivfpq_topk through audit_pq_recall.  All rotated-out queries
+# remain continuously re-proven by the identical local gate in
+# tests/test_oracle_parity.py.
 #
-# Round-8 rotation plan: rotate IN the thirteen r7-new past-cap
-# queries (dq_volume_anomaly + dq_pk_uniqueness in dq_ext;
-# evt_state_asof + evt_state_cdc in events_ext; text_rare_token_ratio
-# in text, mm_phash_near_dup in multimodal, dedup_incremental +
-# dedup_cluster_sizes in dedup, corpus_version_diff +
-# corpus_quality_weighted_sample in corpus,
-# evt_state_history_incremental in scd_sink,
-# evt_stream_enriched_totals in streaming/enrich,
-# orders_market_basket in tpch_ext — most live in multi-query modules
-# and need the single-query-module split treatment scd got, or their
-# module rotated whole) plus tpch (6) and
-# tpch_ext (5), whose r4 verdicts are the oldest remaining; rotate OUT
-# tpch_full and text_ext (fresh r7 verdicts) and as many §2-adjacent
-# slots as the cap demands — never the 20 §2 ops, the 5 audit twins,
-# or audit_pq_recall.
+# Round-9 rotation plan: r8-new queries (registered past the cap in
+# the trailing modules — see the r8 additions at the END of this
+# tuple) rotate IN, plus whichever standing verdicts are then oldest
+# (events/windows/events_ext/joins/stateful/corpus/dedup at r5).
+# Never rotate out: the 20 §2 ops, the 5 audit twins, audit_pq_recall,
+# or any query whose newest fix lacks a driver verdict.
 _QUERY_MODULES = (
     "bigbugdata_spark.operators.relational",
     "bigbugdata_spark.operators.audits",
     "bigbugdata_spark.operators.similarity_pq",
+    "bigbugdata_spark.operators.dq_ext",
+    "bigbugdata_spark.operators.events_state",
+    "bigbugdata_spark.operators.text_rare",
+    "bigbugdata_spark.operators.mm_phash",
+    "bigbugdata_spark.operators.dedup_incr",
+    "bigbugdata_spark.operators.corpus_version",
+    "bigbugdata_spark.streaming.scd_sink",
+    "bigbugdata_spark.streaming.enrich",
+    "bigbugdata_spark.operators.tpch",
+    "bigbugdata_spark.operators.tpch_ext",
+    # ---- driver cap boundary (first 50 registrations end here) ----
+    "bigbugdata_spark.operators.similarity_pq_topk",
     "bigbugdata_spark.operators.kmeans",
     "bigbugdata_spark.operators.dq",
     "bigbugdata_spark.operators.retrieval",
@@ -79,8 +90,6 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.scd",
     "bigbugdata_spark.operators.tpch_full",
     "bigbugdata_spark.operators.text_ext",
-    "bigbugdata_spark.operators.tpch",
-    "bigbugdata_spark.operators.tpch_ext",
     "bigbugdata_spark.operators.overlap",
     "bigbugdata_spark.operators.text",
     "bigbugdata_spark.operators.multimodal",
@@ -93,12 +102,13 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.events_ext",
     "bigbugdata_spark.streaming.joins",
     "bigbugdata_spark.streaming.stateful",
-    "bigbugdata_spark.streaming.scd_sink",
-    "bigbugdata_spark.streaming.enrich",
     "bigbugdata_spark.operators.corpus",
     "bigbugdata_spark.operators.dedup",
     "bigbugdata_spark.operators.similarity_ext",
-    "bigbugdata_spark.operators.dq_ext",
+    # r8-new queries (no driver verdict yet -> first in line for the
+    # round-9 rotation):
+    "bigbugdata_spark.operators.storage_audit",
+    "bigbugdata_spark.operators.similarity_incr",
 )
 
 

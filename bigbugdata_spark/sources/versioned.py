@@ -29,9 +29,15 @@ do, without their transaction log machinery):
 Scale posture: the manifest is file-count-sized (not row-sized) and the
 read path hands Spark an explicit file list — partition pruning and
 row-group skipping inside the listed files work unchanged. Compaction
-interplay is the standard table-format rule: a compactor would write
-merged files and commit a manifest swapping old for new; until then,
-old versions keep reading the original immutable files.
+(round 8) follows the standard table-format rule: compact_versioned
+writes merged files and commits a manifest SWAPPING old for new —
+rebasing over concurrent appends on commit conflict, so no concurrent
+commit's files are ever dropped; until expiry, old versions keep
+reading the original immutable files byte-identically. Retention
+(expire_versions) deletes old manifests plus data files no retained
+manifest references, and REFUSES to expire a version a pin still
+references (pin_version / unpin_version — the "training run X read
+version N" contract made durable).
 """
 
 from __future__ import annotations
@@ -88,34 +94,8 @@ def write_versioned(df: DataFrame, path: str) -> int:
     new_entries = [
         {"path": f, "bytes": (base / f).stat().st_size} for f in new_files
     ]
-    mdir = base / _MANIFEST_DIR
-    mdir.mkdir(parents=True, exist_ok=True)
-    for _ in range(64):  # commit-conflict retries; each loses at most once
-        prev = latest_version(path)
-        files = (
-            [] if prev is None else list(_read_manifest(path, prev)["files"])
-        )
-        version = 0 if prev is None else prev + 1
-        tmp = mdir / f".v{version}.json.tmp-{uuid.uuid4().hex}"
-        tmp.write_text(
-            json.dumps(
-                {
-                    "version": version,
-                    "files": files + new_entries,
-                    "parent": prev,
-                },
-                indent=1,
-            )
-        )
-        try:
-            os.link(tmp, _manifest_path(path, version))
-            return version
-        except FileExistsError:  # lost the race: rebase on the new head
-            continue
-        finally:
-            tmp.unlink(missing_ok=True)
-    raise RuntimeError(
-        f"write_versioned: gave up after 64 commit conflicts at {path}"
+    return _commit_manifest(
+        path, lambda prev_files: {"files": prev_files + new_entries}
     )
 
 
@@ -151,12 +131,170 @@ def read_versioned(
     return reader.parquet(*file_paths)
 
 
+def _commit_manifest(path: str, build_entry) -> int:
+    """Shared optimistic-concurrency commit loop: `build_entry(prev_files)`
+    returns the new manifest's file list (append and compaction differ
+    only there). Exclusive-create hard link, rebase-and-retry on loss."""
+    base = Path(path)
+    mdir = base / _MANIFEST_DIR
+    mdir.mkdir(parents=True, exist_ok=True)
+    for _ in range(64):
+        prev = latest_version(path)
+        prev_files = (
+            [] if prev is None else list(_read_manifest(path, prev)["files"])
+        )
+        version = 0 if prev is None else prev + 1
+        body = build_entry(prev_files)
+        body.update({"version": version, "parent": prev})
+        tmp = mdir / f".v{version}.json.tmp-{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps(body, indent=1))
+        try:
+            os.link(tmp, _manifest_path(path, version))
+            return version
+        except FileExistsError:
+            continue
+        finally:
+            tmp.unlink(missing_ok=True)
+    raise RuntimeError(f"gave up after 64 commit conflicts at {path}")
+
+
+def compact_versioned(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite the CURRENT version's many small files into few merged
+    files and commit a manifest swapping old for new; returns the new
+    version id. Old versions keep reading the original immutable files
+    byte-identically until expire_versions removes them — compaction
+    changes layout, never visible data.
+
+    Concurrency: the commit rebases like write_versioned, but a swap
+    must not drop a concurrent APPEND that landed between the snapshot
+    read and the commit — on conflict the new file list is the merged
+    files plus whatever the new head holds beyond the compacted
+    snapshot (head.files minus snapshot.files), so the append survives.
+
+    Scale: the rewrite is one distributed read + write of the live
+    snapshot (no driver-side data); file count targets
+    ceil(bytes/target) — at 100 TB a compactor would run per partition
+    of a partitioned lake, but the manifest commit protocol is
+    identical."""
+    snap_v = latest_version(path)
+    if snap_v is None:
+        raise FileNotFoundError(f"nothing to compact at {path}")
+    snap = _read_manifest(path, snap_v)
+    snap_paths = {f["path"] for f in snap["files"]}
+    total = sum(f["bytes"] for f in snap["files"])
+    n_out = max(1, -(-total // target_file_bytes))  # ceil
+    base = Path(path)
+    stage = f"data/{uuid.uuid4().hex}"
+    read_versioned(spark, path, snap_v).coalesce(n_out).write.parquet(
+        str(base / stage)
+    )
+    merged = [
+        {"path": f"{stage}/{p.name}", "bytes": p.stat().st_size}
+        for p in sorted((base / stage).glob("*.parquet"))
+    ]
+
+    def build(prev_files: list[dict]) -> dict:
+        appended = [f for f in prev_files if f["path"] not in snap_paths]
+        return {"files": merged + appended, "compaction_of": snap_v}
+
+    return _commit_manifest(path, build)
+
+
+_PINS_DIR = "_pins"
+
+
+def pin_version(path: str, version: int, name: str) -> None:
+    """Durable reference to a version ("training run X read version N"):
+    expire_versions refuses to expire pinned versions. Exclusive-create
+    so two runs cannot silently share a pin name."""
+    if not _manifest_path(path, version).exists():
+        raise FileNotFoundError(f"no committed version {version} at {path}")
+    d = Path(path) / _PINS_DIR
+    d.mkdir(parents=True, exist_ok=True)
+    with open(d / f"{name}.json", "x") as fh:
+        json.dump({"version": version, "name": name}, fh)
+
+
+def unpin_version(path: str, name: str) -> None:
+    (Path(path) / _PINS_DIR / f"{name}.json").unlink()
+
+
+def pinned_versions(path: str) -> dict[str, int]:
+    d = Path(path) / _PINS_DIR
+    if not d.is_dir():
+        return {}
+    out = {}
+    for p in sorted(d.glob("*.json")):
+        with open(p) as fh:
+            out[p.stem] = int(json.load(fh)["version"])
+    return out
+
+
+def expire_versions(path: str, retain_last: int = 1) -> dict:
+    """Retention: expire manifests older than the newest `retain_last`
+    versions — EXCEPT pinned ones, which stay readable with all their
+    files — then delete every data file no surviving manifest
+    references. Returns accounting {expired, retained, deleted_files,
+    freed_bytes}. Reading an expired version afterwards raises
+    FileNotFoundError (a pinned run failing loudly beats silently
+    reading a different corpus); retained versions keep reading
+    byte-identical files because data files are immutable and only
+    unreferenced ones are deleted."""
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1 (the head is never expired)")
+    head = latest_version(path)
+    if head is None:
+        return {"expired": [], "retained": [], "deleted_files": 0, "freed_bytes": 0}
+    cutoff = head - retain_last + 1
+    pinned = set(pinned_versions(path).values())
+    all_vs = sorted(
+        int(p.stem[1:])
+        for p in (Path(path) / _MANIFEST_DIR).glob("v*.json")
+        if p.stem[1:].isdigit()
+    )
+    retained = [v for v in all_vs if v >= cutoff or v in pinned]
+    expired = [v for v in all_vs if v not in retained]
+    live = set()
+    for v in retained:
+        live.update(f["path"] for f in _read_manifest(path, v)["files"])
+    base = Path(path)
+    deleted, freed = 0, 0
+    for v in expired:
+        _manifest_path(path, v).unlink()
+    for stage_dir in sorted((base / "data").iterdir()):
+        if not stage_dir.is_dir():
+            continue
+        for p in sorted(stage_dir.glob("*.parquet")):
+            rel = f"data/{stage_dir.name}/{p.name}"
+            if rel not in live:
+                freed += p.stat().st_size
+                p.unlink()
+                deleted += 1
+        if not any(stage_dir.iterdir()):
+            stage_dir.rmdir()
+    return {
+        "expired": expired,
+        "retained": retained,
+        "deleted_files": deleted,
+        "freed_bytes": freed,
+    }
+
+
 def versions(path: str) -> list[dict]:
-    """Commit audit: one dict per version, oldest first."""
+    """Commit audit: one dict per SURVIVING version, oldest first
+    (expired manifests no longer appear)."""
+    d = Path(path) / _MANIFEST_DIR
+    if not d.is_dir():
+        return []
     out = []
-    v = latest_version(path)
-    for i in range(0, (v + 1) if v is not None else 0):
-        m = _read_manifest(path, i)
+    for v in sorted(
+        int(p.stem[1:]) for p in d.glob("v*.json") if p.stem[1:].isdigit()
+    ):
+        m = _read_manifest(path, v)
         out.append(
             {
                 "version": m["version"],

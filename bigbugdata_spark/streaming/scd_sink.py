@@ -31,12 +31,34 @@ candidates the mark already covers. Replaying a committed batch
 therefore reproduces the identical table instead of double-counting
 n_events (asserted in tests/test_streaming.py).
 
-In-order contract: per user, batches must arrive in (ts, event_id)
-order — the natural shape of time-sliced log ingest, and what the
-availableNow file source delivers for slice-per-file directories. An
-out-of-order slice would interleave inside closed runs, which run-level
-state cannot repair; that replay/backfill case needs the batch
-recompute (evt_user_state_history) over the affected range.
+In-order contract, ENFORCED (round 8, advisor r7): per user, batches
+must arrive in (ts, event_id) order — the natural shape of time-sliced
+log ingest. The merge distinguishes a REPLAY (every below-high-water
+batch run is covered by a stored same-state run whose interval contains
+it — dropped wholesale, idempotent) from an OUT-OF-ORDER slice (a
+below-mark run with no covering stored run — genuinely new data that
+would interleave inside closed runs, which run-level state cannot
+repair in-place): the latter raises OutOfOrderSliceError instead of
+silently discarding data, and repair_user_runs() is the documented
+recovery — recompute the affected users' runs from the full event
+source and rewrite only their buckets. Detection limit (honest): a
+late slice that only gap-fills MORE events of the SAME state strictly
+inside an already-closed same-state run is indistinguishable from a
+replay at run granularity (event-level identity isn't stored); every
+out-of-order slice that changes the run STRUCTURE — new states, run
+splits, extended boundaries — is caught. Slice ordering itself no
+longer rests on coarse filesystem mtimes alone: stamp_slice_mtimes()
+assigns strictly increasing mtimes at write time (the file source
+sorts by mtime), so same-second writes cannot tie.
+
+Bucket-layout contract, ENFORCED (round 8, advisor r7): the bucket
+count is persisted in a _scd_meta.json sidecar at first write (an
+underscore file — invisible to parquet directory readers) and every
+later merge validates against it, so a caller passing a different
+n_buckets can no longer silently re-hash users into buckets the
+per-user high-water mark never looks at. (Local-filesystem file I/O;
+an object-store deployment would route the same sidecar through the
+Hadoop FileSystem API.)
 """
 
 from __future__ import annotations
@@ -45,16 +67,42 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
-# operators.scd precedes this module in registry._QUERY_MODULES, so the
-# top-level import cannot perturb the driver's cap order
+# scd_core is the non-registering half of the SCD2 family (round-8
+# split): importing it cannot perturb the driver's cap order, which
+# matters now that this module registers EARLY (in-cap) while
+# operators/scd.py's batch query rotates behind the cap
 from bigbugdata_spark.catalog import table
-from bigbugdata_spark.operators.scd import SCD2_ORACLE_SQL
+from bigbugdata_spark.operators.scd_core import (
+    SCD2_ORACLE_SQL,
+    format_runs,
+    runs_from_events,
+)
 from bigbugdata_spark.registry import register
 
 BUCKET_COL = "user_bucket"
 RUN_COLS = (
     "user_id", "state", "vf", "first_eid", "n_events", "last_ts", "last_eid"
 )
+
+DEFAULT_BUCKETS = 8
+_META_NAME = "_scd_meta.json"
+
+
+class OutOfOrderSliceError(RuntimeError):
+    """A batch contained below-high-water runs with no covering stored
+    run — out-of-order/backfill data the in-place merge cannot absorb.
+    Carries the affected user ids; recover with repair_user_runs()."""
+
+    def __init__(self, user_ids: list):
+        self.user_ids = user_ids
+        sample = ", ".join(str(u) for u in user_ids[:5])
+        super().__init__(
+            f"out-of-order slice for {len(user_ids)} user(s) (e.g. {sample}): "
+            "below-high-water runs with no covering stored run. This is new "
+            "data, not a replay — run repair_user_runs(spark, events, "
+            "out_dir, user_ids) with the full event source to recompute "
+            "these users' histories."
+        )
 
 
 def _with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
@@ -63,28 +111,72 @@ def _with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
+def _read_meta(out_dir: str) -> int | None:
+    import json
+    import os
+
+    p = os.path.join(out_dir, _META_NAME)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(json.load(f)["n_buckets"])
+
+
+def _write_meta(out_dir: str, n_buckets: int) -> None:
+    import json
+    import os
+
+    with open(os.path.join(out_dir, _META_NAME), "w") as f:
+        json.dump({"n_buckets": n_buckets}, f)
+
+
+def _resolve_buckets(out_dir: str, n_buckets: int | None, exists: bool) -> int:
+    """The advisor-r7 layout guard: the table's persisted bucket count is
+    authoritative; an explicit caller value that disagrees is an error
+    (it would re-hash users into buckets the high-water mark never
+    checks, silently duplicating runs)."""
+    stored_n = _read_meta(out_dir) if exists else None
+    if stored_n is not None:
+        if n_buckets is not None and n_buckets != stored_n:
+            raise ValueError(
+                f"n_buckets={n_buckets} does not match the table's persisted "
+                f"layout ({stored_n} buckets in {_META_NAME}); the bucket "
+                "count is fixed at first write"
+            )
+        return stored_n
+    n = DEFAULT_BUCKETS if n_buckets is None else n_buckets
+    if exists:  # pre-meta table (older rounds): adopt and persist
+        _write_meta(out_dir, n)
+    return n
+
+
 def upsert_state_runs(
-    spark: SparkSession, batch: DataFrame, out_dir: str, n_buckets: int = 8
+    spark: SparkSession,
+    batch: DataFrame,
+    out_dir: str,
+    n_buckets: int | None = None,
 ) -> None:
     """Merge one time-ordered micro-batch of events into the run table.
 
     Steps (all bounded by batch size + affected-bucket bytes):
-      1. collapse the batch into runs (operators/scd.runs_from_events);
-      2. candidate fusions = stored LAST run x batch FIRST run per user
-         with equal state; skip candidates the table already absorbed
-         (stored (last_ts, last_eid) >= batch's — the replay guard);
-      3. rewrite affected buckets: stored runs minus the replaced last
+      1. collapse the batch into runs (scd_core.runs_from_events);
+      2. drop REPLAYED runs (below the per-user high-water mark AND
+         covered by a stored same-state run); raise OutOfOrderSliceError
+         on below-mark runs with no covering run — that's new data;
+      3. candidate fusions = stored LAST run x batch FIRST run per user
+         with equal state; skip candidates the table already absorbed;
+      4. rewrite affected buckets: stored runs minus the replaced last
          runs, plus batch runs minus absorbed firsts minus replay
          duplicates, plus the fused runs."""
-    from bigbugdata_spark.operators.scd import runs_from_events
-
-    runs_b = _with_bucket(runs_from_events(batch), n_buckets)
     try:
         stored = spark.read.parquet(out_dir)
     except AnalysisException:
         stored = None
+    n_buckets = _resolve_buckets(out_dir, n_buckets, stored is not None)
+    runs_b = _with_bucket(runs_from_events(batch), n_buckets)
     if stored is None:
         runs_b.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(out_dir)
+        _write_meta(out_dir, n_buckets)
         return
 
     affected = [r[0] for r in runs_b.select(BUCKET_COL).distinct().collect()]
@@ -96,13 +188,44 @@ def upsert_state_runs(
     # run with an earlier vf, so a key-level duplicate check cannot see
     # it) and is dropped wholesale. Under the in-order contract a fresh
     # batch's runs all sit strictly above the mark, so this only ever
-    # removes replayed data.
+    # removes replayed data — PROVIDED it is actually a replay: before
+    # dropping, every below-mark run must have a COVERING stored run
+    # (same user+state, stored vf <= run vf, stored last >= run last —
+    # a fused-away replay is covered by the run it fused into). A
+    # below-mark run with no cover is out-of-order data, not a replay,
+    # and silently eating it would be data loss (advisor r7): raise and
+    # route to repair_user_runs instead. The below-mark set is empty on
+    # the fresh-batch fast path, so the check's join is replay-sized.
     hw = stored_aff.groupBy("user_id").agg(
         F.max(F.struct("last_ts", "last_eid")).alias("_hw")
     )
+    marked = runs_b.join(hw, "user_id", "left")
+    below = marked.filter(
+        F.col("_hw").isNotNull()
+        & (F.struct("last_ts", "last_eid") <= F.col("_hw"))
+    )
+    s_cov = stored_aff.select(
+        "user_id",
+        "state",
+        F.col("vf").alias("c_vf"),
+        F.struct(
+            F.col("last_ts").alias("last_ts"),
+            F.col("last_eid").alias("last_eid"),
+        ).alias("c_last"),
+    )
+    uncovered = below.join(
+        s_cov,
+        (below.user_id == s_cov.user_id)
+        & (below.state == s_cov.state)
+        & (s_cov.c_vf <= below.vf)
+        & (s_cov.c_last >= F.struct(below.last_ts, below.last_eid)),
+        "left_anti",
+    )
+    ooo_users = [r[0] for r in uncovered.select("user_id").distinct().collect()]
+    if ooo_users:
+        raise OutOfOrderSliceError(sorted(ooo_users))
     runs_b = (
-        runs_b.join(hw, "user_id", "left")
-        .filter(
+        marked.filter(
             F.col("_hw").isNull()
             | (F.struct("last_ts", "last_eid") > F.col("_hw"))
         )
@@ -195,12 +318,74 @@ def upsert_state_runs(
     )
 
 
+def repair_user_runs(
+    spark: SparkSession,
+    events: DataFrame,
+    out_dir: str,
+    user_ids: list,
+) -> None:
+    """The out-of-order/backfill recovery path (VERDICT r7 #2): run-level
+    state cannot splice a late slice into closed runs, so the affected
+    users' histories are RECOMPUTED from the full event source (the
+    same gaps-and-islands derivation the batch query uses — the two
+    paths share scd_core.runs_from_events, so repair cannot diverge
+    from contract) and their buckets rewritten in place. Unaffected
+    users in the same bucket are preserved; unaffected buckets are
+    never touched (dynamic overwrite).
+
+    Cost: O(affected users' events + affected-bucket bytes) — at 100 TB
+    `events` is the event lake pruned to the affected users (and, with
+    a date-partitioned lake, to their active date range), not a full
+    scan; user_ids comes from OutOfOrderSliceError and is bounded by
+    the failed slice's user count."""
+    n_buckets = _read_meta(out_dir)
+    if n_buckets is None:
+        raise ValueError(f"no run table at {out_dir} (missing {_META_NAME})")
+    stored = spark.read.parquet(out_dir)
+    runs_u = _with_bucket(
+        runs_from_events(events.filter(F.col("user_id").isin(user_ids))),
+        n_buckets,
+    )
+    affected = [r[0] for r in runs_u.select(BUCKET_COL).distinct().collect()]
+    keep_other = stored.filter(
+        F.col(BUCKET_COL).isin(affected) & ~F.col("user_id").isin(user_ids)
+    )
+    cols = [*RUN_COLS, BUCKET_COL]
+    out = (
+        keep_other.select(*cols)
+        .unionByName(runs_u.select(*cols))
+        .localCheckpoint()
+    )
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BUCKET_COL)
+        .parquet(out_dir)
+    )
+
+
+def stamp_slice_mtimes(src_dir: str) -> None:
+    """Assign strictly increasing mtimes to slice directories' files in
+    lexicographic slice order (advisor r7: the file stream source orders
+    by modification time, which can TIE on coarse-mtime filesystems and
+    deliver slices out of write order — encode the intended order
+    explicitly instead of trusting write-time side effects)."""
+    import os
+    import time
+
+    base = time.time() - 86_400  # strictly in the past; never reordered
+    for i, d in enumerate(sorted(os.listdir(src_dir))):
+        p = os.path.join(src_dir, d)
+        if not os.path.isdir(p):
+            continue
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (base + i, base + i))
+
+
 def read_state_history(spark: SparkSession, out_dir: str) -> DataFrame:
     """The maintained table under the batch query's exact contract:
     format_runs chains valid_to / flags the open run at read time, so
     presentation logic exists in exactly one place."""
-    from bigbugdata_spark.operators.scd import format_runs
-
     return format_runs(spark.read.parquet(out_dir).drop(BUCKET_COL))
 
 
@@ -209,12 +394,13 @@ def run_scd2_stream_sink(
     src_glob: str,
     out_dir: str,
     checkpoint_dir: str,
-    n_buckets: int = 8,
+    n_buckets: int | None = None,
     max_files_per_trigger: int = 1,
 ) -> None:
     """Drive a directory of time-sliced event parquet files through the
     incremental maintenance sink with availableNow (slice-per-trigger:
-    the file source's mtime ordering delivers slices in write order)."""
+    the file source orders by mtime — writers should stamp_slice_mtimes
+    the slice tree first so same-second writes cannot tie)."""
     schema = spark.read.parquet(src_glob).schema
     stream = (
         spark.readStream.schema(schema)
@@ -272,6 +458,7 @@ def evt_state_history_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
                 )
             # one file per slice: slice == trigger under maxFilesPerTrigger=1
             sl.coalesce(1).write.mode("overwrite").parquet(f"{src}/slice_{i}")
+        stamp_slice_mtimes(src)  # slice order must not rest on write-time ties
         run_scd2_stream_sink(spark, f"{src}/slice_*/*.parquet", out, ckpt)
         # eager checkpoint so the returned frame no longer depends on the
         # scratch tree, which is deleted immediately — repeated bench/

@@ -854,7 +854,7 @@ def test_state_asof_agrees_with_history_intervals(spark, sf_oracle):
     SCD2 table: for every probe, each user's reported state is exactly
     the history row whose [valid_from, valid_to) contains the probe, and
     users absent from the as-of result have no interval containing it."""
-    from bigbugdata_spark.operators.events_ext import ASOF_PROBES
+    from bigbugdata_spark.operators.events_state import ASOF_PROBES
 
     hist: dict[int, list] = {}
     for r in SPECS["evt_user_state_history"].fn(spark, sf_oracle).collect():
@@ -888,7 +888,7 @@ def test_phash_near_dup_finds_planted_twin(tmp_path, spark):
     (different content — the hash sees decoded structure, here the
     deterministic fake of it) must pair at hamming 0; a doc of wildly
     different length pairs with neither."""
-    from bigbugdata_spark.operators.multimodal import mm_phash_near_dup
+    from bigbugdata_spark.operators.mm_phash import mm_phash_near_dup
 
     rows = [
         (1, "a" * 40, "en", "s", 0),
@@ -910,7 +910,7 @@ def test_incremental_dedup_equals_restricted_full_relation(spark, sf_oracle):
     """dedup_incremental must equal the full near-dup relation restricted
     to batch-side documents, reported from the new doc's perspective —
     no pair invented, none lost by the asymmetric join."""
-    from bigbugdata_spark.operators.dedup import _INC_A, _INC_B, _INC_MOD, _INC_P, _INC_REM
+    from bigbugdata_spark.operators.dedup_incr import _INC_A, _INC_B, _INC_MOD, _INC_P, _INC_REM
 
     def incoming(d):
         return ((d * _INC_A + _INC_B) % _INC_P) % _INC_MOD == _INC_REM
@@ -979,3 +979,110 @@ def test_ri_reports_empty_child_tables(tmp_path, spark):
     )
     con.close()
     assert ok, msg
+
+
+def test_incremental_salted_hot_grams_exact(tmp_path, spark):
+    """VERDICT r7 #6: the skew-salt valve for dedup_incremental's gram
+    join keeps hot grams EXACTLY (unlike the stop-gram cap, which drops
+    them). Corpus: a boilerplate gram set shared by 12 documents (hot),
+    including a twin pair whose near-duplication consists ENTIRELY of
+    those hot grams — a cap would lose the pair; salting must keep the
+    result relation identical to the unsalted join, jaccard values and
+    all, while spreading the hot grams' reducer work over n_salts
+    shards."""
+    from bigbugdata_spark.operators.dedup_incr import incremental_pairs
+
+    boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    for i in range(12):
+        if i in (4, 7):
+            continue
+        filler = " ".join(f"w{i}x{j}" for j in range(20))
+        rows.append((i, boiler + " " + filler, "en", "syn", 0))
+    # twins: doc 4 is in the deterministic "incoming batch" slice
+    # (id % 10 == 4 under the affine hash), doc 7 is stored corpus; their
+    # entire overlap is the HOT boilerplate grams
+    rows.append((4, boiler, "en", "syn", 0))
+    rows.append((7, boiler, "en", "syn", 0))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    def rel(df):
+        return {
+            (r["new_id"], r["match_id"], round(r["jaccard"], 12))
+            for r in df.collect()
+        }
+
+    unsalted = rel(incremental_pairs(spark, sf))
+    salted = rel(incremental_pairs(spark, sf, salt_hot_df=3, n_salts=4))
+    assert (4, 7, 1.0) in unsalted  # the twin pair rides on hot grams only
+    assert salted == unsalted
+
+
+def test_ivf_incremental_batch_vectors_retrievable(spark, sf_oracle):
+    """VERDICT r7 #4 'done' criterion: vectors assigned by the
+    incremental path (frozen existing-corpus codebook, batch-only
+    assignment) are RETRIEVABLE — for each standard query, the exact
+    top-k among batch vectors is recovered from the probed cells' new
+    assignments. The bound is the MEASURED batch-restricted recall,
+    which sits below the full-index 0.963@nprobe=8: restricting top-10
+    to a ~60-vector batch reaches much deeper into each query's
+    similarity ranking (the full-corpus rank of the batch's 10th-best
+    neighbor is ~100+), where IVF probe recall is intrinsically lower.
+    Measured 0.787 at sf0.01; floor 0.70 against codebook/assign
+    regressions."""
+    from pyspark.sql import Window
+
+    from bigbugdata_spark.functions import hashing as H
+    from bigbugdata_spark.functions.fragments import TOP_K
+    from bigbugdata_spark.operators.similarity import (
+        _corpus,
+        ivf_assign,
+        ivf_cents,
+        ivf_probes,
+        ivf_queries,
+    )
+    from bigbugdata_spark.operators.similarity_incr import incoming_vec_col
+
+    corpus = _corpus(spark, sf_oracle)
+    existing = corpus.filter(~incoming_vec_col())
+    batch = corpus.filter(incoming_vec_col())
+    assert batch.count() > 2 * TOP_K  # the slice is big enough to rank
+
+    cents = ivf_cents(existing)  # FROZEN: trained on existing only
+    queries = ivf_queries(corpus)
+    probes = ivf_probes(queries, cents)
+    a_new = ivf_assign(batch, cents)
+    cand = {
+        (r["query_id"], r["vec_id"])
+        for r in probes.join(a_new, "cell_id")
+        .select("query_id", "vec_id")
+        .distinct()
+        .collect()
+    }
+
+    # exact top-k restricted to batch vectors, brute force
+    scored = batch.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        (
+            H.dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_nrm") * F.col("nrm"))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .collect()
+    }
+    assert exact
+    recall = len(cand & exact) / len(exact)
+    assert recall >= 0.70, f"incremental-assign recall collapsed: {recall:.3f}"

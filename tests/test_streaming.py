@@ -350,3 +350,86 @@ def test_stream_static_enrichment_matches_batch(spark, sf_oracle):
     }
     assert streamed == batch
     assert streamed  # non-degenerate: events do join the dimension
+
+
+def test_scd2_out_of_order_slice_detected_then_repaired(
+    tmp_path, spark, sf_oracle
+):
+    """Advisor r7 + VERDICT r7 #2: a late/backfill slice must FAIL LOUDLY
+    (OutOfOrderSliceError — the old merge silently ate it as a 'replay'),
+    and the documented repair path (repair_user_runs over the full event
+    source) must converge the table to the SAME result as the clean
+    in-order run — asserted against the batch derivation, which carries
+    the registered oracle. Afterwards, replay idempotence still holds."""
+    import pytest
+
+    from bigbugdata_spark.streaming.scd_sink import (
+        OutOfOrderSliceError,
+        read_state_history,
+        repair_user_runs,
+        upsert_state_runs,
+    )
+
+    ev = table(spark, sf_oracle, "events")
+    t = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+    s0 = ev.filter(F.col("ts") < t("2024-01-08"))
+    s1 = ev.filter((F.col("ts") >= t("2024-01-08")) & (F.col("ts") < t("2024-01-16")))
+    s2 = ev.filter(F.col("ts") >= t("2024-01-16"))
+    out = str(tmp_path / "table")
+    upsert_state_runs(spark, s0, out)
+    upsert_state_runs(spark, s2, out)  # slice 1 skipped: table is now ahead
+
+    with pytest.raises(OutOfOrderSliceError) as ei:
+        upsert_state_runs(spark, s1, out)  # the late slice arrives
+    detected = set(ei.value.user_ids)
+    slice1_users = {r[0] for r in s1.select("user_id").distinct().collect()}
+    assert detected and detected <= slice1_users
+    # nothing was applied by the failed merge (fail = no partial write)
+    # and the operational recovery recomputes every user the late slice
+    # touches from the full event source
+    repair_user_runs(spark, ev, out, sorted(slice1_users))
+
+    def key(r):
+        return (r["user_id"], r["state"], r["valid_from"])
+
+    batch_rows = {
+        key(r): (r["valid_to"], r["n_events"], r["is_current"])
+        for r in SPECS["evt_user_state_history"].fn(spark, sf_oracle).collect()
+    }
+    repaired_rows = {
+        key(r): (r["valid_to"], r["n_events"], r["is_current"])
+        for r in read_state_history(spark, out).collect()
+    }
+    assert repaired_rows == batch_rows
+
+    # post-repair: a genuine replay is still absorbed silently (covered
+    # below-mark runs), not misclassified as out-of-order
+    upsert_state_runs(spark, s2, out)
+    assert {
+        key(r): (r["valid_to"], r["n_events"], r["is_current"])
+        for r in read_state_history(spark, out).collect()
+    } == batch_rows
+
+
+def test_scd2_bucket_count_is_persisted_and_validated(tmp_path, spark, sf_oracle):
+    """Advisor r7: the bucket layout is fixed at first write (persisted
+    in the _scd_meta.json sidecar); a later merge passing a different
+    n_buckets must fail instead of silently re-hashing users into
+    buckets the high-water mark never checks."""
+    import os
+
+    import pytest
+
+    from bigbugdata_spark.streaming.scd_sink import (
+        _META_NAME,
+        upsert_state_runs,
+    )
+
+    ev = table(spark, sf_oracle, "events")
+    out = str(tmp_path / "table")
+    upsert_state_runs(spark, ev.limit(500), out, n_buckets=4)
+    assert os.path.exists(os.path.join(out, _META_NAME))
+    with pytest.raises(ValueError, match="persisted layout"):
+        upsert_state_runs(spark, ev, out, n_buckets=8)
+    # omitting n_buckets adopts the stored layout
+    upsert_state_runs(spark, ev, out)
