@@ -128,6 +128,15 @@ SCALE_PROBE_QUERIES = (
     "text_dup_span_coverage",
     "dedup_containment",
     "corpus_pack_accounting",
+    # round-8 additions — the newest plans, measured instead of argued:
+    # rare-token ratio is gram-level (token tagging keeps the df join
+    # linear); incremental dedup is the asymmetric batch-vs-corpus join
+    # (batch fraction is scale-invariant, so work should track data
+    # size); incremental IVF assignment is row-wise (rows x k, k fixed)
+    # like the kmeans probe — no pair expansion, verbatim replicas safe.
+    "text_rare_token_ratio",
+    "dedup_incremental",
+    "sim_ivf_incremental_assign",
 )
 # EMBEDDING-PAIR queries must stay out of the probe: vectors replicate
 # verbatim (key offset only — there is no text-tag analog for float
