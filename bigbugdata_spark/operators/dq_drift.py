@@ -1,0 +1,103 @@
+"""Categorical distribution-drift monitor (round 8) — the third leg of
+the dq time-series family (dq_ext: volume anomaly, PK uniqueness): does
+the MIX of event types in the current window differ from the reference
+window, even when total volume looks fine? The production shape is
+"clicks still arrive, but the error share doubled" — a feed can pass
+volume checks while its composition silently shifts.
+
+No analog in the reference (SURVEY §2.1); dq extension surface.
+
+Determinism discipline: the drift FLAG is decided entirely in BIGINT
+arithmetic — |c_cur*n_ref - c_ref*n_cur| * 1000 > THRESHOLD_PM *
+n_ref * n_cur — i.e. the permille share delta compared exactly by
+cross-multiplication, no floating point anywhere near the decision.
+The reported delta_pm is then a fixed fp64 expression over those exact
+integers (identical in both engines). Counts are conditional sums in
+ONE scan (no per-window scans + outer join), so a category absent from
+either window still gets a row with an exact zero.
+
+Scale posture: one map-side-combinable aggregate on event_type
+(|event_type| rows out of 100 TB); window totals roll up the tiny
+result frame, not the source. At 100 TB with the date-partitioned lake
+the two-window filter is partition pruning, not a full scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigbugdata_spark.catalog import table
+from bigbugdata_spark.registry import register
+
+# window boundary: [data start, CUTOFF) = reference, [CUTOFF, end) = current
+DRIFT_CUTOFF = "2024-01-16 00:00:00"
+# share shift that trips the flag, in permille of the window total
+DRIFT_THRESHOLD_PM = 10
+
+
+@register(
+    "dq_distribution_drift",
+    oracle=f"""
+        WITH counts AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN ts < TIMESTAMP '{DRIFT_CUTOFF}'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+                   CAST(SUM(CASE WHEN ts >= TIMESTAMP '{DRIFT_CUTOFF}'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+            FROM events GROUP BY event_type
+        ),
+        tot AS (
+            SELECT event_type, c_ref, c_cur,
+                   CAST(SUM(c_ref) OVER () AS BIGINT) AS n_ref,
+                   CAST(SUM(c_cur) OVER () AS BIGINT) AS n_cur
+            FROM counts
+        )
+        SELECT event_type, c_ref, c_cur, n_ref, n_cur,
+               (CAST(c_cur AS DOUBLE) / n_cur - CAST(c_ref AS DOUBLE) / n_ref)
+                   * 1000 AS delta_pm,
+               CAST(abs(c_cur * n_ref - c_ref * n_cur) * 1000
+                    > {DRIFT_THRESHOLD_PM} * n_ref * n_cur AS INT) AS drift
+        FROM tot
+    """,
+    tags=("dq", "events", "agg"),
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: reference- and current-window counts, window
+    totals, the share delta in permille, and an exact-integer drift flag
+    (share moved by more than DRIFT_THRESHOLD_PM permille)."""
+    cutoff = F.lit(DRIFT_CUTOFF).cast("timestamp")
+    counts = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("ts") < cutoff, 1).otherwise(0)).alias("c_ref"),
+            F.sum(F.when(F.col("ts") >= cutoff, 1).otherwise(0)).alias("c_cur"),
+        )
+    )
+    w = Window.partitionBy()  # |event_type|-row frame: totals roll up in place
+    counts = counts.select(
+        "event_type",
+        "c_ref",
+        "c_cur",
+        F.sum("c_ref").over(w).alias("n_ref"),
+        F.sum("c_cur").over(w).alias("n_cur"),
+    )
+    delta_pm = (
+        F.col("c_cur").cast("double") / F.col("n_cur")
+        - F.col("c_ref").cast("double") / F.col("n_ref")
+    ) * 1000
+    drift = (
+        F.abs(F.col("c_cur") * F.col("n_ref") - F.col("c_ref") * F.col("n_cur"))
+        * 1000
+        > F.lit(DRIFT_THRESHOLD_PM) * F.col("n_ref") * F.col("n_cur")
+    )
+    return counts.select(
+        "event_type",
+        "c_ref",
+        "c_cur",
+        "n_ref",
+        "n_cur",
+        delta_pm.alias("delta_pm"),
+        drift.cast("int").alias("drift"),
+    )

@@ -63,7 +63,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #
 # Round-9 rotation plan: r8-new queries (registered past the cap in
 # the trailing modules — see the r8 additions at the END of this
-# tuple) rotate IN, plus whichever standing verdicts are then oldest
+# tuple: storage_audit 1, similarity_incr 1, events_trans 1,
+# dq_drift 1, corpus_shard 1, text_bpe 1 = 6 queries, all oracle'd)
+# rotate IN, plus whichever standing verdicts are then oldest
 # (events/windows/events_ext/joins/stateful/corpus/dedup at r5).
 # Never rotate out: the 20 §2 ops, the 5 audit twins, audit_pq_recall,
 # or any query whose newest fix lacks a driver verdict.
@@ -109,6 +111,10 @@ _QUERY_MODULES = (
     # round-9 rotation):
     "bigbugdata_spark.operators.storage_audit",
     "bigbugdata_spark.operators.similarity_incr",
+    "bigbugdata_spark.operators.events_trans",
+    "bigbugdata_spark.operators.dq_drift",
+    "bigbugdata_spark.operators.corpus_shard",
+    "bigbugdata_spark.operators.text_bpe",
 )
 
 

@@ -1,0 +1,196 @@
+"""Behavior + plan-shape tests for the round-8 batch-2 operators
+(events_trans / dq_drift / corpus_shard / text_bpe). Oracle parity is
+covered by test_oracle_parity.py; these pin the semantic invariants and
+the 100 TB plan claims each docstring makes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigbugdata_spark.operators.corpus_shard import N_SHARDS
+from bigbugdata_spark.operators.text_bpe import TOP_PAIRS
+from bigbugdata_spark.plans import inspect as I
+from bigbugdata_spark.registry import load_all
+
+SPECS = load_all()
+
+
+@pytest.fixture(scope="module")
+def sf(sf_oracle):
+    return sf_oracle
+
+
+# --- evt_transition_matrix -------------------------------------------------
+
+
+def test_transition_matrix_conserves_events(spark, sf):
+    """Total transitions = total events - distinct users (each user's
+    chain has exactly len-1 edges), and per-source totals agree with
+    the pair counts."""
+    df = SPECS["evt_transition_matrix"].fn(spark, sf).cache()
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    total = df.agg(F.sum("n_trans")).collect()[0][0]
+    assert total == n_events - n_users
+
+    bad = (
+        df.groupBy("prev_state", "n_from")
+        .agg(F.sum("n_trans").alias("s"))
+        .where(F.col("s") != F.col("n_from"))
+        .count()
+    )
+    assert bad == 0
+    # probabilities are a proper conditional distribution per source state
+    sums = df.groupBy("prev_state").agg(F.sum("p").alias("ps")).collect()
+    for r in sums:
+        assert abs(r["ps"] - 1.0) < 1e-9
+    df.unpersist()
+
+
+def test_transition_matrix_plan(spark, sf):
+    """One events scan reading only the four needed columns; the lag
+    window, pair agg and roll-up window are the only exchanges; no
+    joins anywhere."""
+    df = SPECS["evt_transition_matrix"].fn(spark, sf)
+    scans = I.scan_info(df)
+    assert len(scans) == 1
+    assert I.read_columns(df)[0] == {"user_id", "ts", "event_id", "event_type"}
+    assert I.join_kinds(df) == []
+    assert I.shuffle_count(df) <= 3
+
+
+# --- dq_distribution_drift -------------------------------------------------
+
+
+def test_distribution_drift_partitions_total(spark, sf):
+    """Window counts partition the feed exactly and the share deltas sum
+    to zero (both distributions are complete)."""
+    df = SPECS["dq_distribution_drift"].fn(spark, sf).cache()
+    row = df.agg(
+        F.sum("c_ref").alias("sr"),
+        F.sum("c_cur").alias("sc"),
+        F.max("n_ref").alias("nr"),
+        F.max("n_cur").alias("nc"),
+        F.sum("delta_pm").alias("dd"),
+    ).collect()[0]
+    n_events = spark.read.parquet(f"{sf}/events.parquet").count()
+    assert row["sr"] + row["sc"] == n_events
+    assert row["sr"] == row["nr"] and row["sc"] == row["nc"]
+    assert abs(row["dd"]) < 1e-9
+    df.unpersist()
+
+
+def test_distribution_drift_flag_is_exact_integer(spark, sf):
+    """The drift flag must agree with the reported fp delta at the
+    documented threshold (the integer cross-multiplication is the same
+    predicate, decided exactly)."""
+    from bigbugdata_spark.operators.dq_drift import DRIFT_THRESHOLD_PM
+
+    rows = SPECS["dq_distribution_drift"].fn(spark, sf).collect()
+    for r in rows:
+        assert r["drift"] == int(abs(r["delta_pm"]) > DRIFT_THRESHOLD_PM)
+
+
+def test_distribution_drift_plan(spark, sf):
+    df = SPECS["dq_distribution_drift"].fn(spark, sf)
+    scans = I.scan_info(df)
+    assert len(scans) == 1
+    assert I.read_columns(df)[0] == {"event_type", "ts"}
+    assert I.join_kinds(df) == []
+    # conditional agg + the |event_type|-row totals window
+    assert I.shuffle_count(df) <= 2
+
+
+# --- corpus_shard_assignment -----------------------------------------------
+
+
+def test_shard_assignment_covers_all_shards(spark, sf):
+    df = SPECS["corpus_shard_assignment"].fn(spark, sf).cache()
+    rows = df.collect()
+    assert sorted(r["shard"] for r in rows) == list(range(N_SHARDS))
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    # affine-hash balance: no shard beyond 2x the even share at sf0.01
+    for r in rows:
+        assert 0 < r["share_pm"] < 2000
+    df.unpersist()
+
+
+def test_shard_assignment_is_stable_under_append(spark, sf):
+    """Membership is a pure function of doc_id: sharding a subset
+    assigns every doc the same shard as sharding the full corpus —
+    the re-shard-after-append guarantee the docstring sells."""
+    from bigbugdata_spark.operators.corpus_shard import shard_col
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    full = docs.select("doc_id", shard_col(F.col("doc_id")).alias("s"))
+    subset = docs.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", shard_col(F.col("doc_id")).alias("s2")
+    )
+    moved = (
+        full.join(subset, "doc_id").where(F.col("s") != F.col("s2")).count()
+    )
+    assert moved == 0
+
+
+def test_shard_assignment_plan(spark, sf):
+    df = SPECS["corpus_shard_assignment"].fn(spark, sf)
+    scans = I.scan_info(df)
+    assert len(scans) == 1
+    assert I.read_columns(df)[0] == {"doc_id", "text"}
+    assert I.join_kinds(df) == []
+    assert I.shuffle_count(df) <= 2
+
+
+# --- text_bpe_pair_stats ---------------------------------------------------
+
+
+def test_bpe_pairs_ranked_and_bounded(spark, sf):
+    rows = SPECS["text_bpe_pair_stats"].fn(spark, sf).collect()
+    assert len(rows) == TOP_PAIRS
+    by_rank = sorted(rows, key=lambda r: r["rnk"])
+    assert [r["rnk"] for r in by_rank] == list(range(1, TOP_PAIRS + 1))
+    freqs = [r["freq"] for r in by_rank]
+    assert freqs == sorted(freqs, reverse=True)
+    for r in rows:
+        assert len(r["pair"]) == 2
+
+
+def test_bpe_vocab_weighting_equals_raw_stream(spark, sf):
+    """The vocab-weighted count must equal counting pairs over the raw
+    token stream — the Heaps'-law optimization may not change results."""
+    from bigbugdata_spark.functions import hashing as H
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    raw = (
+        docs.select(F.explode(H.tokens(F.col("text"))).alias("w"))
+        .where(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("freq_raw"))
+    )
+    opt = SPECS["text_bpe_pair_stats"].fn(spark, sf)
+    joined = opt.join(raw, "pair", "left")
+    bad = joined.where(
+        F.col("freq_raw").isNull() | (F.col("freq") != F.col("freq_raw"))
+    ).count()
+    assert bad == 0
+
+
+def test_bpe_plan_single_scan_text_only(spark, sf):
+    df = SPECS["text_bpe_pair_stats"].fn(spark, sf)
+    scans = I.scan_info(df)
+    assert len(scans) == 1
+    assert I.read_columns(df)[0] == {"text"}
+    assert I.join_kinds(df) == []
+    # vocab agg + pair agg + the bounded global rank window
+    assert I.shuffle_count(df) <= 3
