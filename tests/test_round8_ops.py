@@ -186,6 +186,43 @@ def test_bpe_vocab_weighting_equals_raw_stream(spark, sf):
     assert bad == 0
 
 
+def test_cross_source_conserves_pairs(spark, sf):
+    """Every verified near-dup pair lands in exactly one source-pair
+    cell, and the within-source subtotal is consistent."""
+    from bigbugdata_spark.operators.dedup import dedup_minhash_lsh
+
+    n_pairs = dedup_minhash_lsh(spark, sf).count()
+    rows = SPECS["dedup_cross_source"].fn(spark, sf).collect()
+    assert sum(r["n_pairs"] for r in rows) == n_pairs
+    for r in rows:
+        assert r["src_a"] <= r["src_b"]
+        assert 0 <= r["n_within"] <= r["n_pairs"]
+        # off-diagonal cells cannot contain same-source pairs
+        if r["src_a"] != r["src_b"]:
+            assert r["n_within"] == 0
+
+
+def test_source_dup_rate_covers_all_sources(spark, sf):
+    rows = SPECS["dedup_source_dup_rate"].fn(spark, sf).collect()
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    assert len(rows) == docs.select("source").distinct().count()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert 0 <= r["n_duped"] <= r["n_docs"]
+
+
+def test_cross_source_rollup_broadcasts_dimension(spark, sf):
+    """The doc->source joins on the pair frame must be broadcast hash
+    joins (never a sort-merge over the corpus) and no cartesian may
+    appear anywhere in the pipeline."""
+    df = SPECS["dedup_cross_source"].fn(spark, sf)
+    kinds = I.join_kinds(df)
+    assert "BroadcastHashJoin" in kinds
+    plan = I.plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_bpe_plan_single_scan_text_only(spark, sf):
     df = SPECS["text_bpe_pair_stats"].fn(spark, sf)
     scans = I.scan_info(df)
