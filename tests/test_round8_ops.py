@@ -231,3 +231,63 @@ def test_bpe_plan_single_scan_text_only(spark, sf):
     assert I.join_kinds(df) == []
     # vocab agg + pair agg + the bounded global rank window
     assert I.shuffle_count(df) <= 3
+
+
+# --- dq_stream_distribution_drift ------------------------------------------
+
+
+def test_stream_drift_equals_batch(spark, sf):
+    """The streaming monitor's final table must equal the batch query
+    row-for-row (availableNow ingests the whole fixture)."""
+    batch = sorted(
+        tuple(r) for r in SPECS["dq_distribution_drift"].fn(spark, sf).collect()
+    )
+    stream = sorted(
+        tuple(r)
+        for r in SPECS["dq_stream_distribution_drift"].fn(spark, sf).collect()
+    )
+    assert stream == batch
+
+
+# --- emb_label_centroid_stats ----------------------------------------------
+
+
+def test_centroid_stats_matches_naive_scatter(spark, sf):
+    """The integer scatter identity must equal the naive per-row
+    squared-distance-to-centroid mean, computed independently in
+    numpy over the same quantized vectors."""
+    import numpy as np
+
+    from bigbugdata_spark.functions.quantization import quantized_vec
+
+    q = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .select("label", quantized_vec(F.col("embedding")).alias("qv"))
+        .collect()
+    )
+    by_label: dict = {}
+    for r in q:
+        by_label.setdefault(r["label"], []).append(r["qv"])
+    rows = SPECS["emb_label_centroid_stats"].fn(spark, sf).collect()
+    assert {r["label"] for r in rows} == set(by_label)
+    for r in rows:
+        vecs = np.array(by_label[r["label"]], dtype=np.float64)
+        naive = ((vecs - vecs.mean(axis=0)) ** 2).sum(axis=1).mean()
+        assert r["n_vecs"] == len(vecs)
+        assert r["msd"] >= 0
+        assert abs(r["msd"] - naive) < 1e-6 * max(naive, 1.0)
+        assert abs(r["rmsd"] - naive**0.5) < 1e-6
+
+
+def test_centroid_stats_plan(spark, sf):
+    """Reads only (label, embedding); no cartesian / nested-loop join;
+    the label-key join of two dataset-card frames may broadcast."""
+    df = SPECS["emb_label_centroid_stats"].fn(spark, sf)
+    # pruning: no scan may read beyond (label, embedding) — vec_id stays
+    # out. (The pinned quantized frame can make the visible scan narrower
+    # than both columns, so subset, not equality.)
+    for cols in I.read_columns(df):
+        assert cols <= {"label", "embedding"}
+    plan = I.plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
