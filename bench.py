@@ -137,6 +137,17 @@ SCALE_PROBE_QUERIES = (
     "text_rare_token_ratio",
     "dedup_incremental",
     "sim_ivf_incremental_assign",
+    # round-8 batch-2 additions: the transition matrix is one lag window
+    # + a 25-key agg (linear); BPE pair stats explode the WORD VOCAB
+    # (per-replica token tags grow the vocab with the corpus, the
+    # realistic direction); the cross-source roll-up rides the LSH pair
+    # pipeline (token tagging keeps pairs within replicas -> linear);
+    # the centroid scatter is row-wise over vectors (no pairs — verbatim
+    # replicas safe, same argument as the kmeans probe).
+    "evt_transition_matrix",
+    "text_bpe_pair_stats",
+    "dedup_cross_source",
+    "emb_label_centroid_stats",
 )
 # EMBEDDING-PAIR queries must stay out of the probe: vectors replicate
 # verbatim (key offset only — there is no text-tag analog for float
