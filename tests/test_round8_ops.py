@@ -233,6 +233,53 @@ def test_bpe_plan_single_scan_text_only(spark, sf):
     assert I.shuffle_count(df) <= 3
 
 
+# --- evt_state_dwell -------------------------------------------------------
+
+
+def test_state_dwell_conservation(spark, sf):
+    """Runs partition into closed+open; every user contributes exactly
+    one open run; total dwell equals the sum over users of (last run
+    start - first run start) — the chain covers each user's history
+    with no gaps or overlaps."""
+    from bigbugdata_spark.catalog import table
+    from bigbugdata_spark.operators.scd_core import runs_from_events
+
+    rows = SPECS["evt_state_dwell"].fn(spark, sf).collect()
+    runs = runs_from_events(table(spark, sf, "events")).cache()
+    n_runs = runs.count()
+    n_users = runs.select("user_id").distinct().count()
+    assert sum(r["n_closed"] + r["n_open"] for r in rows) == n_runs
+    assert sum(r["n_open"] for r in rows) == n_users
+
+    span = (
+        runs.groupBy("user_id")
+        .agg(
+            (
+                F.unix_micros(F.max("vf")) - F.unix_micros(F.min("vf"))
+            ).alias("span_us")
+        )
+        .agg(F.sum("span_us"))
+        .collect()[0][0]
+    )
+    assert sum(r["total_us"] for r in rows) == span
+    for r in rows:
+        if r["n_closed"] > 0:
+            assert r["mean_us"] == r["total_us"] / r["n_closed"]
+        else:
+            assert r["mean_us"] is None
+    runs.unpersist()
+
+
+def test_state_dwell_plan(spark, sf):
+    df = SPECS["evt_state_dwell"].fn(spark, sf)
+    scans = I.scan_info(df)
+    assert len(scans) == 1
+    assert I.read_columns(df)[0] == {"user_id", "ts", "event_id", "event_type"}
+    assert I.join_kinds(df) == []
+    # island windows (user / user+type) + run agg + lead window + state agg
+    assert I.shuffle_count(df) <= 4
+
+
 # --- dq_stream_distribution_drift ------------------------------------------
 
 
