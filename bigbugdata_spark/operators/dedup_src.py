@@ -37,25 +37,22 @@ from bigbugdata_spark.registry import register
         WITH pairs AS ({JACCARD_PAIRS_SQL}),
         tagged AS (
             SELECT LEAST(sa.source, sb.source) AS src_a,
-                   GREATEST(sa.source, sb.source) AS src_b,
-                   CAST(sa.source = sb.source AS INT) AS within
+                   GREATEST(sa.source, sb.source) AS src_b
             FROM pairs
             JOIN documents sa ON pairs.d1 = sa.doc_id
             JOIN documents sb ON pairs.d2 = sb.doc_id
         )
-        SELECT src_a, src_b,
-               CAST(COUNT(*) AS BIGINT) AS n_pairs,
-               CAST(SUM(within) AS BIGINT) AS n_within
+        SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
         FROM tagged GROUP BY src_a, src_b
     """,
     tags=("dedup", "corpus", "join"),
 )
 def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per unordered source pair: the number of verified near-dup
-    document pairs between them (n_within counts the same-source
-    subset, so src_a = src_b rows are internal duplication). Source
-    pair keys are (LEAST, GREATEST)-normalized so direction never
-    splits a pair across rows."""
+    document pairs between them (a src_a = src_b row is the source's
+    INTERNAL duplication — the key equality already says so, no
+    separate subtotal needed). Source pair keys are (LEAST, GREATEST)-
+    normalized so direction never splits a pair across rows."""
     pairs = dedup_minhash_lsh(spark, sf_dir)
     src = table(spark, sf_dir, "documents").select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("d1"), F.col("source").alias("sa"))
@@ -66,13 +63,9 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         tagged.select(
             F.least("sa", "sb").alias("src_a"),
             F.greatest("sa", "sb").alias("src_b"),
-            (F.col("sa") == F.col("sb")).cast("int").alias("within"),
         )
         .groupBy("src_a", "src_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.sum("within").cast("long").alias("n_within"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
 
 

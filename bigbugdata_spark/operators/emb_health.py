@@ -24,6 +24,14 @@ a posexplode + map-side-combinable aggregate on a (|labels| x dim) key
 space, the row-norm roll-up a second tiny aggregate — both shuffle
 dataset-card-sized frames. At 100 TB nothing is driver-side and no
 vector ever pairs with another (this is the O(n) profile, not a join).
+
+Capacity bound (exactness contract): the BIGINT products overflow when
+n_label * sumsq approaches 2^63 — with d=64 dims and |q| <= 127 that
+is n_label ~ 3e6 vectors per label. Beyond that, promote the three
+final products to DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — the
+aggregates themselves (row norms, coordinate sums) stay far inside
+BIGINT for any realistic n — or shard the label and combine partial
+(n, s_j, sumsq) triples, which the identity supports associatively.
 """
 
 from __future__ import annotations

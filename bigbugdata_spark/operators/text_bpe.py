@@ -64,7 +64,7 @@ TOP_PAIRS = 20
     tags=("text", "agg", "topk"),
 )
 def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{TOP_PAIRS} adjacent character pairs inside words (the BPE
+    """Top-K (K = TOP_PAIRS) adjacent character pairs inside words (the BPE
     merge candidates), with exact corpus frequency and a deterministic
     (freq DESC, pair ASC) rank.
 

@@ -188,7 +188,7 @@ def test_bpe_vocab_weighting_equals_raw_stream(spark, sf):
 
 def test_cross_source_conserves_pairs(spark, sf):
     """Every verified near-dup pair lands in exactly one source-pair
-    cell, and the within-source subtotal is consistent."""
+    cell (key-normalized, so direction never splits a pair)."""
     from bigbugdata_spark.operators.dedup import dedup_minhash_lsh
 
     n_pairs = dedup_minhash_lsh(spark, sf).count()
@@ -196,10 +196,7 @@ def test_cross_source_conserves_pairs(spark, sf):
     assert sum(r["n_pairs"] for r in rows) == n_pairs
     for r in rows:
         assert r["src_a"] <= r["src_b"]
-        assert 0 <= r["n_within"] <= r["n_pairs"]
-        # off-diagonal cells cannot contain same-source pairs
-        if r["src_a"] != r["src_b"]:
-            assert r["n_within"] == 0
+        assert r["n_pairs"] > 0
 
 
 def test_source_dup_rate_covers_all_sources(spark, sf):
