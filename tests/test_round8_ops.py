@@ -93,6 +93,36 @@ def test_distribution_drift_flag_is_exact_integer(spark, sf):
         assert r["drift"] == int(abs(r["delta_pm"]) > DRIFT_THRESHOLD_PM)
 
 
+def test_distribution_drift_fires_on_planted_shift(spark):
+    """The fixture never trips the 10-permille flag (max |delta| ~9.2pm
+    at sf0.01), so plant a composition shift and prove the flag FIRES:
+    category 'b' doubles its share in the current window while total
+    volume stays flat — the exact failure volume checks cannot see."""
+    import datetime as dt
+
+    from bigbugdata_spark.operators.dq_drift import (
+        DRIFT_CUTOFF,
+        finish_drift,
+        window_counts,
+    )
+
+    cutoff = dt.datetime.fromisoformat(DRIFT_CUTOFF)
+    before = cutoff - dt.timedelta(days=1)
+    after = cutoff + dt.timedelta(days=1)
+    # ref: 900 a / 100 b; cur: 800 a / 200 b  (b: 10% -> 20%, +100pm)
+    rows = (
+        [("a", before)] * 900
+        + [("b", before)] * 100
+        + [("a", after)] * 800
+        + [("b", after)] * 200
+    )
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r["event_type"]: r for r in finish_drift(window_counts(ev)).collect()}
+    assert out["b"]["drift"] == 1 and out["a"]["drift"] == 1
+    assert abs(out["b"]["delta_pm"] - 100.0) < 1e-9
+    assert abs(out["a"]["delta_pm"] + 100.0) < 1e-9
+
+
 def test_distribution_drift_plan(spark, sf):
     df = SPECS["dq_distribution_drift"].fn(spark, sf)
     scans = I.scan_info(df)
@@ -275,6 +305,57 @@ def test_state_dwell_plan(spark, sf):
     assert I.join_kinds(df) == []
     # island windows (user / user+type) + run agg + lead window + state agg
     assert I.shuffle_count(df) <= 4
+
+
+# --- orders_rfm_segments ---------------------------------------------------
+
+
+def test_rfm_segments_conserve_customers_and_cents(spark, sf):
+    rows = SPECS["orders_rfm_segments"].fn(spark, sf).collect()
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    assert sum(r["n_customers"] for r in rows) == cust.count()
+    total = orders.agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+    ).collect()[0][0]
+    assert sum(r["total_cents"] for r in rows) == total
+
+
+def test_rfm_never_cell_on_orderless_customers(spark, sf):
+    """Every sf0.01 customer has orders, so the left-join path is
+    fixture-invisible: plant two orderless customers and prove they
+    land in exactly the ('never','none','none') cell with zero cents."""
+    from bigbugdata_spark.operators.orders_rfm import rfm_segments
+
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet").limit(0)
+    extra = spark.createDataFrame(
+        [(10_000_001,), (10_000_002,)], "c_custkey long"
+    )
+    kept = orders.where(F.col("o_custkey") % 7 == 0)
+    out = {
+        (r["r_band"], r["f_band"], r["m_band"]): r
+        for r in rfm_segments(
+            kept,
+            cust.unionByName(extra, allowMissingColumns=True).select(
+                "c_custkey"
+            ),
+        ).collect()
+    }
+    never = out[("never", "none", "none")]
+    assert never["n_customers"] == 2
+    assert never["total_cents"] == 0
+
+
+def test_rfm_plan_single_orders_scan(spark, sf):
+    df = SPECS["orders_rfm_segments"].fn(spark, sf)
+    scans = I.scan_info(df)
+    assert len(scans) == 2  # orders + customer, each once
+    cols = I.read_columns(df)
+    assert {"o_custkey", "o_totalprice", "o_orderdate"} in cols
+    assert {"c_custkey"} in cols
+    plan = I.plan_string(df)
+    assert "CartesianProduct" not in plan
 
 
 # --- dq_stream_distribution_drift ------------------------------------------
