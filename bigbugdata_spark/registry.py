@@ -65,8 +65,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # the trailing modules — see the r8 additions at the END of this
 # tuple: storage_audit 1, similarity_incr 1, events_trans 1,
 # dq_drift 1, corpus_shard 1, text_bpe 1, dedup_src 2,
-# streaming.drift 1, emb_health 1, events_dwell 1, orders_rfm 1
-# = 12 queries, all oracle'd)
+# streaming.drift 1, emb_health 1, events_dwell 1, orders_rfm 1,
+# text_lm 1 = 13 queries, all oracle'd)
 # rotate IN, plus whichever standing verdicts are then oldest
 # (events/windows/events_ext/joins/stateful/corpus/dedup at r5).
 # Never rotate out: the 20 §2 ops, the 5 audit twins, audit_pq_recall,
@@ -122,6 +122,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.emb_health",
     "bigbugdata_spark.operators.events_dwell",
     "bigbugdata_spark.operators.orders_rfm",
+    "bigbugdata_spark.operators.text_lm",
 )
 
 

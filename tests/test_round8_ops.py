@@ -358,6 +358,48 @@ def test_rfm_plan_single_orders_scan(spark, sf):
     assert "CartesianProduct" not in plan
 
 
+# --- text_bigram_lm --------------------------------------------------------
+
+
+def test_bigram_lm_counts_equal_raw_pairs(spark, sf):
+    """The JVM-side slide must count exactly the adjacent token pairs
+    of the raw token stream, and conditionals must be proper
+    (n_pair <= n_w1, p = n_pair/n_w1)."""
+    from bigbugdata_spark.functions import hashing as H
+
+    rows = SPECS["text_bigram_lm"].fn(spark, sf).collect()
+    toks = [
+        r["t"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select(H.tokens(F.col("text")).alias("t"))
+        .collect()
+    ]
+    from collections import Counter
+
+    pair_c: Counter = Counter()
+    dep_c: Counter = Counter()
+    for t in toks:
+        for a, b in zip(t, t[1:]):
+            pair_c[(a, b)] += 1
+            dep_c[a] += 1
+    for r in rows:
+        assert r["n_pair"] == pair_c[(r["w1"], r["w2"])]
+        assert r["n_w1"] == dep_c[r["w1"]]
+        assert r["p_cond"] == r["n_pair"] / r["n_w1"]
+    ranks = sorted(r["rnk"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_bigram_lm_plan_single_scan(spark, sf):
+    df = SPECS["text_bigram_lm"].fn(spark, sf)
+    scans = I.scan_info(df)
+    assert len(scans) == 1
+    assert I.read_columns(df)[0] == {"text"}
+    assert I.join_kinds(df) == []
+    # pair agg + w1 departure window + bounded global rank window
+    assert I.shuffle_count(df) <= 3
+
+
 # --- dq_stream_distribution_drift ------------------------------------------
 
 
