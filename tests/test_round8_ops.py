@@ -400,6 +400,51 @@ def test_bigram_lm_plan_single_scan(spark, sf):
     assert I.shuffle_count(df) <= 3
 
 
+# --- evt_user_features -----------------------------------------------------
+
+
+def test_user_features_conserve_and_bound(spark, sf):
+    rows = SPECS["evt_user_features"].fn(spark, sf).collect()
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    assert len(rows) == ev.select("user_id").distinct().count()
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    for r in rows:
+        assert 1 <= r["n_types"] <= 5
+        assert r["n_purchases"] + r["n_errors"] <= r["n_events"]
+        assert r["tenure_us"] >= 0
+        assert r["first_ts"] <= r["last_ts"]
+        assert r["purchase_share"] == r["n_purchases"] / r["n_events"]
+
+
+def test_user_features_plan_one_scan_one_shuffle(spark, sf):
+    df = SPECS["evt_user_features"].fn(spark, sf)
+    scans = I.scan_info(df)
+    assert len(scans) == 1
+    assert I.join_kinds(df) == []
+    # count-distinct expands the aggregate but stays one user_id
+    # exchange family; no join, no extra scan
+    assert I.shuffle_count(df) <= 2
+
+
+# --- corpus_curriculum_plan ------------------------------------------------
+
+
+def test_curriculum_plan_covers_corpus_contiguously(spark, sf):
+    """All three stages populated at sf0.01, doc/token totals conserve,
+    and stage start offsets tile the token stream with no gaps."""
+    rows = sorted(
+        SPECS["corpus_curriculum_plan"].fn(spark, sf).collect(),
+        key=lambda r: r["stage"],
+    )
+    assert [r["stage"] for r in rows] == [1, 2, 3]
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    pos = 0
+    for r in rows:
+        assert r["start_token"] == pos
+        pos += r["n_tokens"]
+
+
 # --- dq_stream_distribution_drift ------------------------------------------
 
 
