@@ -148,6 +148,12 @@ SCALE_PROBE_QUERIES = (
     "text_bpe_pair_stats",
     "dedup_cross_source",
     "emb_label_centroid_stats",
+    # the probe that caught the negated-class regex slow path (quality
+    # scoring went 6.4x super-linear before the positive-class
+    # regexp_replace fix in text_quality_score; 1.2-1.5 after) — kept
+    # in the list so a regression of that fix is measured, not argued.
+    "corpus_curriculum_plan",
+    "evt_user_features",
 )
 # EMBEDDING-PAIR queries must stay out of the probe: vectors replicate
 # verbatim (key offset only — there is no text-tag analog for float
