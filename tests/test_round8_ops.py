@@ -445,6 +445,25 @@ def test_curriculum_plan_covers_corpus_contiguously(spark, sf):
         pos += r["n_tokens"]
 
 
+# --- dq_freshness ----------------------------------------------------------
+
+
+def test_freshness_exercises_both_flags(spark, sf):
+    """The fixture itself covers fresh AND stale: events land within a
+    day of their anchor, the orders feed is a month behind its SLA."""
+    rows = {r["feed"]: r for r in SPECS["dq_freshness"].fn(spark, sf).collect()}
+    assert rows["events"]["is_stale"] == 0
+    assert rows["orders"]["is_stale"] == 1
+    for r in rows.values():
+        assert r["lag_hours"] >= 0
+    ev_max = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .agg(F.max("ts"))
+        .collect()[0][0]
+    )
+    assert rows["events"]["max_ts"].startswith(str(ev_max.date()))
+
+
 # --- dq_stream_distribution_drift ------------------------------------------
 
 
