@@ -191,7 +191,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         # n_punct = count of chars outside [a-z0-9 ], computed as the
         # length of the text with the KEEP class stripped: identical
         # integer to regexp_count(text, '[^a-z0-9 ]') (property-tested
-        # incl. unicode/whitespace), but ~12x faster at the 10x probe
+        # incl. unicode/whitespace — tests/test_round8_ops.py::
+        # test_n_punct_replace_equals_count_property, with a Python
+        # recount as third witness), but ~12x faster at the 10x probe
         # scale — the negated-class pattern hits a JVM regex slow path
         # (~35us/row vs ~3us) that regexp_replace with the positive
         # class avoids. Oracle unchanged (it counts the same chars).

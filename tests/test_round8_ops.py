@@ -445,6 +445,46 @@ def test_curriculum_plan_covers_corpus_contiguously(spark, sf):
         pos += r["n_tokens"]
 
 
+# --- text_quality_score n_punct rewrite ------------------------------------
+
+
+def test_n_punct_replace_equals_count_property(spark):
+    """The positive-class replace formulation (the 12x hot-path fix in
+    text_quality_score) must count exactly the chars the old negated-
+    class regexp_count counted — property-checked on hypothesis-drawn
+    strings plus adversarial unicode/whitespace cases, with a plain
+    Python recount as the third witness."""
+    from hypothesis import given, settings, strategies as st
+
+    adversarial = [
+        "", "   ", "a,b.c!", "héllo wörld", "123 abc", "!!!",
+        "tab\tnewline\n", "emoji \U0001f600 astral", "combining é",
+        "UPPER Case", " nbsp", "mixed: a1! b2? c3;",
+    ]
+    cases = st.one_of(
+        st.sampled_from(adversarial),
+        st.text(min_size=0, max_size=40),
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(cases, min_size=1, max_size=8))
+    def check(texts):
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        rows = df.select(
+            "text",
+            F.regexp_count(F.col("text"), F.lit(r"[^a-z0-9 ]"))
+            .alias("old"),
+            F.length(
+                F.regexp_replace(F.col("text"), F.lit(r"[a-z0-9 ]"), F.lit(""))
+            ).alias("new"),
+        ).collect()
+        for r in rows:
+            expect = sum(1 for c in r["text"] if not ("a" <= c <= "z" or "0" <= c <= "9" or c == " "))
+            assert r["new"] == r["old"] == expect, r
+
+    check()
+
+
 # --- dq_freshness ----------------------------------------------------------
 
 
