@@ -66,8 +66,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # tuple: storage_audit 1, similarity_incr 1, events_trans 1,
 # dq_drift 1, corpus_shard 1, text_bpe 1, dedup_src 2,
 # streaming.drift 1, emb_health 1, events_dwell 1, orders_rfm 1,
-# text_lm 1, events_features 1, corpus_curriculum 1, dq_fresh 1
-# = 16 queries, all oracle'd)
+# text_lm 1, events_features 1, corpus_curriculum 1, dq_fresh 1,
+# dq_emb 1, profile_corr 1 = 18 queries, all oracle'd)
 # rotate IN, plus whichever standing verdicts are then oldest
 # (events/windows/events_ext/joins/stateful/corpus/dedup at r5).
 # Never rotate out: the 20 §2 ops, the 5 audit twins, audit_pq_recall,
@@ -127,6 +127,8 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.events_features",
     "bigbugdata_spark.operators.corpus_curriculum",
     "bigbugdata_spark.operators.dq_fresh",
+    "bigbugdata_spark.operators.dq_emb",
+    "bigbugdata_spark.operators.profile_corr",
 )
 
 

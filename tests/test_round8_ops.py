@@ -485,6 +485,84 @@ def test_n_punct_replace_equals_count_property(spark):
     check()
 
 
+# --- dq_emb_coverage -------------------------------------------------------
+
+
+def test_emb_coverage_clean_fixture_all_green(spark, sf):
+    row = SPECS["dq_emb_coverage"].fn(spark, sf).collect()[0]
+    n = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert row["matched"] == n
+    assert (
+        row["docs_without_vec"]
+        == row["vecs_without_doc"]
+        == row["n_bad_dim"]
+        == row["n_nonfinite"]
+        == row["n_all_zero"]
+        == 0
+    )
+
+
+def test_emb_coverage_corrupted_fixture_exact_counts(spark):
+    """Every defect class fires with its exact count: 2 docs missing
+    vectors, 1 orphan vector, 1 short vector, 1 NaN vector, 1 Inf
+    vector, 1 all-zero vector."""
+    import math
+
+    from bigbugdata_spark.functions.fragments import EMB_DIM
+    from bigbugdata_spark.operators.dq_emb import emb_coverage
+
+    good = [0.5] * EMB_DIM
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    emb_rows = [
+        (0, good),
+        (1, good),
+        (2, good[: EMB_DIM - 4]),          # bad dim
+        (3, [math.nan] + good[1:]),        # non-finite (NaN)
+        (4, [math.inf] + good[1:]),        # non-finite (Inf)
+        (5, [0.0] * EMB_DIM),              # all-zero
+        # doc 6, 7 have no vector
+        (100, good),                       # orphan vector
+    ]
+    emb = spark.createDataFrame(
+        emb_rows, "vec_id long, embedding array<float>"
+    )
+    row = emb_coverage(docs, emb).collect()[0]
+    assert row["matched"] == 6
+    assert row["docs_without_vec"] == 2
+    assert row["vecs_without_doc"] == 1
+    assert row["n_bad_dim"] == 1
+    assert row["n_nonfinite"] == 2
+    assert row["n_all_zero"] == 1
+
+
+# --- prof_corr_chars_tokens ------------------------------------------------
+
+
+def test_corr_matches_numpy_witness(spark, sf):
+    """The moment-identity correlation must agree with numpy's corrcoef
+    over the same integer pairs (third witness, independent of both
+    engines)."""
+    import numpy as np
+
+    from bigbugdata_spark.functions import hashing as H
+
+    pairs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(
+            F.length("text").cast("long").alias("x"),
+            F.size(H.tokens(F.col("text"))).cast("long").alias("y"),
+        )
+        .collect()
+    )
+    x = np.array([p["x"] for p in pairs], dtype=np.float64)
+    y = np.array([p["y"] for p in pairs], dtype=np.float64)
+    row = SPECS["prof_corr_chars_tokens"].fn(spark, sf).collect()[0]
+    assert row["n"] == len(pairs)
+    assert row["sum_x"] == int(x.sum()) and row["sum_y"] == int(y.sum())
+    assert abs(row["corr"] - np.corrcoef(x, y)[0, 1]) < 1e-12
+    assert -1.0 <= row["corr"] <= 1.0
+
+
 # --- dq_freshness ----------------------------------------------------------
 
 
