@@ -16,8 +16,12 @@ derivation, and the SAME oracle SQL gates both.
 
 Scale posture: state is |event_type| rows of two BIGINT sums —
 constant-size streaming state, no watermark needed (the aggregate never
-drops keys); the production variant swaps the memory sink for the
-idempotent MERGE sink (streaming/sink.py) on the same tiny key space.
+drops keys); the production variant swaps the memory sink for a
+foreachBatch overwrite of the dataset-card-sized table (complete-mode
+counts REPLACE per trigger — the insert-only MERGE sinks in
+streaming/sink.py are for append-shaped keys, not updating aggregates;
+overwrite of a 5-row table is trivially idempotent under replay).
+tests/test_round8_ops.py proves that path through the engine.
 """
 
 from __future__ import annotations

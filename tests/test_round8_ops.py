@@ -585,6 +585,39 @@ def test_freshness_exercises_both_flags(spark, sf):
 # --- dq_stream_distribution_drift ------------------------------------------
 
 
+def test_stream_drift_foreachbatch_overwrite_sink(spark, sf, tmp_path):
+    """The documented production path: complete-mode window counts
+    overwrite a parquet card table per trigger via foreachBatch; the
+    final table finished through finish_drift equals the batch query,
+    and re-running the stream (replay) leaves it unchanged."""
+    from bigbugdata_spark.operators.dq_drift import finish_drift, window_counts
+    from bigbugdata_spark.streaming.core import stream_events
+
+    out = str(tmp_path / "drift_card")
+
+    def write(batch, _bid):
+        batch.write.mode("overwrite").parquet(out)
+
+    for _ in range(2):  # second run = full replay; overwrite is idempotent
+        q = (
+            window_counts(stream_events(spark, sf))
+            .writeStream.outputMode("complete")
+            .foreachBatch(write)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+
+    got = sorted(
+        tuple(r) for r in finish_drift(spark.read.parquet(out)).collect()
+    )
+    want = sorted(
+        tuple(r) for r in SPECS["dq_distribution_drift"].fn(spark, sf).collect()
+    )
+    assert got == want
+
+
 def test_stream_drift_equals_batch(spark, sf):
     """The streaming monitor's final table must equal the batch query
     row-for-row (availableNow ingests the whole fixture)."""
