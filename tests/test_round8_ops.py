@@ -563,6 +563,35 @@ def test_corr_matches_numpy_witness(spark, sf):
     assert -1.0 <= row["corr"] <= 1.0
 
 
+# --- pipe_release_manifest -------------------------------------------------
+
+
+def test_release_manifest_consistent_with_components(spark, sf):
+    """The composed manifest must agree with its component queries
+    computed independently: released docs = quality-gated docs minus
+    extra exact-dup copies among them; keys stay in range."""
+    from bigbugdata_spark.operators.corpus_shard import N_SHARDS
+    from bigbugdata_spark.operators.pipeline_release import MIN_QUALITY
+    from bigbugdata_spark.operators.text import text_quality_score
+
+    rows = SPECS["pipe_release_manifest"].fn(spark, sf).collect()
+    q = text_quality_score(spark, sf).where(F.col("quality") >= MIN_QUALITY)
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    gated = q.join(docs, "doc_id")
+    n_gated = gated.count()
+    n_distinct_content = (
+        gated.select(F.sha2(F.col("text"), 256)).distinct().count()
+    )
+    assert sum(r["n_docs"] for r in rows) == n_distinct_content
+    assert n_distinct_content <= n_gated
+    for r in rows:
+        assert 0 <= r["shard"] < N_SHARDS
+        assert r["stage"] in (1, 2, 3)
+        assert r["n_docs"] > 0 and r["n_tokens"] > 0
+
+
 # --- dq_freshness ----------------------------------------------------------
 
 
