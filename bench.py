@@ -154,6 +154,10 @@ SCALE_PROBE_QUERIES = (
     # in the list so a regression of that fix is measured, not argued.
     "corpus_curriculum_plan",
     "evt_user_features",
+    # the r8 governance capstone (quality -> dedup -> shard -> stage in
+    # one plan): probing the composition catches a regression in any
+    # fused stage even if the parts stay individually healthy.
+    "pipe_release_manifest",
 )
 # EMBEDDING-PAIR queries must stay out of the probe: vectors replicate
 # verbatim (key offset only — there is no text-tag analog for float
