@@ -14,13 +14,16 @@ Determinism discipline: every column is an exact count; the vector
 defect predicates (dim mismatch, non-finite component, all-zero) are
 boolean folds both engines evaluate identically. NaN detection avoids
 NaN literals on either side: a component is non-finite iff
-(x != x) OR |x| = Inf — expressed as x - x != 0 on doubles (NaN and
-Inf both fail), which DuckDB and Spark evaluate identically.
+x - x != 0 on doubles — NaN - NaN = NaN and Inf - Inf = NaN, and
+NaN != 0 is true in both engines. (An x != x disjunct would be dead
+code: Spark SQL and DuckDB both order NaN equal to itself.)
 
-Scale posture: the coverage counts are ONE full-outer join on the id
-(at 100 TB both sides bucket by id — sources/bucketed.py — so it is
-co-located), and the defect counts are a per-row fold over the vector
-column in the same scan; output is one row.
+Scale posture: ONE embeddings scan and ONE full-outer id join (at
+100 TB both sides bucket by id — sources/bucketed.py — so it is
+co-located): the embedding column rides through the join and every
+counter folds in a single one-row aggregate on the joined frame —
+coverage and defect counts share the scan instead of reading the
+wide vector column twice.
 """
 
 from __future__ import annotations
@@ -40,8 +43,7 @@ from bigbugdata_spark.registry import register
             SELECT vec_id,
                    CAST(len(embedding) <> {EMB_DIM} AS INT) AS bad_dim,
                    CAST(len(list_filter(embedding,
-                        x -> CAST(x AS DOUBLE) - CAST(x AS DOUBLE) <> 0
-                             OR (CAST(x AS DOUBLE) <> CAST(x AS DOUBLE))))
+                        x -> CAST(x AS DOUBLE) - CAST(x AS DOUBLE) <> 0))
                         > 0 AS INT) AS bad_finite,
                    CAST(len(list_filter(embedding,
                         x -> CAST(x AS DOUBLE) <> 0)) = 0 AS INT) AS all_zero
@@ -86,44 +88,29 @@ def emb_coverage(docs: DataFrame, emb: DataFrame) -> DataFrame:
     because the clean fixture leaves every defect counter at zero; the
     corrupted-fixture test plants each defect class and asserts the
     exact counts."""
-    # non-finite iff x - x != 0 (Inf fails arithmetic) OR x != x (NaN)
-    defects = emb.select(
-        (F.size("embedding") != EMB_DIM).cast("int").alias("bad_dim"),
-        (
-            F.size(F.filter("embedding", lambda c: (c.cast("double") - c.cast("double") != 0) | (c.cast("double") != c.cast("double"))))
-            > 0
-        )
-        .cast("int")
-        .alias("bad_finite"),
-        (F.size(F.filter("embedding", lambda c: c.cast("double") != 0)) == 0)
-        .cast("int")
-        .alias("all_zero"),
-    ).agg(
-        F.sum("bad_dim").alias("n_bad_dim"),
-        F.sum("bad_finite").alias("n_nonfinite"),
-        F.sum("all_zero").alias("n_all_zero"),
+    joined = docs.join(emb, docs.doc_id == emb.vec_id, "full")
+    has_vec = F.col("vec_id").isNotNull()
+    # non-finite iff x - x != 0 (NaN-NaN and Inf-Inf are NaN; NaN != 0)
+    nonfinite_components = F.size(
+        F.filter("embedding", lambda c: c.cast("double") - c.cast("double") != 0)
     )
-    cov = (
-        docs.join(emb.select("vec_id"), docs.doc_id == F.col("vec_id"), "full")
-        .agg(
-            F.sum(F.when(F.col("vec_id").isNull(), 1).otherwise(0)).alias(
-                "docs_without_vec"
-            ),
-            F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0)).alias(
-                "vecs_without_doc"
-            ),
-            F.sum(
-                F.when(
-                    F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull(), 1
-                ).otherwise(0)
-            ).alias("matched"),
-        )
+    zero_components = F.size(
+        F.filter("embedding", lambda c: c.cast("double") != 0)
     )
-    return cov.crossJoin(F.broadcast(defects)).select(
-        "matched",
-        "docs_without_vec",
-        "vecs_without_doc",
-        "n_bad_dim",
-        "n_nonfinite",
-        "n_all_zero",
+
+    def flag(cond):
+        # defect flags only apply to rows that carry a vector
+        return F.sum(F.when(has_vec & cond, 1).otherwise(0))
+
+    return joined.agg(
+        F.sum(
+            F.when(F.col("doc_id").isNotNull() & has_vec, 1).otherwise(0)
+        ).alias("matched"),
+        F.sum(F.when(~has_vec, 1).otherwise(0)).alias("docs_without_vec"),
+        F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0)).alias(
+            "vecs_without_doc"
+        ),
+        flag(F.size("embedding") != EMB_DIM).alias("n_bad_dim"),
+        flag(nonfinite_components > 0).alias("n_nonfinite"),
+        flag(zero_components == 0).alias("n_all_zero"),
     )

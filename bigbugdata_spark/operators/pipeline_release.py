@@ -14,8 +14,10 @@ intermediate materialization, no second scan of the corpus.
 
 Shared-definition discipline: quality comes from fragments.QUALITY_SQL
 via text_quality_score, dedup keep from dedup_exact's sha256 keep-min
-(a self-join on the sha key — broadcast-sized on the distinct-content
-side), shard from corpus_shard.shard_col, stage from
+(an id semi-join whose keep side is one row per DISTINCT content —
+corpus-sized at scale, so no broadcast hint: the planner picks, and
+the id-bucketed layout co-locates it), shard from
+corpus_shard.shard_col, stage from
 corpus_curriculum's constants — the manifest can never disagree with
 the individually-registered queries it composes.
 
@@ -87,7 +89,11 @@ def pipe_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    released = gated.join(F.broadcast(keep), "doc_id").select(
+    # NO broadcast hint: the keep set is one row per DISTINCT content —
+    # corpus-sized at scale (dedup removes only the copies), so the
+    # planner/AQE must pick the strategy; on the id-bucketed layout the
+    # semi join co-locates.
+    released = gated.join(keep, "doc_id", "semi").select(
         "doc_id", "n_tokens", "quality"
     )
     stage = (

@@ -502,6 +502,18 @@ def test_emb_coverage_clean_fixture_all_green(spark, sf):
     )
 
 
+def test_emb_coverage_single_scan_per_table(spark, sf):
+    """The one-pass claim: exactly two scans total (documents id-only,
+    embeddings once with the vector column) — coverage and defect
+    counters share the embeddings read."""
+    df = SPECS["dq_emb_coverage"].fn(spark, sf)
+    scans = I.scan_info(df)
+    assert len(scans) == 2
+    cols = I.read_columns(df)
+    assert {"doc_id"} in cols
+    assert {"vec_id", "embedding"} in cols
+
+
 def test_emb_coverage_corrupted_fixture_exact_counts(spark):
     """Every defect class fires with its exact count: 2 docs missing
     vectors, 1 orphan vector, 1 short vector, 1 NaN vector, 1 Inf
@@ -627,13 +639,17 @@ def test_stream_drift_foreachbatch_overwrite_sink(spark, sf, tmp_path):
     def write(batch, _bid):
         batch.write.mode("overwrite").parquet(out)
 
-    for _ in range(2):  # second run = full replay; overwrite is idempotent
+    for i in range(2):
+        # second run uses a FRESH checkpoint so the source genuinely
+        # re-reads everything and foreachBatch fires again — a run
+        # against the retained checkpoint would be a no-op and prove
+        # nothing about the overwrite's replay idempotence
         q = (
             window_counts(stream_events(spark, sf))
             .writeStream.outputMode("complete")
             .foreachBatch(write)
             .trigger(availableNow=True)
-            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .option("checkpointLocation", str(tmp_path / f"ckpt{i}"))
             .start()
         )
         q.awaitTermination()
