@@ -604,6 +604,54 @@ def test_release_manifest_consistent_with_components(spark, sf):
         assert r["n_docs"] > 0 and r["n_tokens"] > 0
 
 
+# --- text_template_prefix --------------------------------------------------
+
+
+def test_template_prefix_matches_python_witness(spark, sf):
+    """Cluster set must equal a plain-Python grouping of the first
+    PREFIX_TOKENS tokens (third witness, no hashing shortcut)."""
+    from collections import Counter
+
+    from bigbugdata_spark.functions import hashing as H
+    from bigbugdata_spark.operators.text_prefix import PREFIX_TOKENS
+
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", H.tokens(F.col("text")).alias("t"))
+        .collect()
+    )
+    groups: dict = {}
+    for r in docs:
+        if len(r["t"]) >= PREFIX_TOKENS:
+            groups.setdefault(tuple(r["t"][:PREFIX_TOKENS]), []).append(
+                r["doc_id"]
+            )
+    want = Counter(
+        (len(ids), min(ids)) for ids in groups.values() if len(ids) >= 2
+    )
+    rows = SPECS["text_template_prefix"].fn(spark, sf).collect()
+    got = Counter((r["n_docs"], r["keep_id"]) for r in rows)
+    assert got == want and len(rows) > 0
+
+
+# --- evt_user_burst --------------------------------------------------------
+
+
+def test_user_burst_flags_and_conservation(spark, sf):
+    from bigbugdata_spark.operators.events_burst import BURST_PM
+
+    rows = SPECS["evt_user_burst"].fn(spark, sf).collect()
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    flags = {r["is_bursty"] for r in rows}
+    assert flags == {0, 1}  # both outcomes live in the fixture
+    for r in rows:
+        assert 1 <= r["max_hour_events"] <= r["n_events"]
+        assert r["n_active_hours"] <= r["n_events"]
+        # flag must agree with the fp factor at the permille threshold
+        assert r["is_bursty"] == int(r["burst_factor"] * 1000 > BURST_PM)
+
+
 # --- dq_freshness ----------------------------------------------------------
 
 
