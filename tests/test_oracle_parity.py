@@ -34,3 +34,32 @@ def test_rows_only(spark, sf_oracle, name):
     df = spec.fn(spark, sf_oracle)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+# Second-scale parity: the same gate at sf0.001 catches scale-dependent
+# constants and empty-group edge cases the sf0.01 run can mask. It
+# doubles the parity suite's wall time, so it is opt-in:
+#     SPARK_GRAFT_PARITY_SF2=1 python -m pytest tests/test_oracle_parity.py
+# (Swept green for all oracles in round 8.)
+import os
+
+_SF2 = "/root/testdata/sf0.001"
+_sf2_enabled = pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_PARITY_SF2"),
+    reason="second-scale parity is opt-in (SPARK_GRAFT_PARITY_SF2=1)",
+)
+
+
+@pytest.fixture(scope="module")
+def con_sf2():
+    c = duckdb_connect(_SF2)
+    yield c
+    c.close()
+
+
+@_sf2_enabled
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_parity_second_scale(spark, con_sf2, name):
+    spec = SPECS[name]
+    ok, msg = compare(spec.fn(spark, _SF2), con_sf2, spec.oracle)
+    assert ok, f"{name} @ sf0.001: {msg}"
