@@ -652,6 +652,43 @@ def test_user_burst_flags_and_conservation(spark, sf):
         assert r["is_bursty"] == int(r["burst_factor"] * 1000 > BURST_PM)
 
 
+# --- corpus_budget_trim ----------------------------------------------------
+
+
+def test_budget_trim_respects_budget_and_priority(spark, sf):
+    """All three statuses live; admitted tokens never exceed the
+    budget; admission follows the (quality DESC, lang ASC) priority
+    order exactly — no dropped band may precede a full one."""
+    from bigbugdata_spark.operators.corpus_budget import TOKEN_BUDGET
+
+    rows = sorted(
+        SPECS["corpus_budget_trim"].fn(spark, sf).collect(),
+        key=lambda r: (-r["q_milli"], r["lang"]),
+    )
+    assert {r["status"] for r in rows} == {"full", "partial", "dropped"}
+    admitted = sum(r["n_tokens_sel"] for r in rows)
+    assert admitted <= TOKEN_BUDGET
+    # the partial band's shortfall is at most what the draw granularity
+    # (permille of the band) can leave on the table
+    order = [r["status"] for r in rows]
+    assert order == sorted(
+        order, key=lambda s: {"full": 0, "partial": 1, "dropped": 2}[s]
+    )
+    for r in rows:
+        assert 0 <= r["n_docs_sel"] <= r["n_docs"]
+        assert 0 <= r["n_tokens_sel"] <= r["n_tokens"]
+        if r["status"] == "full":
+            assert r["n_docs_sel"] == r["n_docs"]
+        if r["status"] == "dropped":
+            assert r["n_docs_sel"] == 0
+
+
+def test_budget_trim_is_deterministic(spark, sf):
+    a = sorted(tuple(r) for r in SPECS["corpus_budget_trim"].fn(spark, sf).collect())
+    b = sorted(tuple(r) for r in SPECS["corpus_budget_trim"].fn(spark, sf).collect())
+    assert a == b
+
+
 # --- dq_freshness ----------------------------------------------------------
 
 
