@@ -176,9 +176,18 @@ _SIM_CORPUS_SQL = f"""
 
 SIM_CORPUS_SQL = _SIM_CORPUS_SQL  # shared with operators/similarity_pq.py
 
-# cents/assign/probes/cand: the IVF candidate-generation stages, shared
-# with operators/similarity_pq.py's audit oracle.
-IVF_STAGES_SQL = f"""
+
+def ivf_stages_sql(queries_cte: str = "queries", n_probe: int = N_PROBE) -> str:
+    """cents/assign/probes/cand: the IVF candidate-generation stages as
+    SQL, parameterized on the query-side CTE name and probe width —
+    shared by this module's audit, similarity_pq.py's audit, and the
+    all-nodes kNN-graph oracle (similarity_knn.py, which probes fewer
+    cells and uses every corpus vector as a query)."""
+    return _ivf_stages_sql(queries_cte, n_probe)
+
+
+def _ivf_stages_sql(q: str, n_probe: int) -> str:
+    return f"""
     cents AS (
         SELECT vec_id AS cell_id, embedding AS c_emb, nrm AS c_nrm
         FROM corpus ORDER BY {IVF_CODEBOOK_HASH_SQL}, vec_id LIMIT {IVF_K}
@@ -204,8 +213,8 @@ IVF_STAGES_SQL = f"""
                                 / (q.q_nrm * ct.c_nrm) DESC,
                                 ct.cell_id ASC
                    ) AS prn
-            FROM queries q CROSS JOIN cents ct
-        ) WHERE prn <= {N_PROBE}
+            FROM {q} q CROSS JOIN cents ct
+        ) WHERE prn <= {n_probe}
     ),
     cand AS (
         SELECT DISTINCT p.query_id, a.vec_id
@@ -213,6 +222,11 @@ IVF_STAGES_SQL = f"""
         WHERE a.vec_id != p.query_id
     )
 """
+
+
+# The default-shaped stages (8-query CTE, N_PROBE cells), kept as the
+# constant its existing consumers import.
+IVF_STAGES_SQL = ivf_stages_sql()
 
 _IVF_AUDIT_SQL = f"""
     WITH {_SIM_CORPUS_SQL},

@@ -99,8 +99,11 @@ def ivf_assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def ivf_probes(queries: DataFrame, cents: DataFrame) -> DataFrame:
-    """(query_id, cell_id) — the N_PROBE best cells per query."""
+def ivf_probes(
+    queries: DataFrame, cents: DataFrame, n_probe: int = N_PROBE
+) -> DataFrame:
+    """(query_id, cell_id) — the n_probe best cells per query (default
+    N_PROBE; the kNN-graph builder probes fewer, similarity_knn.py)."""
     q_cells = queries.join(F.broadcast(cents), F.lit(True)).select(
         "query_id",
         "cell_id",
@@ -112,7 +115,7 @@ def ivf_probes(queries: DataFrame, cents: DataFrame) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("cell_id"))
     return (
         q_cells.withColumn("prn", F.row_number().over(w))
-        .filter(F.col("prn") <= N_PROBE)
+        .filter(F.col("prn") <= n_probe)
         .select("query_id", "cell_id")
     )
 

@@ -689,6 +689,46 @@ def test_budget_trim_is_deterministic(spark, sf):
     assert a == b
 
 
+# --- sim_knn_graph ---------------------------------------------------------
+
+
+def test_knn_graph_shape_and_recall(spark, sf):
+    """Every node emits at most KNN_K edges with contiguous ranks and
+    no self-loops; graph recall vs the brute-force 5-NN stays above a
+    floor (the IVF-candidate approximation contract)."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from bigbugdata_spark.operators.similarity_knn import KNN_K
+
+    rows = SPECS["sim_knn_graph"].fn(spark, sf).collect()
+    per_src = defaultdict(list)
+    for r in rows:
+        assert r["src"] != r["dst"]
+        per_src[r["src"]].append(r["rnk"])
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    assert len(per_src) == len(emb)  # every vector is a source node
+    for ranks in per_src.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= KNN_K
+
+    # brute-force 5-NN witness in numpy
+    ids = np.array([r["vec_id"] for r in emb])
+    M = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    np.fill_diagonal(S, -np.inf)
+    exact = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in np.argsort(-S[i], kind="stable")[:KNN_K]
+    }
+    got = {(r["src"], r["dst"]) for r in rows}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.60, f"knn-graph recall collapsed: {recall:.3f}"
+
+
 # --- dq_freshness ----------------------------------------------------------
 
 
