@@ -61,18 +61,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # remain continuously re-proven by the identical local gate in
 # tests/test_oracle_parity.py.
 #
-# Round-9 rotation plan: the 23 r8-new queries (registered past the
+# Round-9 rotation plan: the 24 r8-new queries (registered past the
 # cap in the trailing modules — see the r8 additions at the END of
 # this tuple: storage_audit 1, similarity_incr 1, events_trans 1,
 # dq_drift 1, corpus_shard 1, text_bpe 1, dedup_src 2,
 # streaming.drift 1, emb_health 1, events_dwell 1, orders_rfm 1,
 # text_lm 1, events_features 1, corpus_curriculum 1, dq_fresh 1,
 # dq_emb 1, profile_corr 1, pipeline_release 1, text_prefix 1,
-# events_burst 1, corpus_budget 1, similarity_knn 1 — all oracle'd)
-# rotate IN, plus 1 of the then-stalest r5 verdicts (events/windows/
-# events_ext/joins/stateful/corpus/dedup). The arithmetic: 26
-# permanent (20 §2 ops + 5 audit twins + audit_pq_recall) + 23 + 1
-# = 50 exactly. tpch/
+# events_burst 1, corpus_budget 1, similarity_knn 1,
+# similarity_cluster 1 — all oracle'd) rotate IN. The arithmetic: 26
+# permanent (20 §2 ops + 5 audit twins + audit_pq_recall) + 24 = 50
+# exactly — the r8-new set alone fills every free slot this time. tpch/
 # tpch_ext rotate OUT (their rows are fresh in CORRECTNESS_r08), as
 # do the 12 r7-new queries once their r8 rows land. Same single-
 # query-module split treatment if any r8-new module's neighbors
@@ -141,6 +140,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.events_burst",
     "bigbugdata_spark.operators.corpus_budget",
     "bigbugdata_spark.operators.similarity_knn",
+    "bigbugdata_spark.operators.similarity_cluster",
 )
 
 

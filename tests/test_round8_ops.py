@@ -729,6 +729,45 @@ def test_knn_graph_shape_and_recall(spark, sf):
     assert recall >= 0.60, f"knn-graph recall collapsed: {recall:.3f}"
 
 
+# --- sim_semantic_clusters -------------------------------------------------
+
+
+def test_semantic_clusters_partition_corpus(spark, sf):
+    """Components partition all vectors; majority counts and purity
+    are consistent; singleton clusters are pure by definition."""
+    rows = SPECS["sim_semantic_clusters"].fn(spark, sf).collect()
+    n_vecs = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    assert sum(r["n_vecs"] for r in rows) == n_vecs
+    # component rep is the min member id, so reps are unique
+    assert len({r["component"] for r in rows}) == len(rows)
+    for r in rows:
+        assert 1 <= r["n_majority"] <= r["n_vecs"]
+        assert r["purity"] == r["n_majority"] / r["n_vecs"]
+        if r["n_vecs"] == 1:
+            assert r["purity"] == 1.0
+    # the fixture's embeddings are label-unstructured, so the purity
+    # diagnostic must FIRE: the giant component's purity sits near the
+    # 1/|labels| chance floor, far from coherent
+    giant = max(rows, key=lambda r: r["n_vecs"])
+    assert giant["n_vecs"] > 100 and giant["purity"] < 0.3
+
+
+def test_connected_components_on_known_graph(spark):
+    """The shared CC helper resolves a known graph exactly: two chains
+    and an isolated node."""
+    from bigbugdata_spark.functions.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (5, 4)], "a long, b long"
+    )
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 3), (6, 6)}
+
+
 # --- dq_freshness ----------------------------------------------------------
 
 
