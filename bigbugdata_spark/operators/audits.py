@@ -177,16 +177,12 @@ _SIM_CORPUS_SQL = f"""
 SIM_CORPUS_SQL = _SIM_CORPUS_SQL  # shared with operators/similarity_pq.py
 
 
-def ivf_stages_sql(queries_cte: str = "queries", n_probe: int = N_PROBE) -> str:
+def ivf_stages_sql(q: str = "queries", n_probe: int = N_PROBE) -> str:
     """cents/assign/probes/cand: the IVF candidate-generation stages as
     SQL, parameterized on the query-side CTE name and probe width —
     shared by this module's audit, similarity_pq.py's audit, and the
     all-nodes kNN-graph oracle (similarity_knn.py, which probes fewer
     cells and uses every corpus vector as a query)."""
-    return _ivf_stages_sql(queries_cte, n_probe)
-
-
-def _ivf_stages_sql(q: str, n_probe: int) -> str:
     return f"""
     cents AS (
         SELECT vec_id AS cell_id, embedding AS c_emb, nrm AS c_nrm

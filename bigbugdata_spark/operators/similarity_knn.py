@@ -41,6 +41,7 @@ from bigbugdata_spark.functions.fragments import EMB_DIM
 from bigbugdata_spark.operators.similarity import (
     _corpus,
     ivf_assign,
+    ivf_candidates,
     ivf_cents,
     ivf_probes,
 )
@@ -93,12 +94,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("q_nrm"),
     )
     probes = ivf_probes(allq, cents, n_probe=KNN_PROBE)
-    cand = (
-        probes.join(assign, "cell_id")
-        .select("query_id", "vec_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .distinct()
-    )
+    cand = ivf_candidates(probes, assign)
     scored = (
         cand.join(corpus, "vec_id")
         .join(allq, "query_id")

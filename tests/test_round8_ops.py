@@ -683,6 +683,41 @@ def test_budget_trim_respects_budget_and_priority(spark, sf):
             assert r["n_docs_sel"] == 0
 
 
+def test_budget_trim_hard_guarantee_on_skewed_band(spark):
+    """The review scenario the greedy exists for: a marginal band with
+    one outsized document. The greedy must skip it when it would cross
+    the remaining budget, keeping admitted tokens <= budget exactly."""
+    from bigbugdata_spark.operators.corpus_budget import budget_trim
+
+    rows = (
+        # band A (q=1000): 90 tokens -> full under budget 100
+        [(1, 90, 1000, "en", 5)]
+        # band B (q=700, marginal): remaining = 10; doc 2 draws first
+        # with 1000 tokens and MUST be rejected; doc 3 (4 tokens) and
+        # doc 4 (5 tokens) fit; doc 5 (2 tokens) would cross 10 -> out
+        + [(2, 1000, 700, "en", 1), (3, 4, 700, "en", 2),
+           (4, 5, 700, "en", 3), (5, 2, 700, "en", 4)]
+    )
+    banded = spark.createDataFrame(
+        rows, "doc_id long, n_tokens long, q_milli long, lang string, draw long"
+    )
+    out = {
+        (r["q_milli"], r["lang"]): r
+        for r in budget_trim(banded, budget=100).collect()
+    }
+    assert out[(1000, "en")]["status"] == "full"
+    marg = out[(700, "en")]
+    assert marg["status"] == "partial"
+    # prefix-greedy semantics: admission takes the maximal priority-
+    # order PREFIX that fits, so the outsized first doc is rejected and
+    # everything behind it too (admitted = 0; shortfall bounded by the
+    # first rejected doc's size, per the docstring). The failure mode
+    # under review — admitting the 1000-token doc against a 10-token
+    # remainder — is impossible.
+    assert marg["n_docs_sel"] == 0 and marg["n_tokens_sel"] == 0
+    assert marg["n_tokens_sel"] + 90 <= 100
+
+
 def test_budget_trim_is_deterministic(spark, sf):
     a = sorted(tuple(r) for r in SPECS["corpus_budget_trim"].fn(spark, sf).collect())
     b = sorted(tuple(r) for r in SPECS["corpus_budget_trim"].fn(spark, sf).collect())
