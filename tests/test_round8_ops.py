@@ -787,6 +787,58 @@ def test_semantic_clusters_partition_corpus(spark, sf):
     assert giant["n_vecs"] > 100 and giant["purity"] < 0.3
 
 
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Property fuzz: on hypothesis-drawn random graphs the distributed
+    min-label fixpoint must equal a plain union-find witness (component
+    = min member id)."""
+    from hypothesis import given, settings, strategies as st
+
+    from bigbugdata_spark.functions.graph import connected_components
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=20),
+        edges=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=19),
+                st.integers(min_value=0, max_value=19),
+            ),
+            max_size=25,
+        ),
+    )
+    def check(n, edges):
+        edges = [(a, b) for a, b in edges if a < n and b < n and a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {
+            i: min(j for j in range(n) if find(j) == find(i))
+            for i in range(n)
+        }
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        e = spark.createDataFrame(
+            edges or [(0, 0)], "a long, b long"
+        )
+        if not edges:
+            e = e.limit(0)
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(nodes, e).collect()
+        }
+        assert got == want
+
+    check()
+
+
 def test_connected_components_on_known_graph(spark):
     """The shared CC helper resolves a known graph exactly: two chains
     and an isolated node."""
