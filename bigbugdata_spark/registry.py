@@ -61,7 +61,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # remain continuously re-proven by the identical local gate in
 # tests/test_oracle_parity.py.
 #
-# Round-9 rotation plan: the 24 r8-new queries (registered past the
+# Round-9 rotation plan: the 25 r8-new queries (registered past the
 # cap in the trailing modules — see the r8 additions at the END of
 # this tuple: storage_audit 1, similarity_incr 1, events_trans 1,
 # dq_drift 1, corpus_shard 1, text_bpe 1, dedup_src 2,
@@ -69,9 +69,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # text_lm 1, events_features 1, corpus_curriculum 1, dq_fresh 1,
 # dq_emb 1, profile_corr 1, pipeline_release 1, text_prefix 1,
 # events_burst 1, corpus_budget 1, similarity_knn 1,
-# similarity_cluster 1 — all oracle'd) rotate IN. The arithmetic: 26
-# permanent (20 §2 ops + 5 audit twins + audit_pq_recall) + 24 = 50
-# exactly — the r8-new set alone fills every free slot this time. tpch/
+# similarity_cluster 1, streaming.features 1 — all oracle'd): 26
+# permanent (20 §2 ops + 5 audit twins + audit_pq_recall) + 24 of
+# the 25 = 50 exactly; ONE r8-new query (pick the one whose module
+# registers last, evt_stream_user_lifecycle) waits one extra round
+# with the r9-new queries — there are more proven queries than cap
+# slots, the same surplus the local gate covers continuously. tpch/
 # tpch_ext rotate OUT (their rows are fresh in CORRECTNESS_r08), as
 # do the 12 r7-new queries once their r8 rows land. Same single-
 # query-module split treatment if any r8-new module's neighbors
@@ -141,6 +144,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.corpus_budget",
     "bigbugdata_spark.operators.similarity_knn",
     "bigbugdata_spark.operators.similarity_cluster",
+    "bigbugdata_spark.streaming.features",
 )
 
 

@@ -400,6 +400,32 @@ def test_bigram_lm_plan_single_scan(spark, sf):
     assert I.shuffle_count(df) <= 3
 
 
+# --- evt_stream_user_lifecycle ---------------------------------------------
+
+
+def test_stream_lifecycle_equals_batch_and_subset_of_features(spark, sf):
+    """stream == batch through the shared builder, and the overlapping
+    columns agree row-for-row with the full batch feature table."""
+    from bigbugdata_spark.streaming.features import batch_user_lifecycle
+
+    stream = sorted(
+        tuple(r)
+        for r in SPECS["evt_stream_user_lifecycle"].fn(spark, sf).collect()
+    )
+    batch = sorted(tuple(r) for r in batch_user_lifecycle(spark, sf).collect())
+    assert stream == batch
+
+    cols = [
+        "user_id", "n_events", "first_ts", "last_ts",
+        "tenure_us", "n_purchases", "purchase_cents",
+    ]
+    full = sorted(
+        tuple(r)
+        for r in SPECS["evt_user_features"].fn(spark, sf).select(cols).collect()
+    )
+    assert stream == full
+
+
 # --- evt_user_features -----------------------------------------------------
 
 
