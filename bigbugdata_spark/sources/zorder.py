@@ -1,0 +1,93 @@
+"""Z-order (Morton) clustering (round 8) — multi-dimensional data
+skipping for the lake: single-column `cluster_by`
+(sources/partitioned.py) gives perfect row-group pruning on ONE
+column and none on any other; interleaving the bits of two columns
+into a Morton key and sorting by THAT gives partial pruning on BOTH —
+the standard lakehouse Z-ORDER BY, here as a plain Spark expression
+(shiftleft/shiftright/bitwiseAND — whole-stage-codegen JVM arithmetic,
+no UDF) feeding the same sortWithinPartitions write path.
+
+Layout-only capability: like cluster_by it never changes content
+(tests checksum it), so there is no oracle — the proof is pyarrow
+row-group statistics: after a Z-ordered write, BOTH columns' per-row-
+group min/max spans narrow versus the unclustered baseline, where a
+single-column sort narrows only its own column
+(tests/test_zorder.py quantifies both claims).
+
+Scale posture: the Morton key is a per-row expression; the sort is the
+same per-write-task sortWithinPartitions the single-column clustering
+uses (no extra shuffle beyond the layout repartition the caller
+already does). Bit budget: MORTON_BITS bits per column (values are
+range-normalized first, so arbitrary int domains fit); 2*MORTON_BITS
+<= 62 keeps the key in a BIGINT.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MORTON_BITS = 16
+
+
+def _normalize(col: Column, lo: Column, hi: Column) -> Column:
+    """Map [lo, hi] onto [0, 2^MORTON_BITS): exact integer scaling via
+    the cross-multiplied quotient (hi - lo can exceed the bit budget)."""
+    span = F.greatest(hi - lo, F.lit(1))
+    scaled = ((col - lo) * F.lit((1 << MORTON_BITS) - 1)) / span
+    return F.floor(scaled).cast("long")
+
+
+def morton_key(x: Column, y: Column) -> Column:
+    """Interleave the low MORTON_BITS of two normalized columns:
+    bit i of x -> bit 2i, bit i of y -> bit 2i+1. Pure JVM bit
+    arithmetic, codegen-friendly."""
+    terms = []
+    for i in range(MORTON_BITS):
+        xi = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        yi = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        terms.append(xi)
+        terms.append(yi)
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+def with_morton(
+    df: DataFrame, col_x: str, col_y: str, key_col: str = "_z"
+) -> DataFrame:
+    """Add the Morton key of (col_x, col_y), range-normalizing both
+    columns from their observed min/max (one tiny aggregate, broadcast
+    back as a literal-free cross join)."""
+    bounds = df.agg(
+        F.min(col_x).cast("long").alias("_xlo"),
+        F.max(col_x).cast("long").alias("_xhi"),
+        F.min(col_y).cast("long").alias("_ylo"),
+        F.max(col_y).cast("long").alias("_yhi"),
+    )
+    widened = df.crossJoin(F.broadcast(bounds))
+    nx = _normalize(F.col(col_x).cast("long"), F.col("_xlo"), F.col("_xhi"))
+    ny = _normalize(F.col(col_y).cast("long"), F.col("_ylo"), F.col("_yhi"))
+    return widened.withColumn(key_col, morton_key(nx, ny)).drop(
+        "_xlo", "_xhi", "_ylo", "_yhi"
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    out_dir: str,
+    col_x: str,
+    col_y: str,
+    n_files: int = 4,
+    writer_options: dict | None = None,
+) -> None:
+    """Z-ORDER BY (col_x, col_y) write: repartition to the target file
+    count, sort within each task by the Morton key, drop the key, and
+    write parquet — row groups end up covering compact rectangles of
+    the (x, y) plane, so min/max skipping works on either column."""
+    keyed = with_morton(df, col_x, col_y)
+    out = keyed.repartition(n_files).sortWithinPartitions("_z").drop("_z")
+    writer = out.write.mode("overwrite")
+    for k, v in (writer_options or {}).items():
+        writer = writer.option(k, v)
+    writer.parquet(out_dir)
