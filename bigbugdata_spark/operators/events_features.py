@@ -37,6 +37,27 @@ from bigbugdata_spark.functions.fragments import (
 from bigbugdata_spark.registry import register
 
 
+def lifecycle_agg_cols() -> list:
+    """THE lifecycle aggregate expressions (volume, first/last, exact
+    tenure, purchase count/cents) — one definition shared by this
+    batch feature table and the live streaming subset
+    (streaming/features.py), so the overlapping columns cannot drift
+    by construction."""
+    is_purchase = F.col("event_type") == "purchase"
+    return [
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), TS_FMT).alias("first_ts"),
+        F.date_format(F.max("ts"), TS_FMT).alias("last_ts"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "tenure_us"
+        ),
+        F.sum(F.when(is_purchase, 1).otherwise(0)).alias("n_purchases"),
+        F.sum(F.when(is_purchase, cents_col()).otherwise(0)).alias(
+            "purchase_cents"
+        ),
+    ]
+
+
 @register(
     "evt_user_features",
     oracle=f"""
@@ -69,23 +90,13 @@ def evt_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity, tenure in exact microseconds, purchase count/cents, error
     count, and two derived rates (events per active day, purchase
     share) — all from one conditional aggregate."""
-    is_purchase = F.col("event_type") == "purchase"
     return (
         table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
+            *lifecycle_agg_cols(),
             F.countDistinct("event_type").alias("n_types"),
             F.countDistinct(F.to_date("ts")).alias("n_active_days"),
-            F.date_format(F.min("ts"), TS_FMT).alias("first_ts"),
-            F.date_format(F.max("ts"), TS_FMT).alias("last_ts"),
-            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
-                "tenure_us"
-            ),
-            F.sum(F.when(is_purchase, 1).otherwise(0)).alias("n_purchases"),
-            F.sum(F.when(is_purchase, cents_col()).otherwise(0)).alias(
-                "purchase_cents"
-            ),
             F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
                 "n_errors"
             ),

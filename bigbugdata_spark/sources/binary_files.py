@@ -5,8 +5,11 @@ length, content) without any custom reader code, and from there the
 multimodal operators (operators/multimodal.py) take over. This module
 adds the ingest conventions around the built-in source:
 
-  * asset_id derivation from the file name (the filename->sample_id
-    projection pattern the kraken domain scan established, §2 op 2);
+  * asset_id derivation from the path RELATIVE to the ingest root
+    (the filename->sample_id projection pattern the kraken domain
+    scan established, §2 op 2 — but root-relative, so same-named
+    files in different subdirectories, the standard split-by-
+    directory layout, never collide into one id);
   * modality classification from the extension, kept as a column so
     the decode dispatch downstream is a filter, not a reader branch;
   * pathGlobFilter / recursiveFileLookup pass-throughs (prune at the
@@ -48,15 +51,31 @@ def read_assets(
     recursive: bool = True,
 ) -> DataFrame:
     """Read a directory of raw asset files into
-    (asset_id, modality, n_bytes, mtime, path, payload)."""
+    (asset_id, modality, n_bytes, mtime, path, payload).
+
+    asset_id = the ROOT-RELATIVE path with the extension stripped
+    ('train/cat.jpg' -> 'train/cat'), so identically-named files in
+    different subdirectories keep distinct ids; an extensionless name
+    keeps its full relative form (never an empty id). Dot/underscore-
+    leading files never reach the frame at all — Hadoop's default path
+    filter hides them from the listing (pinned by test)."""
+    import os
+    import re
+
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")
     raw = reader.load(path)
-    fname = F.element_at(F.split(F.col("path"), "/"), -1)
-    stem = F.regexp_replace(fname, r"\.[^.]*$", "")
+    # Spark reports paths as file: URIs of the absolute root
+    root_uri = "file:" + os.path.abspath(path).rstrip("/") + "/"
+    rel = F.regexp_replace(F.col("path"), "^" + re.escape(root_uri), "")
+    fname = F.element_at(F.split(rel, "/"), -1)
+    fstem = F.regexp_replace(fname, r"\.[^.]*$", "")
+    dir_part = F.regexp_replace(rel, r"[^/]*$", "")
+    # dotfiles/extensionless names keep their full relative form
+    stem = F.when(F.length(fstem) > 0, F.concat(dir_part, fstem)).otherwise(rel)
     ext = F.lower(F.regexp_extract(fname, r"\.([^.]*)$", 1))
     modality = F.coalesce(
         *[

@@ -33,11 +33,22 @@ MORTON_BITS = 16
 
 
 def _normalize(col: Column, lo: Column, hi: Column) -> Column:
-    """Map [lo, hi] onto [0, 2^MORTON_BITS): exact integer scaling via
-    the cross-multiplied quotient (hi - lo can exceed the bit budget)."""
-    span = F.greatest(hi - lo, F.lit(1))
-    scaled = ((col - lo) * F.lit((1 << MORTON_BITS) - 1)) / span
-    return F.floor(scaled).cast("long")
+    """Map [lo, hi] onto [0, 2^MORTON_BITS): fp64 range scaling,
+    clamped into the bit budget. Deliberately double arithmetic — an
+    integer cross-multiplication would overflow BIGINT for spans
+    beyond ~2^47 ((col-lo) * 65535), and a layout key only needs a
+    monotone binning, not exactness (floor of a monotone map is
+    monotone). Precision caveat: spans beyond 2^53 bin at fp64
+    granularity — adjacent values may share a bin, which costs nothing
+    (they sort adjacently anyway). Subtraction happens in double, so
+    extreme lo/hi pairs cannot wrap."""
+    lo_d, hi_d = lo.cast("double"), hi.cast("double")
+    span = F.greatest(hi_d - lo_d, F.lit(1.0))
+    scaled = ((col.cast("double") - lo_d) * F.lit((1 << MORTON_BITS) - 1)) / span
+    return F.least(
+        F.greatest(F.floor(scaled).cast("long"), F.lit(0)),
+        F.lit((1 << MORTON_BITS) - 1),
+    )
 
 
 def morton_key(x: Column, y: Column) -> Column:
@@ -81,12 +92,17 @@ def write_zordered(
     n_files: int = 4,
     writer_options: dict | None = None,
 ) -> None:
-    """Z-ORDER BY (col_x, col_y) write: repartition to the target file
-    count, sort within each task by the Morton key, drop the key, and
-    write parquet — row groups end up covering compact rectangles of
-    the (x, y) plane, so min/max skipping works on either column."""
+    """Z-ORDER BY (col_x, col_y) write: RANGE-partition on the Morton
+    key (each output file owns a contiguous z-range — a compact
+    rectangle of the plane — so FILE-level min/max pruning works, not
+    just row-group-level; round-robin would give every file the full
+    range), sort within each task, drop the key, write parquet."""
     keyed = with_morton(df, col_x, col_y)
-    out = keyed.repartition(n_files).sortWithinPartitions("_z").drop("_z")
+    out = (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
     writer = out.write.mode("overwrite")
     for k, v in (writer_options or {}).items():
         writer = writer.option(k, v)

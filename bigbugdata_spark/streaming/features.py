@@ -22,35 +22,21 @@ materializes; the production sink is the bucketed MERGE
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from bigbugdata_spark.catalog import table
-from bigbugdata_spark.functions.fragments import (
-    CENTS_SQL,
-    TS_FMT,
-    TS_FMT_DUCK,
-    cents_col,
-)
+from bigbugdata_spark.functions.fragments import CENTS_SQL, TS_FMT_DUCK
 from bigbugdata_spark.registry import register
 from bigbugdata_spark.streaming.core import _run_to_memory, stream_events
 
 
 def lifecycle_features(ev: DataFrame) -> DataFrame:
-    """The streaming-safe feature subset over any events frame — shared
-    by the registered stream query and the batch twin/test."""
-    is_purchase = F.col("event_type") == "purchase"
-    return ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.date_format(F.min("ts"), TS_FMT).alias("first_ts"),
-        F.date_format(F.max("ts"), TS_FMT).alias("last_ts"),
-        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
-            "tenure_us"
-        ),
-        F.sum(F.when(is_purchase, 1).otherwise(0)).alias("n_purchases"),
-        F.sum(F.when(is_purchase, cents_col()).otherwise(0)).alias(
-            "purchase_cents"
-        ),
-    )
+    """The streaming-safe feature subset over any events frame — the
+    aggregate expressions come verbatim from the batch feature table
+    (events_features.lifecycle_agg_cols), so the overlap cannot
+    drift."""
+    from bigbugdata_spark.operators.events_features import lifecycle_agg_cols
+
+    return ev.groupBy("user_id").agg(*lifecycle_agg_cols())
 
 
 @register(
