@@ -132,7 +132,10 @@ SCALE_PROBE_QUERIES = (
     # rare-token ratio is gram-level (token tagging keeps the df join
     # linear); incremental dedup is the asymmetric batch-vs-corpus join
     # (batch fraction is scale-invariant, so work should track data
-    # size); incremental IVF assignment is row-wise (rows x k, k fixed)
+    # size — BOTH join sides grow with the corpus, so its ratio sits
+    # at the top of the table, 2.3-3.0 across clean runs: sub-linear
+    # wall on 10x data, just less headroom than scan-dominated plans);
+    # incremental IVF assignment is row-wise (rows x k, k fixed)
     # like the kmeans probe — no pair expansion, verbatim replicas safe.
     "text_rare_token_ratio",
     "dedup_incremental",
