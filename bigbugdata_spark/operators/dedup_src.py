@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 from bigbugdata_spark.caching import pin
 from bigbugdata_spark.catalog import table
 from bigbugdata_spark.functions.fragments import JACCARD_PAIRS_SQL
-from bigbugdata_spark.operators.dedup import dedup_minhash_lsh
 from bigbugdata_spark.registry import register
 
 
@@ -53,12 +52,20 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     INTERNAL duplication — the key equality already says so, no
     separate subtotal needed). Source pair keys are (LEAST, GREATEST)-
     normalized so direction never splits a pair across rows."""
+    # lazy import: keeps operators.dedup's registrations out of this
+    # module's import-time footprint (registry rotation order)
+    from bigbugdata_spark.operators.dedup import dedup_minhash_lsh
+
     pairs = dedup_minhash_lsh(spark, sf_dir)
     src = table(spark, sf_dir, "documents").select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("d1"), F.col("source").alias("sa"))
     sb = src.select(F.col("doc_id").alias("d2"), F.col("source").alias("sb"))
-    # doc->source is dimension-sized relative to the pair frame: broadcast
-    tagged = pairs.join(F.broadcast(sa), "d1").join(F.broadcast(sb), "d2")
+    # The doc->source projection is one row per document, i.e.
+    # corpus-sized — NOT broadcastable at the repo's 100 TB posture.
+    # No hint: both joins key on doc ids, so AQE/the id-bucketed layout
+    # picks shuffle-hash (or broadcast only when stats say the side is
+    # genuinely small at the running scale).
+    tagged = pairs.join(sa, "d1").join(sb, "d2")
     return (
         tagged.select(
             F.least("sa", "sb").alias("src_a"),
@@ -97,6 +104,8 @@ def dedup_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified near-dup pair (either side), and the implicated share in
     permille. Sources with zero duplicates still get a row (left join
     from the corpus side)."""
+    from bigbugdata_spark.operators.dedup import dedup_minhash_lsh
+
     pairs = pin(dedup_minhash_lsh(spark, sf_dir))
     duped = (
         pairs.select(F.col("d1").alias("doc_id"))
@@ -105,7 +114,13 @@ def dedup_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_dup", F.lit(1))
     )
     docs = table(spark, sf_dir, "documents").select("doc_id", "source")
-    flagged = docs.join(F.broadcast(duped), "doc_id", "left")
+    # The implicated-doc set is pair-bounded but NOT corpus-bounded: in
+    # precisely the scenario this query exists for (a source that is 40%
+    # a mirror) it approaches a large fraction of the corpus.  No
+    # broadcast hint — the left join keys on doc_id and co-locates on
+    # the id-bucketed layout; AQE downgrades to broadcast only when the
+    # measured size allows.
+    flagged = docs.join(duped, "doc_id", "left")
     return flagged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.coalesce("is_dup", F.lit(0))).cast("long").alias("n_duped"),

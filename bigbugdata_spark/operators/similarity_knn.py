@@ -38,13 +38,6 @@ from pyspark.sql import functions as F
 
 from bigbugdata_spark.functions import hashing as H
 from bigbugdata_spark.functions.fragments import EMB_DIM
-from bigbugdata_spark.operators.similarity import (
-    _corpus,
-    ivf_assign,
-    ivf_candidates,
-    ivf_cents,
-    ivf_probes,
-)
 from bigbugdata_spark.operators.audits import SIM_CORPUS_SQL, ivf_stages_sql
 from bigbugdata_spark.registry import register
 
@@ -85,6 +78,16 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF-candidates by cosine, rank ties broken by dst id. Nodes whose
     probed cells hold fewer than KNN_K other vectors emit fewer
     edges (never padded)."""
+    # lazy import: keeps operators.similarity's registrations out of
+    # this module's import-time footprint (registry rotation order)
+    from bigbugdata_spark.operators.similarity import (
+        _corpus,
+        ivf_assign,
+        ivf_candidates,
+        ivf_cents,
+        ivf_probes,
+    )
+
     corpus = _corpus(spark, sf_dir)
     cents = ivf_cents(corpus)
     assign = ivf_assign(corpus, cents)

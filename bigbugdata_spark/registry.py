@@ -61,66 +61,32 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # remain continuously re-proven by the identical local gate in
 # tests/test_oracle_parity.py.
 #
-# Round-9 rotation plan: the 25 r8-new queries (registered past the
-# cap in the trailing modules — see the r8 additions at the END of
-# this tuple: storage_audit 1, similarity_incr 1, events_trans 1,
-# dq_drift 1, corpus_shard 1, text_bpe 1, dedup_src 2,
-# streaming.drift 1, emb_health 1, events_dwell 1, orders_rfm 1,
-# text_lm 1, events_features 1, corpus_curriculum 1, dq_fresh 1,
-# dq_emb 1, profile_corr 1, pipeline_release 1, text_prefix 1,
-# events_burst 1, corpus_budget 1, similarity_knn 1,
-# similarity_cluster 1, streaming.features 1 — all oracle'd): 26
-# permanent (20 §2 ops + 5 audit twins + audit_pq_recall) + 24 of
-# the 25 = 50 exactly; ONE r8-new query (pick the one whose module
-# registers last, evt_stream_user_lifecycle) waits one extra round
-# with the r9-new queries — there are more proven queries than cap
-# slots, the same surplus the local gate covers continuously. tpch/
-# tpch_ext rotate OUT (their rows are fresh in CORRECTNESS_r08), as
-# do the 12 r7-new queries once their r8 rows land. Same single-
-# query-module split treatment if any r8-new module's neighbors
-# would be dragged in-cap.
+# Round-9 rotation (VERDICT r8 #1, executed exactly as planned in
+# the r8 comment below this one's ancestor): 26 permanent (20 §2 ops
+# in relational, the 5 oracle'd audit twins in audits, and
+# audit_pq_recall in similarity_pq — never rotated out) + 24 of the
+# 25 r8-new queries = 50 exactly.  The one r8-new query that waits
+# (evt_stream_user_lifecycle, streaming.features — it registered
+# last in r8) is FIRST in the r10 queue together with the r9-new
+# queries.  Rotated OUT this round because their rows are freshly
+# green in CORRECTNESS_r08: tpch (6), tpch_ext (6), and the twelve
+# r7-new queries (dq_ext, events_state, text_rare, mm_phash,
+# dedup_incr, corpus_version, scd_sink, enrich).  All rotated-out
+# queries remain continuously re-proven by the identical local gate
+# in tests/test_oracle_parity.py (and at a second scale factor under
+# SPARK_GRAFT_PARITY_SF2).
+#
+# Round-10 rotation plan: streaming.features (1) + any r9-new
+# queries in registration order, after the 26 permanent slots; then
+# backfill with the stalest driver verdicts (r5-era events/windows/
+# joins/stateful/corpus/dedup).
 # Never rotate out: the 20 §2 ops, the 5 audit twins, audit_pq_recall,
 # or any query whose newest fix lacks a driver verdict.
 _QUERY_MODULES = (
     "bigbugdata_spark.operators.relational",
     "bigbugdata_spark.operators.audits",
     "bigbugdata_spark.operators.similarity_pq",
-    "bigbugdata_spark.operators.dq_ext",
-    "bigbugdata_spark.operators.events_state",
-    "bigbugdata_spark.operators.text_rare",
-    "bigbugdata_spark.operators.mm_phash",
-    "bigbugdata_spark.operators.dedup_incr",
-    "bigbugdata_spark.operators.corpus_version",
-    "bigbugdata_spark.streaming.scd_sink",
-    "bigbugdata_spark.streaming.enrich",
-    "bigbugdata_spark.operators.tpch",
-    "bigbugdata_spark.operators.tpch_ext",
-    # ---- driver cap boundary (first 50 registrations end here) ----
-    "bigbugdata_spark.operators.similarity_pq_topk",
-    "bigbugdata_spark.operators.kmeans",
-    "bigbugdata_spark.operators.dq",
-    "bigbugdata_spark.operators.retrieval",
-    "bigbugdata_spark.operators.packing",
-    "bigbugdata_spark.operators.scd",
-    "bigbugdata_spark.operators.tpch_full",
-    "bigbugdata_spark.operators.text_ext",
-    "bigbugdata_spark.operators.overlap",
-    "bigbugdata_spark.operators.text",
-    "bigbugdata_spark.operators.multimodal",
-    "bigbugdata_spark.operators.similarity",
-    "bigbugdata_spark.operators.pipeline",
-    "bigbugdata_spark.operators.profile",
-    "bigbugdata_spark.operators.quantize",
-    "bigbugdata_spark.operators.events",
-    "bigbugdata_spark.streaming.windows",
-    "bigbugdata_spark.operators.events_ext",
-    "bigbugdata_spark.streaming.joins",
-    "bigbugdata_spark.streaming.stateful",
-    "bigbugdata_spark.operators.corpus",
-    "bigbugdata_spark.operators.dedup",
-    "bigbugdata_spark.operators.similarity_ext",
-    # r8-new queries (no driver verdict yet -> first in line for the
-    # round-9 rotation):
+    # 24 of the 25 r8-new queries, in their r8 registration order:
     "bigbugdata_spark.operators.storage_audit",
     "bigbugdata_spark.operators.similarity_incr",
     "bigbugdata_spark.operators.events_trans",
@@ -144,7 +110,43 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.corpus_budget",
     "bigbugdata_spark.operators.similarity_knn",
     "bigbugdata_spark.operators.similarity_cluster",
+    # ---- driver cap boundary (first 50 registrations end here) ----
     "bigbugdata_spark.streaming.features",
+    # rotated out (fresh CORRECTNESS_r08 rows):
+    "bigbugdata_spark.operators.dq_ext",
+    "bigbugdata_spark.operators.events_state",
+    "bigbugdata_spark.operators.text_rare",
+    "bigbugdata_spark.operators.mm_phash",
+    "bigbugdata_spark.operators.dedup_incr",
+    "bigbugdata_spark.operators.corpus_version",
+    "bigbugdata_spark.streaming.scd_sink",
+    "bigbugdata_spark.streaming.enrich",
+    "bigbugdata_spark.operators.tpch",
+    "bigbugdata_spark.operators.tpch_ext",
+    # rotated out in r8 (r4-r7 verdicts, locally re-proven each run):
+    "bigbugdata_spark.operators.similarity_pq_topk",
+    "bigbugdata_spark.operators.kmeans",
+    "bigbugdata_spark.operators.dq",
+    "bigbugdata_spark.operators.retrieval",
+    "bigbugdata_spark.operators.packing",
+    "bigbugdata_spark.operators.scd",
+    "bigbugdata_spark.operators.tpch_full",
+    "bigbugdata_spark.operators.text_ext",
+    "bigbugdata_spark.operators.overlap",
+    "bigbugdata_spark.operators.text",
+    "bigbugdata_spark.operators.multimodal",
+    "bigbugdata_spark.operators.similarity",
+    "bigbugdata_spark.operators.pipeline",
+    "bigbugdata_spark.operators.profile",
+    "bigbugdata_spark.operators.quantize",
+    "bigbugdata_spark.operators.events",
+    "bigbugdata_spark.streaming.windows",
+    "bigbugdata_spark.operators.events_ext",
+    "bigbugdata_spark.streaming.joins",
+    "bigbugdata_spark.streaming.stateful",
+    "bigbugdata_spark.operators.corpus",
+    "bigbugdata_spark.operators.dedup",
+    "bigbugdata_spark.operators.similarity_ext",
 )
 
 

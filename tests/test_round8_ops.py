@@ -238,13 +238,12 @@ def test_source_dup_rate_covers_all_sources(spark, sf):
         assert 0 <= r["n_duped"] <= r["n_docs"]
 
 
-def test_cross_source_rollup_broadcasts_dimension(spark, sf):
-    """The doc->source joins on the pair frame must be broadcast hash
-    joins (never a sort-merge over the corpus) and no cartesian may
-    appear anywhere in the pipeline."""
+def test_cross_source_rollup_no_cartesian(spark, sf):
+    """The doc->source joins carry NO broadcast hint (the projection is
+    one row per document — corpus-sized at the 100 TB posture; r8
+    advisory).  The only invariant worth pinning is that every join is
+    keyed: no cartesian or nested-loop join anywhere in the pipeline."""
     df = SPECS["dedup_cross_source"].fn(spark, sf)
-    kinds = I.join_kinds(df)
-    assert "BroadcastHashJoin" in kinds
     plan = I.plan_string(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
