@@ -104,9 +104,23 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pair",
         F.sum("n_pair").over(dep).alias("n_w1"),
     ).withColumn("p_cond", F.col("n_pair").cast("double") / F.col("n_w1"))
+    # Top-k via orderBy+limit -> TakeOrderedAndProject: each partition
+    # keeps its local top TOP_BIGRAMS and the driver merges k*p rows.
+    # An unpartitioned row_number window here would sort the ENTIRE
+    # distinct-bigram vocabulary (billions of rows at corpus scale) on
+    # one partition — the r8 verdict's scale-killer.  The ordering
+    # (n_pair DESC, w1, w2) is total because (w1, w2) is the grouping
+    # key, so the limit is deterministic and the rank assigned over the
+    # TOP_BIGRAMS-row result is identical to the global row_number.
+    top = scored.orderBy(
+        F.desc("n_pair"), F.asc("w1"), F.asc("w2")
+    ).limit(TOP_BIGRAMS)
     rnk = F.row_number().over(
+        # bounded frame: exactly TOP_BIGRAMS rows reach this window
+        # (the limit above is in its subtree — what the repo-wide plan
+        # guard in tests/test_plans.py checks)
         Window.orderBy(F.desc("n_pair"), F.asc("w1"), F.asc("w2"))
     )
-    return scored.select(
+    return top.select(
         "w1", "w2", "n_pair", "n_w1", "p_cond", rnk.cast("long").alias("rnk")
-    ).where(F.col("rnk") <= TOP_BIGRAMS)
+    )

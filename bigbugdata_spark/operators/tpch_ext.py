@@ -339,7 +339,12 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     support-filtered pair set. Determinism: support and the per-part
     counts are exact integers; lift is one fp64 division of exact
     integer products; the ranking is total-ordered (support DESC, p1,
-    p2)."""
+    p2) and realized as orderBy+limit (TakeOrderedAndProject — each
+    partition keeps its local top BASKET_TOP_K, the driver merges
+    k*p rows) because the support>=2 filter does NOT bound the pair
+    frame at scale: co-occurring part pairs grow with the data, so an
+    unpartitioned row_number window would sort the whole pair set on
+    one partition (the r8 verdict's scale-killer class)."""
     from bigbugdata_spark.caching import pin
 
     items = pin(
@@ -365,8 +370,16 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # top-k FIRST (TakeOrderedAndProject over the support-filtered pair
+    # frame), so the count joins and the rank window touch only
+    # BASKET_TOP_K rows; the ordering is total since (p1, p2) is the
+    # grouping key, making limit + post-rank identical to the global
+    # row_number it replaces.
+    top = sup.orderBy(
+        F.desc("support"), F.asc("p1"), F.asc("p2")
+    ).limit(BASKET_TOP_K)
     ranked = (
-        sup.crossJoin(F.broadcast(totals))
+        top.crossJoin(F.broadcast(totals))
         .join(
             F.broadcast(cnt.select(F.col("l_partkey").alias("p1"), F.col("n").alias("n1"))),
             "p1",
@@ -377,11 +390,13 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "rnk",
+            # bounded frame: exactly BASKET_TOP_K rows reach this
+            # window (the limit is in its subtree — what the repo-wide
+            # plan guard in tests/test_plans.py checks)
             F.row_number().over(
                 Window.orderBy(F.desc("support"), F.asc("p1"), F.asc("p2"))
             ),
         )
-        .filter(F.col("rnk") <= BASKET_TOP_K)
     )
     lift = (F.col("support") * F.col("n_orders")).cast("double") / (
         F.col("n1") * F.col("n2")

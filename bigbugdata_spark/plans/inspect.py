@@ -103,3 +103,57 @@ def codegen_span_count(df: DataFrame) -> int:
     """WholeStageCodegen regions — wider spans mean more of the plan runs
     fused JVM code rather than interpreted operators."""
     return len(re.findall(r"WholeStageCodegen", plan_string(df, "simple")))
+
+
+_LIMIT_EXECS = (
+    "TakeOrderedAndProjectExec",
+    "GlobalLimitExec",
+    "LocalLimitExec",
+    "CollectLimitExec",
+)
+
+
+def _jvm_children(node):
+    """Physical children, unwrapping the AQE containers whose children()
+    is empty (AdaptiveSparkPlanExec holds the live plan in executedPlan,
+    QueryStageExec in plan)."""
+    name = node.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        return [node.executedPlan()]
+    if name.endswith("QueryStageExec"):
+        return [node.plan()]
+    if name == "ReusedExchangeExec":
+        return [node.child()]
+    seq = node.children()
+    return [seq.apply(i) for i in range(seq.length())]
+
+
+def _subtree_has_limit(node) -> bool:
+    if node.getClass().getSimpleName() in _LIMIT_EXECS:
+        return True
+    return any(_subtree_has_limit(c) for c in _jvm_children(node))
+
+
+def unbounded_global_windows(df: DataFrame) -> list[str]:
+    """Window operators with NO partition key whose input subtree has no
+    limit — i.e. a global sort of an unbounded frame onto one partition,
+    the scale-killer class named in the r8 verdict.  A window without a
+    partition spec is fine when a TakeOrderedAndProject / limit below it
+    bounds the frame to k rows; this walks the executed plan tree (via
+    the JVM handles — the text rendering of windowspecdefinition doesn't
+    distinguish partition keys from order keys reliably) and returns a
+    description of every offender, so tests assert `== []`."""
+    out: list[str] = []
+
+    def visit(node):
+        name = node.getClass().getSimpleName()
+        if name in ("WindowExec", "WindowInPandasExec"):
+            if node.partitionSpec().isEmpty() and not any(
+                _subtree_has_limit(c) for c in _jvm_children(node)
+            ):
+                out.append(node.verboseString(3))
+        for c in _jvm_children(node):
+            visit(c)
+
+    visit(df._jdf.queryExecution().executedPlan())
+    return out

@@ -530,3 +530,38 @@ def test_quality_weighted_sample_map_only(spark, sf):
     assert I.read_columns(df)[0] == {"doc_id", "text"}
     assert I.join_kinds(df) == []
     assert I.shuffle_count(df) == 0
+
+
+def test_topk_windows_are_limit_bounded(spark, sf):
+    """r8 verdict items 2: the two former global-window top-k plans must
+    rank over a limit-bounded frame (orderBy+limit ->
+    TakeOrderedAndProject; each partition keeps its local top-k, the
+    driver merges k*p rows), never a row_number window over the full
+    unbounded aggregate.  unbounded_global_windows walks the executed
+    plan tree and returns every no-partition-key WindowExec with no
+    limit in its subtree — the single-partition global sort class."""
+    for name in ("text_bigram_lm", "orders_market_basket"):
+        df = SPECS[name].fn(spark, sf)
+        offenders = I.unbounded_global_windows(df)
+        assert offenders == [], f"{name}: {offenders}"
+        assert "TakeOrderedAndProject" in I.plan_string(df, "simple")
+
+
+def test_unbounded_global_window_detector_positive_control(spark, sf):
+    """The detector must actually flag the anti-pattern (guards against
+    a silently vacuous test if Spark renames plan nodes)."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    bad = docs.withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    assert len(I.unbounded_global_windows(bad)) == 1
+    # limit ABOVE an empty-partition row_number window gets pushed
+    # through by LimitPushDownThroughWindow (SPARK-37867) -> bounded
+    good = bad.limit(5)
+    assert I.unbounded_global_windows(good) == []
+    bounded = docs.orderBy("doc_id").limit(5).withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    assert I.unbounded_global_windows(bounded) == []
