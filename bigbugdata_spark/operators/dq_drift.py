@@ -60,8 +60,10 @@ DRIFT_ORACLE_SQL = f"""
         FROM counts
     )
     SELECT event_type, c_ref, c_cur, n_ref, n_cur,
-           (CAST(c_cur AS DOUBLE) / n_cur - CAST(c_ref AS DOUBLE) / n_ref)
-               * 1000 AS delta_pm,
+           CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+               (CAST(c_cur AS DOUBLE) / n_cur - CAST(c_ref AS DOUBLE) / n_ref)
+                   * 1000
+           END AS delta_pm,
            CAST(abs(CAST(c_cur AS HUGEINT) * n_ref
                     - CAST(c_ref AS HUGEINT) * n_cur) * 1000
                 > CAST({DRIFT_THRESHOLD_PM} AS HUGEINT) * n_ref * n_cur
@@ -95,10 +97,18 @@ def finish_drift(counts: DataFrame) -> DataFrame:
         F.sum("c_ref").over(w).alias("n_ref"),
         F.sum("c_cur").over(w).alias("n_cur"),
     )
-    delta_pm = (
-        F.col("c_cur").cast("double") / F.col("n_cur")
-        - F.col("c_ref").cast("double") / F.col("n_ref")
-    ) * 1000
+    # NULL (not NaN/Infinity) when either window is still empty — the
+    # live streaming monitor hits n_cur = 0 before any current-window
+    # event arrives, and engines canonicalize the degenerate division
+    # differently (r8 advisory); the integer flag stays 0 either way.
+    delta_pm = F.when(
+        (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+        (
+            F.col("c_cur").cast("double") / F.col("n_cur")
+            - F.col("c_ref").cast("double") / F.col("n_ref")
+        )
+        * 1000,
+    )
     drift = (
         F.abs(
             F.col("c_cur").cast(_DEC) * F.col("n_ref")

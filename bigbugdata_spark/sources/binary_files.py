@@ -59,7 +59,6 @@ def read_assets(
     keeps its full relative form (never an empty id). Dot/underscore-
     leading files never reach the frame at all — Hadoop's default path
     filter hides them from the listing (pinned by test)."""
-    import os
     import re
 
     reader = spark.read.format("binaryFile")
@@ -68,8 +67,16 @@ def read_assets(
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")
     raw = reader.load(path)
-    # Spark reports paths as file: URIs of the absolute root
-    root_uri = "file:" + os.path.abspath(path).rstrip("/") + "/"
+    # Resolve the ingest root the same way Spark renders the `path`
+    # column: through Hadoop's FileSystem.makeQualified, which yields
+    # file:/... locally and the scheme-qualified URI (s3a://bucket/...,
+    # hdfs://nn/...) on object storage — an os.path.abspath root would
+    # silently no-op the prefix strip for any non-local scheme and turn
+    # asset_id into the full URI (r8 advisory).
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    root_uri = fs.makeQualified(jpath).toString().rstrip("/") + "/"
     rel = F.regexp_replace(F.col("path"), "^" + re.escape(root_uri), "")
     fname = F.element_at(F.split(rel, "/"), -1)
     fstem = F.regexp_replace(fname, r"\.[^.]*$", "")
