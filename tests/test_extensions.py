@@ -1086,3 +1086,70 @@ def test_ivf_incremental_batch_vectors_retrievable(spark, sf_oracle):
     assert exact
     recall = len(cand & exact) / len(exact)
     assert recall >= 0.70, f"incremental-assign recall collapsed: {recall:.3f}"
+
+
+def test_gram_index_incremental_append_equals_rebuild(tmp_path, spark):
+    """r8 verdict item 4: the persisted gram index is MAINTAINED
+    incrementally — building the index over the stored corpus and then
+    appending the admitted batch's grams must leave table contents
+    identical (as multisets; df rows sum-equal per gram) to a
+    from-scratch build over the full corpus, so consecutive ingest
+    cycles never re-shingle history."""
+    from pyspark.sql import functions as F
+
+    from bigbugdata_spark.operators.dedup import _doc_shingles
+    from bigbugdata_spark.operators.dedup_incr import (
+        _corpus_fingerprint,
+        _index_names,
+        append_batch_to_index,
+        gram_index,
+    )
+
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(12)), "en", "syn", 0)
+        for i in range(20)
+    ]
+    full_dir = tmp_path / "full"
+    base_dir = tmp_path / "base"
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.parquet(str(full_dir / "documents.parquet"))
+    batch_pred = F.col("doc_id") >= 15
+    docs.filter(~batch_pred).write.parquet(str(base_dir / "documents.parquet"))
+
+    # full build = ground truth
+    idx_f, sz_f, df_f = gram_index(spark, str(full_dir))
+    want_idx = sorted((r["doc_id"], r["g"]) for r in idx_f.collect())
+    want_sz = sorted((r["doc_id"], r["sz"]) for r in sz_f.collect())
+    want_df = sorted(
+        (r["g"], r["df"])
+        for r in df_f.groupBy("g").agg(F.sum("df_part").alias("df")).collect()
+    )
+
+    # base build + batch append
+    base_fp = _corpus_fingerprint(str(base_dir))
+    gram_index(spark, str(base_dir))
+    batch_grams = (
+        _doc_shingles(spark, str(full_dir))
+        .filter(batch_pred)
+        .select("doc_id", F.explode("grams").alias("g"))
+    )
+    append_batch_to_index(spark, batch_grams, base_fp)
+    idx_name, sz_name, df_name = _index_names(base_fp)
+    got_idx = sorted(
+        (r["doc_id"], r["g"]) for r in spark.table(idx_name).collect()
+    )
+    got_sz = sorted(
+        (r["doc_id"], r["sz"]) for r in spark.table(sz_name).collect()
+    )
+    got_df = sorted(
+        (r["g"], r["df"])
+        for r in spark.table(df_name)
+        .groupBy("g")
+        .agg(F.sum("df_part").alias("df"))
+        .collect()
+    )
+    assert got_idx == want_idx
+    assert got_sz == want_sz
+    assert got_df == want_df

@@ -502,13 +502,20 @@ def test_phash_near_dup_no_cartesian_payload_pruned(spark, sf):
     assert I.read_columns(df)[0] == {"doc_id", "text"}
 
 
-def test_dedup_incremental_one_scan_no_cartesian(spark, sf):
-    """dedup_incremental: the pinned gram frame serves sizes and both
-    asymmetric join sides — one documents scan pruned to (doc_id, text),
-    all joins keyed (the batch side filters BEFORE the join)."""
+def test_dedup_incremental_index_probe_plan(spark, sf):
+    """dedup_incremental (r9): the corpus side comes from the PERSISTED
+    bucketed gram index — the plan holds exactly one documents scan
+    (batch side, pruned to doc_id+text and filtered BEFORE the shingle
+    projection) plus the index/sizes table scans; all joins keyed."""
     df = SPECS["dedup_incremental"].fn(spark, sf)
-    assert len(I.scan_info(df)) == 1
-    assert I.read_columns(df)[0] == {"doc_id", "text"}
+    scans = I.scan_info(df)
+    # documents (batch) + gram_idx + gram_sz twice (both Jaccard sides)
+    assert len(scans) == 4
+    doc_scans = [
+        c for c in I.read_columns(df) if c == {"doc_id", "text"}
+    ]
+    assert len(doc_scans) == 1, "corpus must NOT be re-shingled"
+    assert any("gram_idx_" in sc["location"] for sc in scans)
     assert "CartesianProduct" not in I.plan_string(df)
 
 
