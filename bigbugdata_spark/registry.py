@@ -147,6 +147,10 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.corpus",
     "bigbugdata_spark.operators.dedup",
     "bigbugdata_spark.operators.similarity_ext",
+    # r9-new queries (no driver verdict yet -> behind streaming.features
+    # in the round-10 rotation queue):
+    "bigbugdata_spark.operators.zorder_audit",
+    "bigbugdata_spark.operators.asset_audit",
 )
 
 
