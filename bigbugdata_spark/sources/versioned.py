@@ -99,6 +99,29 @@ def write_versioned(df: DataFrame, path: str) -> int:
     )
 
 
+def replace_versioned(df: DataFrame, path: str) -> int:
+    """Commit `df` as a FULL-REPLACEMENT snapshot (round 9 — the
+    publish primitive for MAINTAINED tables, e.g. an SCD2 run table
+    after a backfill repair rewrote closed history): the new manifest
+    lists ONLY the new files, but previous versions keep reading their
+    immutable files byte-identically until expiry — time travel across
+    rewrites, the REPLACE TABLE half of what write_versioned's append
+    gives a grow-only corpus.  Same staging + exclusive-create commit
+    protocol, so concurrent committers still never tear or overwrite
+    each other (a concurrent APPEND loses to a replacement by design:
+    the replacement declares the whole table)."""
+    base = Path(path)
+    stage = f"data/{uuid.uuid4().hex}"
+    df.write.parquet(str(base / stage))
+    new_entries = [
+        {"path": f"{stage}/{p.name}", "bytes": p.stat().st_size}
+        for p in sorted((base / stage).glob("*.parquet"))
+    ]
+    return _commit_manifest(
+        path, lambda prev_files: {"files": new_entries, "replacement": True}
+    )
+
+
 def read_versioned(
     spark: SparkSession,
     path: str,

@@ -8,12 +8,15 @@ import pytest
 from pyspark.sql import functions as F
 
 from bigbugdata_spark.catalog import table
+from bigbugdata_spark.registry import load_all
 from bigbugdata_spark.sources.versioned import (
     latest_version,
     read_versioned,
     versions,
     write_versioned,
 )
+
+SPECS = load_all()
 
 
 def _sig(df):
@@ -267,3 +270,84 @@ def test_corpus_version_diff_same_result_through_compacted_table(
     compact_versioned(spark, path)
     after = {**acct(v0, 0), **acct(v1, 1)}
     assert after == before
+
+
+def test_backfill_through_versioned_table_lifecycle(tmp_path, spark, sf_oracle):
+    """r8 verdict item 7: compose the versioned table with the SCD2
+    repair path. A training run pins the pre-repair snapshot; an
+    out-of-order slice lands via repair_user_runs and publishes a new
+    REPLACEMENT version; the pinned pre-repair read stays byte-identical
+    through the repair, a compaction, and an expiry sweep (which refuses
+    to drop the pinned version); the post-repair version equals the
+    batch derivation that carries the registered oracle."""
+    import pytest
+
+    from bigbugdata_spark.sources.versioned import (
+        compact_versioned,
+        expire_versions,
+        pin_version,
+        read_versioned,
+        replace_versioned,
+        unpin_version,
+    )
+    from bigbugdata_spark.streaming.scd_sink import (
+        OutOfOrderSliceError,
+        read_state_history,
+        repair_user_runs,
+        upsert_state_runs,
+    )
+
+    ev = table(spark, sf_oracle, "events")
+    t = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+    s0 = ev.filter(F.col("ts") < t("2024-01-08"))
+    s1 = ev.filter(
+        (F.col("ts") >= t("2024-01-08")) & (F.col("ts") < t("2024-01-16"))
+    )
+    s2 = ev.filter(F.col("ts") >= t("2024-01-16"))
+    work = str(tmp_path / "run_table")  # the maintained working dir
+    vpath = str(tmp_path / "published")  # the versioned publish target
+
+    def rows_of(df):
+        return sorted(
+            (r["user_id"], r["state"], r["valid_from"], r["valid_to"],
+             r["n_events"], r["is_current"])
+            for r in df.collect()
+        )
+
+    upsert_state_runs(spark, s0, work)
+    upsert_state_runs(spark, s2, work)  # slice 1 missing: table runs ahead
+    v_pre = replace_versioned(read_state_history(spark, work), vpath)
+    pin_version(vpath, v_pre, "training-run-x")
+    pre_rows = rows_of(read_versioned(spark, vpath, v_pre))
+
+    with pytest.raises(OutOfOrderSliceError):
+        upsert_state_runs(spark, s1, work)  # the backfill slice arrives
+    late_users = sorted(
+        r[0] for r in s1.select("user_id").distinct().collect()
+    )
+    repair_user_runs(spark, ev, work, late_users)
+    v_post = replace_versioned(read_state_history(spark, work), vpath)
+    assert v_post == v_pre + 1
+
+    # post-repair snapshot == the batch derivation (the oracle carrier)
+    batch = rows_of(SPECS["evt_user_state_history"].fn(spark, sf_oracle))
+    assert rows_of(read_versioned(spark, vpath, v_post)) == batch
+    assert batch != pre_rows  # the backfill genuinely changed history
+
+    # pinned pre-repair read: byte-identical through repair...
+    assert rows_of(read_versioned(spark, vpath, v_pre)) == pre_rows
+    # ...through compaction of the head...
+    v_comp = compact_versioned(spark, vpath)
+    assert rows_of(read_versioned(spark, vpath, v_pre)) == pre_rows
+    assert rows_of(read_versioned(spark, vpath, v_comp)) == batch
+    # ...and through an expiry sweep that must refuse the pinned version
+    acc = expire_versions(vpath, retain_last=1)
+    assert v_pre in acc["retained"] and v_post in acc["expired"]
+    assert rows_of(read_versioned(spark, vpath, v_pre)) == pre_rows
+    # released pin -> the next sweep may expire it, and reads fail loudly
+    unpin_version(vpath, "training-run-x")
+    acc2 = expire_versions(vpath, retain_last=1)
+    assert v_pre in acc2["expired"]
+    with pytest.raises(FileNotFoundError):
+        read_versioned(spark, vpath, v_pre)
+    assert rows_of(read_versioned(spark, vpath, v_comp)) == batch
