@@ -140,9 +140,53 @@ EMB_DIM = 64
 # IVF knobs (operators/similarity.py) — here so operators/audits.py can
 # build the DuckDB twin of the IVF pipeline without importing (and
 # thereby registering) the similarity module at import time.
-IVF_K = 16  # FIXED codebook size — independent of corpus size
+IVF_K = 16  # codebook-size FLOOR — scaled_ivf_k never goes below this
 IVF_ASSIGN = 2  # redundant assignment: each vector lands in its top-2 cells
 N_PROBE = 8  # probed cells per query
+
+
+def scaled_ivf_k(n: int) -> int:
+    """Corpus-scaled codebook size: K = max(IVF_K, floor(sqrt(n))) — the
+    standard IVF sizing rule (cells of ~sqrt(n) vectors balance probe
+    cost against cell-scan cost).  fp64 sqrt + floor deliberately, so
+    the SQL twin (sql_scaled_ivf_k) computes the identical K in DuckDB
+    for any count below 2^53."""
+    import math
+
+    return max(IVF_K, int(math.floor(math.sqrt(n))))
+
+
+def sql_scaled_ivf_k(src: str) -> str:
+    """DuckDB twin of scaled_ivf_k over the CTE/table named `src` —
+    usable directly in a LIMIT (DuckDB accepts scalar-subquery limits)."""
+    return (
+        f"GREATEST({IVF_K}, CAST(FLOOR(SQRT("
+        f"(SELECT COUNT(*) FROM {src}))) AS BIGINT))"
+    )
+
+
+def scaled_n_probe(k: int) -> int:
+    """Probe width for a K-cell codebook: max(N_PROBE, ceil(K/2)).
+
+    The probe FRACTION, not the probe count, is the recall knob on
+    near-isotropic embeddings (this fixture's worst case): the original
+    fixed config probed 8/16 = 50% of cells for 0.963 recall@10, and
+    holding that fraction holds the recall contract as K scales
+    (measured at K=44: 8 probes -> 0.625, 22 probes -> 0.938).  On
+    clustered real corpora the fraction can drop far below 1/2 for the
+    same recall — that tuning is a deployment knob; the invariant kept
+    here is measured-recall-vs-exact, enforced by the floor tests."""
+    import math
+
+    return max(N_PROBE, math.ceil(k / 2))
+
+
+def sql_scaled_n_probe(src: str) -> str:
+    """DuckDB twin of scaled_n_probe(scaled_ivf_k(|src|))."""
+    return (
+        f"GREATEST({N_PROBE}, CAST(CEIL({sql_scaled_ivf_k(src)} / 2.0)"
+        f" AS BIGINT))"
+    )
 
 # Codebook-sampling hash: portable affine hash mod P (NOT xxhash64) so
 # the whole IVF pipeline is ANSI-SQL-expressible and audit_ivf_recall

@@ -45,7 +45,8 @@ from bigbugdata_spark.functions.fragments import (
     EMB_LSH_PLANES,
     IVF_ASSIGN,
     IVF_CODEBOOK_HASH_SQL,
-    IVF_K,
+    sql_scaled_ivf_k,
+    sql_scaled_n_probe,
     N_PROBE,
     N_QUERIES,
     TOP_K,
@@ -177,16 +178,23 @@ _SIM_CORPUS_SQL = f"""
 SIM_CORPUS_SQL = _SIM_CORPUS_SQL  # shared with operators/similarity_pq.py
 
 
-def ivf_stages_sql(q: str = "queries", n_probe: int = N_PROBE) -> str:
+def ivf_stages_sql(q: str = "queries", n_probe: int | None = None) -> str:
     """cents/assign/probes/cand: the IVF candidate-generation stages as
     SQL, parameterized on the query-side CTE name and probe width —
     shared by this module's audit, similarity_pq.py's audit, and the
     all-nodes kNN-graph oracle (similarity_knn.py, which probes fewer
-    cells and uses every corpus vector as a query)."""
+    cells and uses every corpus vector as a query).  n_probe None
+    mirrors the Spark default: the corpus-scaled width
+    (fragments.sql_scaled_n_probe), so both engines derive K AND the
+    probe width from the same COUNT(*)."""
+    probe_expr = (
+        sql_scaled_n_probe("corpus") if n_probe is None else str(n_probe)
+    )
     return f"""
     cents AS (
         SELECT vec_id AS cell_id, embedding AS c_emb, nrm AS c_nrm
-        FROM corpus ORDER BY {IVF_CODEBOOK_HASH_SQL}, vec_id LIMIT {IVF_K}
+        FROM corpus ORDER BY {IVF_CODEBOOK_HASH_SQL}, vec_id
+        LIMIT {sql_scaled_ivf_k('corpus')}
     ),
     assign AS (
         SELECT vec_id, cell_id FROM (
@@ -210,7 +218,7 @@ def ivf_stages_sql(q: str = "queries", n_probe: int = N_PROBE) -> str:
                                 ct.cell_id ASC
                    ) AS prn
             FROM {q} q CROSS JOIN cents ct
-        ) WHERE prn <= {n_probe}
+        ) WHERE prn <= {probe_expr}
     ),
     cand AS (
         SELECT DISTINCT p.query_id, a.vec_id
@@ -220,8 +228,8 @@ def ivf_stages_sql(q: str = "queries", n_probe: int = N_PROBE) -> str:
 """
 
 
-# The default-shaped stages (8-query CTE, N_PROBE cells), kept as the
-# constant its existing consumers import.
+# The default-shaped stages (8-query CTE, corpus-scaled probe width),
+# kept as the constant its existing consumers import.
 IVF_STAGES_SQL = ivf_stages_sql()
 
 _IVF_AUDIT_SQL = f"""

@@ -24,7 +24,6 @@ from bigbugdata_spark.functions.fragments import (
     IVF_ASSIGN,
     IVF_HASH_A,
     IVF_HASH_B,
-    IVF_K,
     N_PROBE,
     N_QUERIES,
     TOP_K,
@@ -55,13 +54,27 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- IVF stage builders (shared with operators/similarity_pq.py) -----------
 
 
-def ivf_cents(corpus: DataFrame, k: int = IVF_K) -> DataFrame:
+def ivf_cents(corpus: DataFrame, k: int | None = None) -> DataFrame:
     """The k hash-sampled codebook vectors (cell_id, c_emb, c_nrm).
 
-    Parameterized k keeps the shared-prefix property STRUCTURAL: the PQ
-    codebook (similarity_pq, k=PQ_K) is a longer prefix of the same
-    deterministic sampling order, so its first IVF_K vectors are exactly
-    the IVF cells — one ordering/tie-break definition, not two copies."""
+    k=None (the default, round 9 — VERDICT r8 #6) sizes the codebook
+    from the corpus: K = max(IVF_K, floor(sqrt(n))), the standard IVF
+    rule (cells of ~sqrt(n) vectors balance probe cost against cell
+    scan).  The count is index-build metadata (a real builder knows its
+    corpus size; parquet count-star is a footer read), and the sampled
+    codebook stays a distributed orderBy+limit (TakeOrderedAndProject)
+    that broadcasts: at n = 10^9, K ~ 31623 rows x 256-byte vectors ~
+    8 MB — still a broadcast, per the N_PROBE/assign joins' design.
+
+    Explicit k keeps the shared-prefix property STRUCTURAL: the PQ
+    codebook (similarity_pq, k=PQ_K) and the IVF codebook are prefixes
+    of the SAME deterministic sampling order (whichever is longer
+    subsumes the shorter) — one ordering/tie-break definition, not two
+    copies."""
+    from bigbugdata_spark.functions.fragments import scaled_ivf_k
+
+    if k is None:
+        k = scaled_ivf_k(corpus.count())
     return (
         corpus.orderBy(_codebook_hash(F.col("vec_id")), F.col("vec_id"))
         .limit(k)
@@ -100,10 +113,18 @@ def ivf_assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def ivf_probes(
-    queries: DataFrame, cents: DataFrame, n_probe: int = N_PROBE
+    queries: DataFrame, cents: DataFrame, n_probe: int | None = None
 ) -> DataFrame:
-    """(query_id, cell_id) — the n_probe best cells per query (default
-    N_PROBE; the kNN-graph builder probes fewer, similarity_knn.py)."""
+    """(query_id, cell_id) — the n_probe best cells per query.  n_probe
+    None (default) scales with the codebook: max(N_PROBE, ceil(K/2)) —
+    the probe FRACTION is the recall knob (fragments.scaled_n_probe),
+    so a sqrt(n)-sized codebook keeps its measured recall as the corpus
+    grows.  Explicit widths remain for deliberate narrow probing (the
+    kNN-graph builder, similarity_knn.py)."""
+    from bigbugdata_spark.functions.fragments import scaled_n_probe
+
+    if n_probe is None:
+        n_probe = scaled_n_probe(cents.count())
     q_cells = queries.join(F.broadcast(cents), F.lit(True)).select(
         "query_id",
         "cell_id",
@@ -193,31 +214,36 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the 100 TB serving path:
 
-    1. coarse quantizer: a FIXED-SIZE codebook of k=16 centroids chosen
-       by deterministic hash sampling — the k corpus vectors with the
-       smallest portable affine hash of vec_id (mod P, vec_id tiebreak;
-       engine-portable so audit_ivf_recall can re-derive the identical
-       codebook in DuckDB).  The selection is a distributed top-k
-       (TakeOrdered: per-partition heads, driver merge of k rows), so
-       the codebook costs one O(n) scan and stays k rows no matter
-       the corpus size, then broadcasts.  (A k-means training pass would
-       pick better centroids; hash sampling keeps the plan deterministic
-       and is the standard bootstrap for one.)
-    2. assignment: one corpus scan x broadcast codebook -> top-1 cell
-       per vector — O(n*k) with k CONSTANT (the inverted file, long form);
-    3. probe: each query scores the codebook, takes the nprobe=8 best
-       cells, and searches ONLY those cells' members exactly.
+    1. coarse quantizer: a CORPUS-SCALED codebook of K = max(16,
+       floor(sqrt(n))) centroids (round 9 — the standard sqrt(n) cell
+       sizing; was fixed K=16 through r8) chosen by deterministic hash
+       sampling — the K corpus vectors with the smallest portable
+       affine hash of vec_id (mod P, vec_id tiebreak; engine-portable
+       so audit_ivf_recall re-derives the identical codebook AND the
+       identical K from COUNT(*) in DuckDB).  The selection is a
+       distributed top-k (TakeOrdered: per-partition heads, driver
+       merge of K rows ~ sqrt(n) — 8 MB at n=10^9), then broadcasts.
+       (A k-means training pass would pick better centroids; hash
+       sampling keeps the plan deterministic and is the standard
+       bootstrap for one.)
+    2. assignment: one corpus scan x broadcast codebook -> top cells
+       per vector — O(n*K) (the inverted file, long form);
+    3. probe: each query scores the codebook, takes the scaled-width
+       best cells (max(N_PROBE, ceil(K/2)) — see
+       fragments.scaled_n_probe for why the FRACTION is the recall
+       knob on this near-isotropic fixture), and searches ONLY those
+       cells' members exactly.
 
-    Redundant assignment (IVF_ASSIGN=2, each vector indexed under its two
-    nearest cells) doubles the inverted file but buys recall at FIXED
-    probe cost — the standard IVF trade when the codebook is coarse.
-    This corpus is near-isotropic (no tight clusters), the worst case for
-    IVF: measured recall@10 at sf0.01 with the k=16 hash codebook is
-    0.675/0.887/0.963/0.988 at nprobe 4/6/8/10 (vs 0.512/0.688/0.762/
-    0.850 with single assignment). On clustered real embeddings the same
-    plan probes a far smaller fraction for the same recall; the plan
-    shape (broadcast codebook, cell-bucketed candidate join) is what
-    carries to 100 TB.
+    Redundant assignment (IVF_ASSIGN=2, each vector indexed under its
+    two nearest cells) doubles the inverted file but buys recall at
+    fixed probe cost — the standard IVF trade when the codebook is
+    coarse.  This corpus is near-isotropic (no tight clusters), the
+    worst case for IVF: measured recall@10 with scaled K/probes is
+    0.95 at (n=500, K=22) and 0.938 at (n=2000, K=44), floor-tested at
+    both scales.  On clustered real embeddings the same plan probes a
+    far smaller fraction for the same recall; the plan shape
+    (broadcast codebook, cell-bucketed candidate join) is what carries
+    to 100 TB.
 
     Every join is broadcast or bucketed on cell_id; corpus never
     shuffles more than once. Recall vs the exact baseline is measured in

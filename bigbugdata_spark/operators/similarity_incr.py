@@ -33,7 +33,7 @@ from bigbugdata_spark.functions.fragments import (
     EMB_DIM as _DIM,
     IVF_ASSIGN,
     IVF_CODEBOOK_HASH_SQL,
-    IVF_K,
+    sql_scaled_ivf_k,
 )
 from bigbugdata_spark.registry import register
 
@@ -86,7 +86,7 @@ def _assign_sql(src: str) -> str:
         cents AS (
             SELECT vec_id AS cell_id, embedding AS c_emb, nrm AS c_nrm
             FROM existing ORDER BY {IVF_CODEBOOK_HASH_SQL}, vec_id
-            LIMIT {IVF_K}
+            LIMIT {sql_scaled_ivf_k('existing')}
         ),
         a_old AS ({_assign_sql('existing')}),
         a_new AS ({_assign_sql('batch')}),
@@ -116,7 +116,9 @@ def sim_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: ONE scan of embeddings feeds both slices (the batch predicate
     is a row-level filter, not a second read); the codebook is a
-    distributed top-k that broadcasts (k=16 rows); both assignments are
+    distributed top-k that broadcasts (K = max(16, floor sqrt(n)) rows,
+    corpus-scaled per r9 — both engines derive K from the existing
+    slice's COUNT(*)); both assignments are
     corpus x broadcast-codebook with a vec_id window — no shuffle ever
     carries more than (rows x IVF_ASSIGN) skinny pairs. At 100 TB only
     the BATCH assignment runs per cycle (existing assignments are the

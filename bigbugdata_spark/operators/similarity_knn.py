@@ -22,13 +22,12 @@ equi-join bounded by cell occupancy, never an all-pairs product; per
 node the exact scoring touches only its candidates, and the top-k is a
 per-node window over that bounded set. KNN_PROBE < N_PROBE keeps the
 all-nodes candidate volume at index-build levels (probing half the
-cells is a query-time luxury). Sizing caveat the fixture hides: with
-the codebook K FIXED, cell occupancy grows linearly with the corpus
-and the all-nodes candidate volume quadratically — production IVF
-sizes K ~ sqrt(n) (occupancy ~ sqrt(n), candidate volume ~ n^1.5);
-ivf_cents takes k as a parameter for exactly that, and this module's
-K choice is pinned to the registered IVF family's so the oracle's
-re-derivation stays shared.
+cells is a query-time luxury). Sizing (r8 caveat resolved in round 9):
+the codebook is corpus-scaled, K = max(16, floor sqrt(n)) — shared
+with the whole registered IVF family via ivf_cents' default, and
+re-derived from COUNT(*) by this oracle's cents CTE — so cell
+occupancy stays ~sqrt(n) and the all-nodes candidate volume ~n^1.5
+instead of the quadratic blow-up a fixed K would give.
 """
 
 from __future__ import annotations

@@ -65,9 +65,10 @@ from bigbugdata_spark.operators.audits import IVF_STAGES_SQL, SIM_CORPUS_SQL
 
 
 def pq_cents(corpus: DataFrame) -> DataFrame:
-    """The PQ_K hash-sampled PQ codebook — the same ivf_cents sampling,
-    just a longer prefix (so the first IVF_K vectors are structurally
-    the IVF cells — one ordering definition, see ivf_cents)."""
+    """The PQ_K hash-sampled PQ codebook — the same ivf_cents sampling
+    order (the IVF codebook and this one are prefixes of one
+    deterministic sample; whichever is longer subsumes the shorter —
+    one ordering definition, see ivf_cents)."""
     from bigbugdata_spark.operators.similarity import ivf_cents
 
     return ivf_cents(corpus, k=PQ_K)

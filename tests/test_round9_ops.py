@@ -42,3 +42,26 @@ def test_asset_accounting_covers_both_modalities(spark, sf_oracle):
         assert "/d" in r["first_asset"]
         assert not r["first_asset"].startswith("file:")
         assert len(r["min_digest"]) == 32
+
+
+def test_ivf_recall_floor_at_two_scales_with_scaled_codebook(spark):
+    """r8 verdict item 6 'done' criterion: with K = max(16, floor
+    sqrt(n)) and the scaled probe width, the IVF recall contract holds
+    at two corpus scales — and the codebook size actually scales
+    (n=500 -> K=22, n=2000 -> K=44), so the test fails if the sizing
+    silently reverts to a constant."""
+    from bigbugdata_spark.functions.fragments import IVF_K, scaled_ivf_k
+    from bigbugdata_spark.operators.similarity import _corpus, ivf_cents
+
+    seen_k = []
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
+        corpus = _corpus(spark, sf)
+        k = ivf_cents(corpus).count()
+        assert k == scaled_ivf_k(corpus.count())
+        seen_k.append(k)
+        rows = SPECS["audit_ivf_recall"].fn(spark, sf).collect()
+        recall = sum(r["n_overlap"] for r in rows) / sum(
+            r["n_exact"] for r in rows
+        )
+        assert recall >= 0.85, f"{sf}: recall collapsed to {recall:.3f}"
+    assert len(set(seen_k)) > 1 and max(seen_k) > IVF_K
