@@ -151,6 +151,10 @@ _QUERY_MODULES = (
     # in the round-10 rotation queue):
     "bigbugdata_spark.operators.zorder_audit",
     "bigbugdata_spark.operators.asset_audit",
+    "bigbugdata_spark.operators.orders_ltv",
+    "bigbugdata_spark.operators.events_mad",
+    "bigbugdata_spark.operators.dedup_curve",
+    "bigbugdata_spark.operators.events_season",
 )
 
 

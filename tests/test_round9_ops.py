@@ -65,3 +65,59 @@ def test_ivf_recall_floor_at_two_scales_with_scaled_codebook(spark):
         )
         assert recall >= 0.85, f"{sf}: recall collapsed to {recall:.3f}"
     assert len(set(seen_k)) > 1 and max(seen_k) > IVF_K
+
+
+def test_cohort_ltv_acquisition_month_covers_everyone(spark, sf_oracle):
+    """Offset 0 holds every customer exactly once across cohorts (the
+    first order lands there by construction); offsets never go
+    negative; revenue cents conserve against the raw table."""
+    rows = SPECS["orders_cohort_ltv"].fn(spark, sf_oracle).collect()
+    orders = spark.read.parquet(f"{sf_oracle}/orders.parquet")
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert all(r["month_offset"] >= 0 for r in rows)
+    assert sum(r["n_customers"] for r in rows if r["month_offset"] == 0) == n_cust
+    assert sum(r["n_orders"] for r in rows) == orders.count()
+    want_cents = orders.select(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+    ).first()[0]
+    assert sum(r["revenue_cents"] for r in rows) == want_cents
+
+
+def test_mad_profile_bounds_and_conservation(spark, sf_oracle):
+    """Counts conserve; MAD is nonnegative and never above the group's
+    value span; the fixture's heavy-tailed purchase values make the
+    outlier flag fire somewhere (a monitor no fixture can trip is
+    untested code)."""
+    rows = SPECS["evt_anomaly_mad"].fn(spark, sf_oracle).collect()
+    ev = spark.read.parquet(f"{sf_oracle}/events.parquet")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    for r in rows:
+        assert r["mad_cents"] >= 0
+        assert 0 <= r["n_outliers"] < r["n_events"]
+    assert any(r["n_outliers"] > 0 for r in rows)
+
+
+def test_threshold_curve_conserves_pairs(spark, sf_oracle):
+    """Band pair-counts partition the verified pair set; every band
+    sits at or above the operating threshold (0.5 -> band >= 5)."""
+    from bigbugdata_spark.operators.dedup import dedup_minhash_lsh
+
+    rows = SPECS["dedup_threshold_curve"].fn(spark, sf_oracle).collect()
+    n_pairs = dedup_minhash_lsh(spark, sf_oracle).count()
+    assert sum(r["n_pairs"] for r in rows) == n_pairs and n_pairs > 0
+    for r in rows:
+        assert r["band"] >= 5
+        assert abs(r["j_lo"] - r["band"] / 10) < 1e-12
+        assert 0 < r["n_sides"] <= 2 * r["n_pairs"]
+
+
+def test_seasonality_profile_covers_clock(spark, sf_oracle):
+    """Cells conserve the event count, keys stay in the ISO clock
+    domain, and the hot flag agrees with the exact share arithmetic."""
+    rows = SPECS["evt_seasonality_profile"].fn(spark, sf_oracle).collect()
+    ev = spark.read.parquet(f"{sf_oracle}/events.parquet")
+    total = ev.count()
+    assert sum(r["n_events"] for r in rows) == total
+    for r in rows:
+        assert 1 <= r["dow"] <= 7 and 0 <= r["hod"] <= 23
+        assert r["is_hot"] == int(2 * 168 * r["n_events"] > 3 * total)
