@@ -38,8 +38,10 @@ FRESHNESS_FEEDS = (
     ("orders", "o_orderdate", "2001-09-01 00:00:00", 168),
 )
 
-_FRESH_SQL = "\nUNION ALL\n".join(
-    f"""
+def feed_sql(tbl: str, col: str, anchor: str, sla: int) -> str:
+    """One feed's freshness row as DuckDB SQL (shared with the live
+    monitor's oracle in streaming/freshness.py)."""
+    return f"""
     SELECT '{tbl}' AS feed,
            strftime(MAX({col}), '{TS_FMT_DUCK}') AS max_ts,
            (epoch_us(TIMESTAMP '{anchor}') - epoch_us(MAX({col})))
@@ -48,8 +50,30 @@ _FRESH_SQL = "\nUNION ALL\n".join(
                // {US_PER_HOUR} > {sla} AS INT) AS is_stale
     FROM {tbl}
     """
+
+
+_FRESH_SQL = "\nUNION ALL\n".join(
+    feed_sql(tbl, col, anchor, sla)
     for tbl, col, anchor, sla in FRESHNESS_FEEDS
 )
+
+
+def finish_freshness(
+    agg: "DataFrame", tbl: str, anchor: str, sla: int
+) -> "DataFrame":
+    """Freshness card row from a one-row MAX aggregate (column
+    max_ts_raw) — the shared tail of the batch audit and the live
+    streaming monitor, so the two cannot drift."""
+    lag_hours = F.expr(
+        f"(unix_micros(TIMESTAMP '{anchor}') - unix_micros(max_ts_raw))"
+        f" div {US_PER_HOUR}"
+    )
+    return agg.select(
+        F.lit(tbl).alias("feed"),
+        F.date_format("max_ts_raw", TS_FMT).alias("max_ts"),
+        lag_hours.alias("lag_hours"),
+        (lag_hours > sla).cast("int").alias("is_stale"),
+    )
 
 
 @register(
@@ -62,25 +86,16 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind the feed's anchor, and the SLA staleness flag."""
     parts = []
     for tbl, col, anchor, sla in FRESHNESS_FEEDS:
-        # SQL `div` = integer division (truncating), matching DuckDB //
-        lag_hours = F.expr(
-            f"(unix_micros(TIMESTAMP '{anchor}') - unix_micros(max_ts_raw))"
-            f" div {US_PER_HOUR}"
-        )
+        # SQL `div` (in finish_freshness) = integer division
+        # (truncating), matching DuckDB //
         agg = (
             table(spark, sf_dir, tbl)
             # orders' o_orderdate lands as TIMESTAMP_NTZ; under the
             # pinned UTC session zone the cast is instant-preserving
             # (events come pre-normalized by catalog.table)
             .agg(F.max(F.col(col).cast("timestamp")).alias("max_ts_raw"))
-            .select(
-                F.lit(tbl).alias("feed"),
-                F.date_format("max_ts_raw", TS_FMT).alias("max_ts"),
-                lag_hours.alias("lag_hours"),
-                (lag_hours > sla).cast("int").alias("is_stale"),
-            )
         )
-        parts.append(agg)
+        parts.append(finish_freshness(agg, tbl, anchor, sla))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -155,6 +155,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.events_mad",
     "bigbugdata_spark.operators.dedup_curve",
     "bigbugdata_spark.operators.events_season",
+    "bigbugdata_spark.streaming.freshness",
 )
 
 

@@ -121,3 +121,17 @@ def test_seasonality_profile_covers_clock(spark, sf_oracle):
     for r in rows:
         assert 1 <= r["dow"] <= 7 and 0 <= r["hod"] <= 23
         assert r["is_hot"] == int(2 * 168 * r["n_events"] > 3 * total)
+
+
+def test_stream_freshness_equals_batch_events_row(spark, sf_oracle):
+    """stream == batch for the live freshness monitor: the streaming
+    one-row card must equal the batch audit's events row exactly."""
+    batch = {
+        r["feed"]: (r["max_ts"], r["lag_hours"], r["is_stale"])
+        for r in SPECS["dq_freshness"].fn(spark, sf_oracle).collect()
+    }
+    rows = SPECS["dq_stream_freshness"].fn(spark, sf_oracle).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["max_ts"], r["lag_hours"], r["is_stale"]) == batch["events"]
+    assert r["is_stale"] == 0  # the fixture's events feed is fresh
