@@ -156,6 +156,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.dedup_curve",
     "bigbugdata_spark.operators.events_season",
     "bigbugdata_spark.streaming.freshness",
+    "bigbugdata_spark.operators.text_bpe_train",
 )
 
 

@@ -135,3 +135,57 @@ def test_stream_freshness_equals_batch_events_row(spark, sf_oracle):
     r = rows[0]
     assert (r["max_ts"], r["lag_hours"], r["is_stale"]) == batch["events"]
     assert r["is_stale"] == 0  # the fixture's events feed is fresh
+
+
+def test_bpe_train_equals_python_greedy_witness(spark, sf_oracle):
+    """The distributed trainer must match an independent textbook
+    greedy BPE (left-to-right merge application, count DESC + lexi
+    tie-break, self-pairs excluded) run driver-side over the same word
+    vocabulary — pinning both the per-round argmax AND the two-pass
+    replace application's equivalence to greedy merging on real text."""
+    import collections
+    import re
+
+    from bigbugdata_spark.operators.text_bpe_train import BPE_STEPS
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    freqs = collections.Counter()
+    for r in docs.select("text").collect():
+        for w in re.split(r"\s+", r["text"].strip().lower()):
+            if re.fullmatch(r"[a-z0-9]+", w):
+                freqs[w] += 1
+    vocab = {w: list(w) for w in freqs}
+
+    def greedy_merge(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    want = []
+    for step in range(BPE_STEPS):
+        counts = collections.Counter()
+        for w, syms in vocab.items():
+            f = freqs[w]
+            for x, y in zip(syms, syms[1:]):
+                if x != y:
+                    counts[(x, y)] += f
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((step, a, b, c))
+        vocab = {w: greedy_merge(s, a, b) for w, s in vocab.items()}
+
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in SPECS["text_bpe_train"].fn(spark, sf_oracle).collect()
+    ]
+    assert sorted(got) == sorted(want)
+    assert len(got) == BPE_STEPS
