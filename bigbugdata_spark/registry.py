@@ -157,6 +157,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.events_season",
     "bigbugdata_spark.streaming.freshness",
     "bigbugdata_spark.operators.text_bpe_train",
+    "bigbugdata_spark.operators.events_growth",
 )
 
 

@@ -189,3 +189,14 @@ def test_bpe_train_equals_python_greedy_witness(spark, sf_oracle):
     ]
     assert sorted(got) == sorted(want)
     assert len(got) == BPE_STEPS
+
+
+def test_growth_accounting_splits_and_conserves(spark, sf_oracle):
+    """n_active = n_new + n_returning per day; every user is new on
+    exactly one day; event counts conserve."""
+    rows = SPECS["evt_growth_accounting"].fn(spark, sf_oracle).collect()
+    ev = spark.read.parquet(f"{sf_oracle}/events.parquet")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    assert sum(r["n_new"] for r in rows) == ev.select("user_id").distinct().count()
+    for r in rows:
+        assert r["n_active"] == r["n_new"] + r["n_returning"]
