@@ -27,9 +27,7 @@ from bigbugdata_spark.catalog import table
 from bigbugdata_spark.registry import register
 
 
-@register(
-    "evt_seasonality_profile",
-    oracle="""
+SEASONALITY_ORACLE_SQL = """
         WITH cells AS (
             SELECT CAST(isodow(ts) AS BIGINT) AS dow,
                    CAST(hour(ts) AS BIGINT) AS hod,
@@ -43,18 +41,22 @@ from bigbugdata_spark.registry import register
                CAST(n_events * 1000 AS DOUBLE) / total AS share_pm,
                CAST(2 * 168 * n_events > 3 * total AS INT) AS is_hot
         FROM tot
-    """,
-    tags=("events", "agg"),
-)
-def evt_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per (ISO day-of-week, hour-of-day): event count, permille share,
-    and the exact-integer hot flag (cell > 1.5x the uniform 1/168
-    expectation)."""
-    ev = table(spark, sf_dir, "events")
-    cells = ev.groupBy(
+"""
+
+
+def season_cells(ev: DataFrame) -> DataFrame:
+    """(dow, hod) -> count — one map-side-combinable aggregate,
+    streaming-safe (shared with the live monitor in
+    streaming/seasonality.py)."""
+    return ev.groupBy(
         (F.weekday("ts") + 1).cast("long").alias("dow"),
         F.hour("ts").cast("long").alias("hod"),
     ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def finish_seasonality(cells: DataFrame) -> DataFrame:
+    """Shares + hot flags over the 168-cell frame (batch tail of both
+    the batch and streaming seasonality queries)."""
     from pyspark.sql import Window
 
     # 168-row frame: totals roll up in place (bounded, like dq_drift)
@@ -77,3 +79,15 @@ def evt_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_hot"),
     )
+
+
+@register(
+    "evt_seasonality_profile",
+    oracle=SEASONALITY_ORACLE_SQL,
+    tags=("events", "agg"),
+)
+def evt_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (ISO day-of-week, hour-of-day): event count, permille share,
+    and the exact-integer hot flag (cell > 1.5x the uniform 1/168
+    expectation)."""
+    return finish_seasonality(season_cells(table(spark, sf_dir, "events")))

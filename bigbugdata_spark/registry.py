@@ -158,6 +158,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.streaming.freshness",
     "bigbugdata_spark.operators.text_bpe_train",
     "bigbugdata_spark.operators.events_growth",
+    "bigbugdata_spark.streaming.seasonality",
 )
 
 

@@ -200,3 +200,15 @@ def test_growth_accounting_splits_and_conserves(spark, sf_oracle):
     assert sum(r["n_new"] for r in rows) == ev.select("user_id").distinct().count()
     for r in rows:
         assert r["n_active"] == r["n_new"] + r["n_returning"]
+
+
+def test_stream_seasonality_equals_batch(spark, sf_oracle):
+    """stream == batch for the live seasonality heatmap."""
+    def key(rows):
+        return sorted(
+            (r["dow"], r["hod"], r["n_events"], r["is_hot"]) for r in rows
+        )
+
+    batch = key(SPECS["evt_seasonality_profile"].fn(spark, sf_oracle).collect())
+    stream = key(SPECS["evt_stream_seasonality"].fn(spark, sf_oracle).collect())
+    assert stream == batch and len(batch) > 0
