@@ -159,6 +159,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.text_bpe_train",
     "bigbugdata_spark.operators.events_growth",
     "bigbugdata_spark.streaming.seasonality",
+    "bigbugdata_spark.operators.dedup_incr_lsh",
 )
 
 

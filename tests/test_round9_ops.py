@@ -212,3 +212,75 @@ def test_stream_seasonality_equals_batch(spark, sf_oracle):
     batch = key(SPECS["evt_seasonality_profile"].fn(spark, sf_oracle).collect())
     stream = key(SPECS["evt_stream_seasonality"].fn(spark, sf_oracle).collect())
     assert stream == batch and len(batch) > 0
+
+
+def test_incremental_lsh_equals_gram_path_and_plan(spark, sf_oracle):
+    """The band-index ingest path must produce the identical result
+    relation as the gram-index path (both are gated by the same
+    ground-truth oracle; this pins them against each other directly),
+    and its plan must shingle only the batch — exactly one documents
+    scan pruned to (doc_id, text)."""
+    from bigbugdata_spark.plans import inspect as I
+
+    rel = lambda df: {  # noqa: E731
+        (r["new_id"], r["match_id"], round(r["jaccard"], 12))
+        for r in df.collect()
+    }
+    lsh = SPECS["dedup_incremental_lsh"].fn(spark, sf_oracle)
+    gram = SPECS["dedup_incremental"].fn(spark, sf_oracle)
+    assert rel(lsh) == rel(gram) and rel(gram)
+    doc_scans = [
+        c for c in I.read_columns(lsh) if c == {"doc_id", "text"}
+    ]
+    assert len(doc_scans) == 1, "corpus must NOT be re-shingled"
+    assert "CartesianProduct" not in I.plan_string(lsh)
+
+
+def test_lsh_index_incremental_append_equals_rebuild(tmp_path, spark):
+    """Band-index maintenance: base build + batch append must equal a
+    from-scratch full build in both tables (bands as multisets, sets
+    keyed by doc)."""
+    from pyspark.sql import functions as F
+
+    from bigbugdata_spark.operators.dedup import _doc_shingles
+    from bigbugdata_spark.operators.dedup_incr import _corpus_fingerprint
+    from bigbugdata_spark.operators.dedup_incr_lsh import (
+        _index_names,
+        append_batch_to_lsh_index,
+        lsh_index,
+    )
+
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(12)), "en", "syn", 0)
+        for i in range(20)
+    ]
+    full_dir = tmp_path / "full"
+    base_dir = tmp_path / "base"
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.parquet(str(full_dir / "documents.parquet"))
+    batch_pred = F.col("doc_id") >= 15
+    docs.filter(~batch_pred).write.parquet(str(base_dir / "documents.parquet"))
+
+    bands_f, sets_f = lsh_index(spark, str(full_dir))
+    want_bands = sorted((r["doc_id"], r["bkey"]) for r in bands_f.collect())
+    want_sets = sorted(
+        (r["doc_id"], tuple(sorted(r["grams"]))) for r in sets_f.collect()
+    )
+
+    base_fp = _corpus_fingerprint(str(base_dir))
+    lsh_index(spark, str(base_dir))
+    append_batch_to_lsh_index(
+        spark, _doc_shingles(spark, str(full_dir)).filter(batch_pred), base_fp
+    )
+    band_name, set_name = _index_names(base_fp)
+    got_bands = sorted(
+        (r["doc_id"], r["bkey"]) for r in spark.table(band_name).collect()
+    )
+    got_sets = sorted(
+        (r["doc_id"], tuple(sorted(r["grams"])))
+        for r in spark.table(set_name).collect()
+    )
+    assert got_bands == want_bands
+    assert got_sets == want_sets
