@@ -160,6 +160,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.events_growth",
     "bigbugdata_spark.streaming.seasonality",
     "bigbugdata_spark.operators.dedup_incr_lsh",
+    "bigbugdata_spark.streaming.growth",
 )
 
 

@@ -40,7 +40,7 @@ def test_rows_only(spark, sf_oracle, name):
 # constants and empty-group edge cases the sf0.01 run can mask. It
 # doubles the parity suite's wall time, so it is opt-in:
 #     SPARK_GRAFT_PARITY_SF2=1 python -m pytest tests/test_oracle_parity.py
-# (Swept green for all oracles in round 8.)
+# (Swept green for all oracles in rounds 8 and 9.)
 import os
 
 _SF2 = "/root/testdata/sf0.001"

@@ -284,3 +284,18 @@ def test_lsh_index_incremental_append_equals_rebuild(tmp_path, spark):
     )
     assert got_bands == want_bands
     assert got_sets == want_sets
+
+
+def test_stream_new_users_equals_batch_growth_column(spark, sf_oracle):
+    """The stateful first-seen tracker's per-day counts must equal
+    evt_growth_accounting's n_new column exactly."""
+    batch = {
+        r["day"]: r["n_new"]
+        for r in SPECS["evt_growth_accounting"].fn(spark, sf_oracle).collect()
+        if r["n_new"] > 0
+    }
+    stream = {
+        r["day"]: r["n_new"]
+        for r in SPECS["evt_stream_new_users"].fn(spark, sf_oracle).collect()
+    }
+    assert stream == batch and batch
