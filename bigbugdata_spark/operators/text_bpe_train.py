@@ -180,3 +180,75 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step long, lhs string, rhs string, pair_count long"
     )
+
+
+_COMPRESSION_ORACLE_SQL = (
+    _TRAIN_ORACLE_SQL[: _TRAIN_ORACLE_SQL.rindex("SELECT CAST(step")]
+    + f"""SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(freq) AS BIGINT) AS n_tokens,
+        CAST(SUM(freq * length(word)) AS BIGINT) AS base_symbols,
+        CAST(SUM(freq * len(list_filter(string_split(s, {_SEP_SQL}),
+                                        x -> x != ''))) AS BIGINT)
+            AS merged_symbols,
+        CAST((SUM(freq * length(word))
+              - SUM(freq * len(list_filter(string_split(s, {_SEP_SQL}),
+                                           x -> x != '')))) * 1000
+             AS BIGINT) // SUM(freq * length(word)) AS saved_pm
+    FROM v{BPE_STEPS}
+    """
+)
+
+
+@register(
+    "text_bpe_compression",
+    oracle=_COMPRESSION_ORACLE_SQL,
+    tags=("text", "iterative", "agg"),
+)
+def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the learned merges BUY, measured on the training corpus:
+    distinct words, corpus token occurrences, symbol count before any
+    merge (= character count) and after BPE_STEPS merges, and the
+    integer-permille symbol saving.  Runs the identical training loop
+    and aggregates the FINAL vocabulary state — the oracle reuses the
+    trainer's unrolled rounds and aggregates its v{M} CTE, so the
+    applied merges (not just the chosen pairs) are hash-gated
+    corpus-wide.""".replace("{M}", str(BPE_STEPS))
+    vocab = _word_vocab(spark, sf_dir).localCheckpoint()
+    for _ in range(BPE_STEPS):
+        best = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        pat = F.lit(_SEP + a + _SEP + b + _SEP)
+        rep = F.lit(_SEP + a + b + _SEP)
+        vocab = vocab.withColumn(
+            "s", F.replace(F.replace(F.col("s"), pat, rep), pat, rep)
+        ).localCheckpoint()
+    n_syms = F.size(F.expr(f"filter(split(s, {_SEP_EXPR}), x -> x != '')"))
+    return vocab.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("freq").alias("n_tokens"),
+        F.sum(F.col("freq") * F.length("word")).alias("base_symbols"),
+        F.sum(F.col("freq") * n_syms).alias("merged_symbols"),
+        (
+            (
+                F.sum(F.col("freq") * F.length("word"))
+                - F.sum(F.col("freq") * n_syms)
+            )
+            * 1000
+        )
+        .cast("long")
+        .alias("_num"),
+    ).select(
+        "n_words",
+        "n_tokens",
+        "base_symbols",
+        "merged_symbols",
+        F.expr("_num div base_symbols").alias("saved_pm"),
+    )

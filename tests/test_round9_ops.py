@@ -299,3 +299,18 @@ def test_stream_new_users_equals_batch_growth_column(spark, sf_oracle):
         for r in SPECS["evt_stream_new_users"].fn(spark, sf_oracle).collect()
     }
     assert stream == batch and batch
+
+
+def test_bpe_compression_reduction_equals_merge_counts(spark, sf_oracle):
+    """Exact cross-query invariant: for distinct-symbol pairs,
+    occurrences of the chosen pair can never overlap each other, so
+    every occurrence is applied and each round removes exactly
+    pair_count symbols — base_symbols - merged_symbols must equal the
+    SUM of the trainer's pair counts."""
+    comp = SPECS["text_bpe_compression"].fn(spark, sf_oracle).collect()[0]
+    merges = SPECS["text_bpe_train"].fn(spark, sf_oracle).collect()
+    assert comp["base_symbols"] - comp["merged_symbols"] == sum(
+        r["pair_count"] for r in merges
+    )
+    assert 0 <= comp["saved_pm"] <= 1000
+    assert comp["n_words"] > 0 and comp["n_tokens"] >= comp["n_words"]
