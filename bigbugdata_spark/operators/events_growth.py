@@ -7,9 +7,10 @@ day-grain acquisition view.
 
 No analog in the reference (SURVEY §2.1); events extension surface.
 
-Scale posture: one events scan feeds BOTH the per-user first-day
-aggregate and the day roll-up (the orders_cohort_ltv shape); the join
-keys on user_id (the bucketed-layout key), day keys are date strings
+Scale posture: ONE events scan — the per-user first day is a MIN
+window over the user_id partition (the bucketed-layout key), not a
+self-join (the orders_cohort_ltv shape), so the plan is scan -> one
+user-keyed shuffle -> one day aggregate; day keys are date strings
 formatted identically in both engines, and counts are exact integers —
 no fp anywhere.  Output is days-sized.
 """
@@ -53,11 +54,16 @@ def evt_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     user split (new = the user's first-ever active day; a user active
     on their first day counts in n_new only — n_active = n_new +
     n_returning, pinned by test)."""
+    from pyspark.sql import Window
+
     ev = table(spark, sf_dir, "events").select(
         "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
     )
-    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
-    joined = ev.join(firsts, "user_id")
+    # first-ever day as a window over the user partition — one scan,
+    # one user-keyed shuffle, no self-join
+    joined = ev.withColumn(
+        "first_day", F.min("day").over(Window.partitionBy("user_id"))
+    )
     return joined.groupBy("day").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_active"),

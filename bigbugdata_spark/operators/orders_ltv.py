@@ -8,13 +8,13 @@ the cohort-analysis pair (activity + monetary).
 No analog in the reference (SURVEY §2.1); relational/analytics
 extension surface over the TPC-H-ish orders table.
 
-Scale posture: one orders scan feeds BOTH the per-customer first-order
-aggregate and the revenue roll-up; the join is keyed on o_custkey (the
-bucketed-layout key), cohort/offset arithmetic is pure integer month
-math (year*12+month — no fp, no interval semantics to disagree on),
-and the final aggregate's key space is bounded by months² — tiny
-whatever the corpus.  Revenue is exact cents (CENTS-style ROUND) so
-the hash compare is fp-free.
+Scale posture: ONE orders scan — the per-customer first-order month is
+a MIN window over the o_custkey partition (the bucketed-layout key),
+not a self-join, so the whole plan is scan -> one user-keyed shuffle
+-> one (cohort, offset) aggregate on a months²-bounded key space;
+cohort/offset arithmetic is pure integer month math (year*12+month —
+no fp, no interval semantics to disagree on).  Revenue is exact cents
+(CENTS-style ROUND) so the hash compare is fp-free.
 """
 
 from __future__ import annotations
@@ -62,20 +62,21 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     acquisition month by construction (every customer's first order
     lands there), which the unit test pins along with column-sum
     conservation against the raw table."""
-    orders = table(spark, sf_dir, "orders").select(
-        "o_custkey",
-        "o_orderdate",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
+    from pyspark.sql import Window
+
     midx = (
         F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
     ).cast("long")
-    firsts = (
-        orders.select("o_custkey", midx.alias("m"))
-        .groupBy("o_custkey")
-        .agg(F.min("m").alias("cohort_idx"))
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        midx.alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    tagged = orders.withColumn("m", midx).join(firsts, "o_custkey")
+    # first-order month as a window over the customer partition — one
+    # scan, one user-keyed shuffle, no self-join
+    tagged = orders.withColumn(
+        "cohort_idx", F.min("m").over(Window.partitionBy("o_custkey"))
+    )
     cohort_month = F.concat(
         F.lpad((F.col("cohort_idx") / 12).cast("long").cast("string"), 4, "0"),
         F.lit("-"),

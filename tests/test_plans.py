@@ -572,3 +572,18 @@ def test_unbounded_global_window_detector_positive_control(spark, sf):
         "rn", F.row_number().over(Window.orderBy("doc_id"))
     )
     assert I.unbounded_global_windows(bounded) == []
+
+
+def test_cohort_queries_single_scan_window_derivation(spark, sf):
+    """orders_cohort_ltv / evt_growth_accounting derive the per-entity
+    first period with a partition-keyed window, not a self-join: ONE
+    scan, no join operators, shuffle budget held."""
+    for name, budget in (
+        ("orders_cohort_ltv", 2),
+        ("evt_growth_accounting", 3),
+    ):
+        df = SPECS[name].fn(spark, sf)
+        assert len(I.scan_info(df)) == 1, name
+        assert I.join_kinds(df) == [], name
+        assert I.shuffle_count(df) <= budget, name
+        assert I.unbounded_global_windows(df) == [], name
