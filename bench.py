@@ -165,6 +165,22 @@ SCALE_PROBE_QUERIES = (
     # one plan): probing the composition catches a regression in any
     # fused stage even if the parts stay individually healthy.
     "pipe_release_manifest",
+    # round-9 additions: the cohort/growth pair is scan + one
+    # partition-window + bounded aggregate (linear); MAD is two
+    # per-group sorts (linear until a group outgrows a partition — the
+    # documented exact-quantile contract); seasonality is a 168-cell
+    # map aggregate; the LSH ingest path is the band-index twin of
+    # dedup_incremental (replica token tagging keeps bands disjoint ->
+    # per-replica candidates, linear; index build outside the timer;
+    # the batch-side 64-component MinHash signatures dominate its warm
+    # cost and grow with the batch, so expect its ratio near the
+    # incremental family's 2.5-3 ceiling — sub-linear wall, less
+    # overhead headroom than scan-shaped plans).
+    "orders_cohort_ltv",
+    "evt_growth_accounting",
+    "evt_anomaly_mad",
+    "evt_seasonality_profile",
+    "dedup_incremental_lsh",
 )
 # EMBEDDING-PAIR queries must stay out of the probe: vectors replicate
 # verbatim (key offset only — there is no text-tag analog for float
