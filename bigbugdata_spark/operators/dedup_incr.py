@@ -25,6 +25,44 @@ from bigbugdata_spark.registry import register
 #: local core count; at 100 TB this scales with the executor fleet.
 INDEX_BUCKETS = 16
 
+#: explicit external-table root for every persisted index — independent
+#: of the running session's warehouse config, so the index never lands
+#: in a ./spark-warehouse inside the working tree (the round driver
+#: runs these queries under its own session settings).
+INDEX_ROOT = "/tmp/bigbugdata-warehouse"
+
+
+def index_path(name: str) -> str:
+    return f"{INDEX_ROOT}/{name}"
+
+
+def attach_index_tables(
+    spark: SparkSession, specs: tuple[tuple[str, str, str], ...]
+) -> bool:
+    """ATTACH an existing on-disk index generation to this session's
+    catalog instead of rebuilding it (the in-memory catalog is
+    per-session, but the external-table files persist and are keyed by
+    content fingerprint, so a fresh session can adopt them): CREATE the
+    bucketed external tables over the existing locations via DDL —
+    CLUSTERED BY must be declared in DDL, the DataFrame createTable API
+    cannot express it.  specs = ((table_name, "col TYPE, ...", bucket_col),
+    ...); returns False (no attach) unless EVERY location holds a
+    completed write (_SUCCESS)."""
+    from pathlib import Path
+
+    if not all(
+        (Path(index_path(n)) / "_SUCCESS").exists() for n, _, _ in specs
+    ):
+        return False
+    for name, schema, key in specs:
+        spark.sql(
+            f"CREATE TABLE {name} ({schema}) USING parquet "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+            f"INTO {INDEX_BUCKETS} BUCKETS "
+            f"LOCATION '{index_path(name)}'"
+        )
+    return True
+
 # deterministic affine-hash "today's batch" predicate (~10% of docs);
 # distinct constants from the split/mix/seed hashes so the slice does
 # not correlate with any other assignment
@@ -91,42 +129,73 @@ def gram_index(
     fp = _corpus_fingerprint(sf_dir)
     idx_name, sz_name, df_name = _index_names(fp)
     if not spark.catalog.tableExists(idx_name):
+        import shutil
+        from pathlib import Path
+
         from bigbugdata_spark.operators.dedup import _doc_shingles
         from bigbugdata_spark.sources.bucketed import write_bucketed
 
+        # old-generation cleanup is FILESYSTEM-based: the in-memory
+        # catalog is per-session, so stale generations from dead
+        # sessions never appear in listTables — sweep the index root
+        # for same-prefix directories with a different fingerprint
+        # (and drop any same-session catalog entries that point there)
         for t in spark.catalog.listTables():
             if (
                 t.name.startswith(("gram_idx_", "gram_sz_", "gram_df_"))
                 and not t.name.endswith(fp)
             ):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
-        # a table directory may survive from another session whose
-        # metastore this process can't see (managed-table location
-        # conflict) — stale by definition, remove before re-creating
-        import shutil
-        from pathlib import Path
-
-        wh = Path(
-            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-        )
+        root = Path(INDEX_ROOT)
+        if root.is_dir():
+            for d in root.iterdir():
+                if (
+                    d.name.startswith(("gram_idx_", "gram_sz_", "gram_df_"))
+                    and not d.name.endswith(fp)
+                ):
+                    shutil.rmtree(d, ignore_errors=True)
+        # a completed same-fingerprint generation from another session
+        # is ADOPTED, not rebuilt — the restart-survival half of the
+        # amortization story
+        if attach_index_tables(
+            spark,
+            (
+                (idx_name, "doc_id BIGINT, g BIGINT", "g"),
+                (sz_name, "doc_id BIGINT, sz BIGINT", "doc_id"),
+                (df_name, "g BIGINT, df_part BIGINT", "g"),
+            ),
+        ):
+            return (
+                spark.table(idx_name),
+                spark.table(sz_name),
+                spark.table(df_name),
+            )
+        # otherwise an INCOMPLETE directory may survive from a dead
+        # session (external-table location conflict) — stale by
+        # definition, remove before re-creating
         for name in _index_names(fp):
-            loc = wh / name
+            loc = Path(index_path(name))
             if loc.exists():
                 shutil.rmtree(loc, ignore_errors=True)
         sh = _doc_shingles(spark, sf_dir)
         grams = pin(sh.select("doc_id", F.explode("grams").alias("g")))
-        write_bucketed(grams, idx_name, "g", n_buckets=INDEX_BUCKETS)
+        write_bucketed(
+            grams, idx_name, "g", n_buckets=INDEX_BUCKETS,
+            path=index_path(idx_name),
+        )
         write_bucketed(
             grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz")),
             sz_name,
             "doc_id",
             n_buckets=INDEX_BUCKETS,
+            path=index_path(sz_name),
         )
         write_bucketed(
             grams.groupBy("g").agg(F.count(F.lit(1)).alias("df_part")),
             df_name,
             "g",
             n_buckets=INDEX_BUCKETS,
+            path=index_path(df_name),
         )
         grams.unpersist(blocking=False)
     return (
@@ -154,6 +223,7 @@ def append_batch_to_index(
             df.write.format("parquet")
             .bucketBy(INDEX_BUCKETS, key)
             .sortBy(key)
+            .option("path", index_path(name))
             .mode("append")
             .saveAsTable(name)
         )

@@ -33,6 +33,9 @@ from bigbugdata_spark.operators.dedup_incr import (
     _corpus_fingerprint,
     _incoming_col,
     INDEX_BUCKETS,
+    INDEX_ROOT,
+    attach_index_tables,
+    index_path,
 )
 from bigbugdata_spark.registry import register
 
@@ -114,24 +117,46 @@ def lsh_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         from bigbugdata_spark.operators.dedup import _doc_shingles
         from bigbugdata_spark.sources.bucketed import write_bucketed
 
+        # old-generation cleanup is FILESYSTEM-based: the in-memory
+        # catalog is per-session, so stale generations from dead
+        # sessions never appear in listTables — sweep the index root
+        # for same-prefix directories with a different fingerprint
+        # (and drop any same-session catalog entries that point there)
         for t in spark.catalog.listTables():
             if (
                 t.name.startswith(("lsh_band_", "lsh_set_"))
                 and not t.name.endswith(fp)
             ):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
-        wh = Path(
-            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-        )
+        root = Path(INDEX_ROOT)
+        if root.is_dir():
+            for d in root.iterdir():
+                if (
+                    d.name.startswith(("lsh_band_", "lsh_set_"))
+                    and not d.name.endswith(fp)
+                ):
+                    shutil.rmtree(d, ignore_errors=True)
+        if attach_index_tables(
+            spark,
+            (
+                (band_name, "doc_id BIGINT, bkey STRING", "bkey"),
+                (set_name, "doc_id BIGINT, grams ARRAY<BIGINT>", "doc_id"),
+            ),
+        ):
+            return spark.table(band_name), spark.table(set_name)
         for name in _index_names(fp):
-            loc = wh / name
+            loc = Path(index_path(name))
             if loc.exists():
                 shutil.rmtree(loc, ignore_errors=True)
         sh = pin(_doc_shingles(spark, sf_dir))
         write_bucketed(
-            _band_frame(sh), band_name, "bkey", n_buckets=INDEX_BUCKETS
+            _band_frame(sh), band_name, "bkey", n_buckets=INDEX_BUCKETS,
+            path=index_path(band_name),
         )
-        write_bucketed(sh, set_name, "doc_id", n_buckets=INDEX_BUCKETS)
+        write_bucketed(
+            sh, set_name, "doc_id", n_buckets=INDEX_BUCKETS,
+            path=index_path(set_name),
+        )
         sh.unpersist(blocking=False)
     return spark.table(band_name), spark.table(set_name)
 
@@ -149,6 +174,7 @@ def append_batch_to_lsh_index(
             df.write.format("parquet")
             .bucketBy(INDEX_BUCKETS, key)
             .sortBy(key)
+            .option("path", index_path(name))
             .mode("append")
             .saveAsTable(name)
         )

@@ -18,16 +18,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def write_bucketed(
-    df: DataFrame, name: str, key: str, n_buckets: int = 8
+    df: DataFrame, name: str, key: str, n_buckets: int = 8,
+    path: str | None = None,
 ) -> None:
-    """Persist as a bucketed+sorted catalog table (parquet)."""
-    (
+    """Persist as a bucketed+sorted catalog table (parquet).  With
+    `path` the table is EXTERNAL at that location — callers that must
+    not depend on the session's warehouse dir (the persisted dedup
+    indexes, which also run under the round driver's own session
+    config) pass an explicit /tmp location so no spark-warehouse
+    directory ever appears in the working tree."""
+    w = (
         df.write.format("parquet")
         .bucketBy(n_buckets, key)
         .sortBy(key)
         .mode("overwrite")
-        .saveAsTable(name)
     )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(name)
 
 
 def bucketed(spark: SparkSession, name: str) -> DataFrame:

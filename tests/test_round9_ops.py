@@ -314,3 +314,38 @@ def test_bpe_compression_reduction_equals_merge_counts(spark, sf_oracle):
     )
     assert 0 <= comp["saved_pm"] <= 1000
     assert comp["n_words"] > 0 and comp["n_tokens"] >= comp["n_words"]
+
+
+def test_gram_index_survives_session_restart_via_attach(spark, sf_oracle):
+    """A fresh session (simulated by dropping this session's catalog
+    entries — the external files persist) must ADOPT the completed
+    on-disk generation instead of rebuilding: same results, and the
+    data files' mtimes do not change."""
+    from pathlib import Path
+
+    from bigbugdata_spark.operators.dedup_incr import (
+        _corpus_fingerprint,
+        _index_names,
+        gram_index,
+        index_path,
+    )
+
+    gram_index(spark, sf_oracle)  # ensure built
+    fp = _corpus_fingerprint(sf_oracle)
+    names = _index_names(fp)
+    before = {
+        f: f.stat().st_mtime_ns
+        for n in names
+        for f in Path(index_path(n)).glob("*.parquet")
+    }
+    assert before
+    for n in names:
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+    idx, sizes, gdf = gram_index(spark, sf_oracle)
+    assert idx.count() > 0 and sizes.count() > 0 and gdf.count() > 0
+    after = {
+        f: f.stat().st_mtime_ns
+        for n in names
+        for f in Path(index_path(n)).glob("*.parquet")
+    }
+    assert after == before, "attach must not rewrite the index files"
