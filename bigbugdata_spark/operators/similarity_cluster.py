@@ -19,8 +19,9 @@ recursive CTE provably agree.
 
 Scale posture: the mutual filter is a self-join of the edge list on
 the reversed key (edge-list-sized); components are the shared
-min-label propagation (per round one id-keyed join, O(diameter)
-rounds); the roll-ups aggregate component-count-sized frames.
+large-star/small-star contraction (functions/graph.py — O(log n)
+alternations since r9, each two keyed join+min-agg pairs); the
+roll-ups aggregate component-count-sized frames.
 
 What the fixture shows (and why it is the right answer): this corpus'
 embeddings are geometrically unstructured — same-label and

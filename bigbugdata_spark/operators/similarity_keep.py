@@ -1,0 +1,99 @@
+"""Semantic-level dedup keep decisions (round 9) — the embedding-space
+sibling of dedup_cluster_keep: one row per vector with its mutual-kNN
+component, the component size, and the keep flag (the component's
+minimum vec_id is the kept representative).  This is the decision
+table a semantic dedup actually applies — "keep one exemplar per
+semantic cluster" — completing the dedup ladder: exact -> n-gram ->
+MinHash -> SimHash -> embedding-cosine -> SEMANTIC-COMPONENT.
+
+Why the purity gate matters (and what the fixture shows): on this
+corpus the encoder-collapse alarm fires (sim_semantic_clusters' giant
+~483-vector component at chance purity), so the keep rule would drop
+almost everything — which is exactly why pipe-building practice puts
+dq_emb_coverage + the purity diagnostic IN FRONT of semantic dedup;
+the unit test pins that drop behavior rather than hiding it.
+
+No analog in the reference (SURVEY §2.1); similarity/dedup extension
+surface composing sim_knn_graph + functions/graph.py.
+
+Oracle contract: the recursive-CTE chain of sim_semantic_clusters up
+through the component fixpoint, then the keep rule in SQL — both
+engines derive the identical decision table independently.
+
+Scale posture: identical to sim_semantic_clusters (edge-list-sized
+mutual filter, O(log n) star-contraction rounds) plus one
+component-keyed count join; output is corpus-sized but 3 skinny
+integer columns + a flag.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigbugdata_spark.catalog import table
+from bigbugdata_spark.functions.graph import connected_components
+from bigbugdata_spark.operators.similarity_knn import _KNN_SQL
+from bigbugdata_spark.registry import register
+
+_KEEP_SQL = f"""
+    WITH RECURSIVE knn AS ({_KNN_SQL}),
+    mutual AS (
+        SELECT k1.src AS a, k1.dst AS b
+        FROM knn k1 JOIN knn k2 ON k1.src = k2.dst AND k1.dst = k2.src
+        WHERE k1.src < k1.dst
+    ),
+    edges AS (
+        SELECT a, b FROM mutual UNION SELECT b, a FROM mutual
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+        SELECT e.vec_id,
+               CAST(LEAST(e.vec_id, COALESCE(MIN(r.b), e.vec_id)) AS BIGINT)
+                   AS component
+        FROM embeddings e LEFT JOIN reach r ON e.vec_id = r.a
+        GROUP BY e.vec_id
+    ),
+    sizes AS (
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM comp GROUP BY component
+    )
+    SELECT c.vec_id, c.component, s.cluster_size,
+           CAST(c.vec_id = c.component AS INT) AS keep
+    FROM comp c JOIN sizes s ON c.component = s.component
+"""
+
+
+@register(
+    "sim_semantic_keep",
+    oracle=_KEEP_SQL,
+    tags=("similarity", "dedup", "graph", "iterative"),
+)
+def sim_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, component, cluster_size, keep): keep = 1 iff the vector
+    IS its component's minimum id — exactly one exemplar survives per
+    mutual-kNN semantic cluster; singletons keep themselves."""
+    from bigbugdata_spark.operators.similarity_knn import sim_knn_graph
+
+    knn = sim_knn_graph(spark, sf_dir).select("src", "dst")
+    rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = (
+        knn.join(rev, ["src", "dst"])
+        .where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    )
+    emb = table(spark, sf_dir, "embeddings").select("vec_id")
+    comp = connected_components(emb, mutual, id_col="vec_id")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        F.col("id").alias("vec_id"),
+        "component",
+        "cluster_size",
+        (F.col("id") == F.col("component")).cast("int").alias("keep"),
+    )

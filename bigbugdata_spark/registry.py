@@ -161,6 +161,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.streaming.seasonality",
     "bigbugdata_spark.operators.dedup_incr_lsh",
     "bigbugdata_spark.streaming.growth",
+    "bigbugdata_spark.operators.similarity_keep",
 )
 
 

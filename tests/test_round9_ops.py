@@ -349,3 +349,25 @@ def test_gram_index_survives_session_restart_via_attach(spark, sf_oracle):
         for f in Path(index_path(n)).glob("*.parquet")
     }
     assert after == before, "attach must not rewrite the index files"
+
+
+def test_semantic_keep_one_exemplar_per_cluster(spark, sf_oracle):
+    """Exactly one keeper per component (its min id); sizes conserve;
+    on this encoder-collapsed fixture the keep rule drops almost
+    everything — pinned, because that drop IS the reason the purity
+    diagnostic gates semantic dedup."""
+    rows = SPECS["sim_semantic_keep"].fn(spark, sf_oracle).collect()
+    n_vecs = spark.read.parquet(f"{sf_oracle}/embeddings.parquet").count()
+    assert len(rows) == n_vecs
+    comps = {}
+    for r in rows:
+        comps.setdefault(r["component"], []).append(r)
+    clusters = SPECS["sim_semantic_clusters"].fn(spark, sf_oracle).collect()
+    assert len(comps) == len(clusters)
+    for comp, members in comps.items():
+        keepers = [r for r in members if r["keep"] == 1]
+        assert len(keepers) == 1
+        assert keepers[0]["vec_id"] == comp == min(r["vec_id"] for r in members)
+        assert all(r["cluster_size"] == len(members) for r in members)
+    # encoder-collapse drop behavior: most vectors are dropped
+    assert sum(r["keep"] for r in rows) < n_vecs * 0.2
