@@ -162,6 +162,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.dedup_incr_lsh",
     "bigbugdata_spark.streaming.growth",
     "bigbugdata_spark.operators.similarity_keep",
+    "bigbugdata_spark.operators.orders_conc",
 )
 
 

@@ -371,3 +371,25 @@ def test_semantic_keep_one_exemplar_per_cluster(spark, sf_oracle):
         assert all(r["cluster_size"] == len(members) for r in members)
     # encoder-collapse drop behavior: most vectors are dropped
     assert sum(r["keep"] for r in rows) < n_vecs * 0.2
+
+
+def test_revenue_concentration_bounds(spark, sf_oracle):
+    """Top share bounded by (top-k/n, 1000] permille; totals conserve
+    against the raw table; the plan takes top-k (no global sort)."""
+    from pyspark.sql import functions as F
+
+    from bigbugdata_spark.operators.orders_conc import TOP_CUSTOMERS
+    from bigbugdata_spark.plans import inspect as I
+
+    df = SPECS["orders_revenue_concentration"].fn(spark, sf_oracle)
+    r = df.collect()[0]
+    orders = spark.read.parquet(f"{sf_oracle}/orders.parquet")
+    want = orders.select(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+    ).first()[0]
+    assert r["total_cents"] == want
+    assert 0 < r["top_cents"] <= r["total_cents"]
+    # top-k mean >= overall mean -> share_pm >= 1000*k/n (floor slack 1)
+    assert r["share_pm"] >= 1000 * TOP_CUSTOMERS // r["n_customers"] - 1
+    assert "TakeOrderedAndProject" in I.plan_string(df, "simple")
+    assert I.unbounded_global_windows(df) == []
