@@ -168,14 +168,16 @@ SCALE_PROBE_QUERIES = (
     # round-9 additions: the cohort/growth pair is scan + one
     # partition-window + bounded aggregate (linear); MAD is two
     # per-group sorts (linear until a group outgrows a partition — the
-    # documented exact-quantile contract); seasonality is a 168-cell
-    # map aggregate; the LSH ingest path is the band-index twin of
-    # dedup_incremental (replica token tagging keeps bands disjoint ->
-    # per-replica candidates, linear; index build outside the timer;
-    # the batch-side 64-component MinHash signatures dominate its warm
-    # cost and grow with the batch, so expect its ratio near the
-    # incremental family's 2.5-3 ceiling — sub-linear wall, less
-    # overhead headroom than scan-shaped plans).
+    # documented exact-quantile contract; sort-heavy, so its ratio
+    # rides JVM-throughput drift harder than scan-shaped plans);
+    # seasonality is a 168-cell map aggregate; the LSH ingest path is
+    # the band-index twin of dedup_incremental (replica token tagging
+    # keeps bands disjoint -> per-replica candidates, linear; index
+    # build outside the timer). CAVEAT on the LSH row: its warm base is
+    # sub-second (attach + batch signatures + probe), so the ratio is
+    # the noisiest in the table (measured 2.9-4.4 across clean runs
+    # while x10 wall stayed ~1.1 s); the honest claim is linear work in
+    # the batch, read the absolute x10 wall, not the ratio.
     "orders_cohort_ltv",
     "evt_growth_accounting",
     "evt_anomaly_mad",
