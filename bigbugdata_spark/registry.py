@@ -76,10 +76,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # in tests/test_oracle_parity.py (and at a second scale factor under
 # SPARK_GRAFT_PARITY_SF2).
 #
-# Round-10 rotation plan: streaming.features (1) + any r9-new
-# queries in registration order, after the 26 permanent slots; then
-# backfill with the stalest driver verdicts (r5-era events/windows/
-# joins/stateful/corpus/dedup).
+# Round-10 rotation plan: after the 26 permanent slots,
+# streaming.features (1, the r8 leftover) + the 16 r9-new queries in
+# registration order (zorder_audit, asset_audit, orders_ltv,
+# events_mad, dedup_curve, events_season, streaming.freshness,
+# text_bpe_train [2 queries], events_growth, streaming.seasonality,
+# dedup_incr_lsh, streaming.growth, similarity_keep, orders_conc —
+# single-query modules throughout, so no neighbor-dragging) = 43;
+# backfill the last 7 slots with the stalest driver verdicts (r5-era
+# events/windows/joins/stateful/corpus/dedup, split as needed).
 # Never rotate out: the 20 §2 ops, the 5 audit twins, audit_pq_recall,
 # or any query whose newest fix lacks a driver verdict.
 _QUERY_MODULES = (

@@ -84,6 +84,82 @@ def with_morton(
     )
 
 
+def morton_key_n(cols: list[Column], bits: int) -> Column:
+    """N-column Morton interleave: bit i of column j lands at
+    i*len(cols) + j — the round-robin generalization of morton_key
+    (round 9).  Pure JVM bit arithmetic; callers pick `bits` so
+    bits*len(cols) <= 62 keeps the key in a BIGINT."""
+    n = len(cols)
+    terms = []
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j
+                )
+            )
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+def with_morton_n(
+    df: DataFrame, cols: list[str], key_col: str = "_z"
+) -> Column:
+    """Add the N-column Morton key, range-normalizing every column from
+    its observed min/max (one tiny aggregate broadcast back).  Bit
+    budget splits the 62-bit BIGINT across the columns:
+    bits = min(MORTON_BITS, 62 // n) — 16/16/20-bit precision at
+    n = 2/3/4... is plenty for a LAYOUT key (finer bits only reorder
+    within already-adjacent rows)."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("with_morton_n needs at least two columns")
+    bits = min(MORTON_BITS, 62 // n)
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).cast("long").alias(f"_{c}_lo"))
+        aggs.append(F.max(c).cast("long").alias(f"_{c}_hi"))
+    bounds = df.agg(*aggs)
+    widened = df.crossJoin(F.broadcast(bounds))
+    top = F.lit((1 << bits) - 1)
+    normed = []
+    for c in cols:
+        lo = F.col(f"_{c}_lo").cast("double")
+        hi = F.col(f"_{c}_hi").cast("double")
+        span = F.greatest(hi - lo, F.lit(1.0))
+        scaled = ((F.col(c).cast("double") - lo) * top.cast("double")) / span
+        normed.append(
+            F.least(
+                F.greatest(F.floor(scaled).cast("long"), F.lit(0)), top
+            )
+        )
+    drop = [f"_{c}_{side}" for c in cols for side in ("lo", "hi")]
+    return widened.withColumn(key_col, morton_key_n(normed, bits)).drop(
+        *drop
+    )
+
+
+def write_zordered_n(
+    df: DataFrame,
+    out_dir: str,
+    cols: list[str],
+    n_files: int = 4,
+    writer_options: dict | None = None,
+) -> None:
+    """Z-ORDER BY (c1, ..., cN) write — the N-column generalization of
+    write_zordered: range-partition on the interleaved key (contiguous
+    z-range per file), sort within tasks, drop the key."""
+    keyed = with_morton_n(df, cols)
+    out = (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    writer = out.write.mode("overwrite")
+    for k, v in (writer_options or {}).items():
+        writer = writer.option(k, v)
+    writer.parquet(out_dir)
+
+
 def write_zordered(
     df: DataFrame,
     out_dir: str,
