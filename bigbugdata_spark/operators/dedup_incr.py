@@ -7,6 +7,12 @@ shared oracle fragments (JACCARD_T, CLUSTER_KEEP_SQL) come from the
 non-registering functions/fragments.py, and the Spark-side sub-plans
 are deferred imports from dedup.py resolved after load_all completes.
 
+Round 10: the index plumbing shared with the LSH twin (root, buckets,
+fingerprints, attach, sweeps, the batch predicate) lives in the
+non-registering operators/dedup_incr_core.py so dedup_incr_lsh can
+hold an in-cap slot without dragging this module's registrations;
+the symbols are re-exported here for existing imports.
+
 No analog in the reference (SURVEY §2.1); LLM-pipeline extension
 surface.
 """
@@ -19,81 +25,25 @@ from pyspark.sql import functions as F
 from bigbugdata_spark.caching import pin
 from bigbugdata_spark.functions import hashing as H
 from bigbugdata_spark.functions.fragments import CLUSTER_KEEP_SQL, JACCARD_T
-from bigbugdata_spark.registry import register
-
-#: bucket count for the persisted gram index tables — a multiple of the
-#: local core count; at 100 TB this scales with the executor fleet.
-INDEX_BUCKETS = 16
-
-#: explicit external-table root for every persisted index — independent
-#: of the running session's warehouse config, so the index never lands
-#: in a ./spark-warehouse inside the working tree (the round driver
-#: runs these queries under its own session settings).
-INDEX_ROOT = "/tmp/bigbugdata-warehouse"
-
-
-def index_path(name: str) -> str:
-    return f"{INDEX_ROOT}/{name}"
-
-
-def attach_index_tables(
-    spark: SparkSession, specs: tuple[tuple[str, str, str], ...]
-) -> bool:
-    """ATTACH an existing on-disk index generation to this session's
-    catalog instead of rebuilding it (the in-memory catalog is
-    per-session, but the external-table files persist and are keyed by
-    content fingerprint, so a fresh session can adopt them): CREATE the
-    bucketed external tables over the existing locations via DDL —
-    CLUSTERED BY must be declared in DDL, the DataFrame createTable API
-    cannot express it.  specs = ((table_name, "col TYPE, ...", bucket_col),
-    ...); returns False (no attach) unless EVERY location holds a
-    completed write (_SUCCESS)."""
-    from pathlib import Path
-
-    if not all(
-        (Path(index_path(n)) / "_SUCCESS").exists() for n, _, _ in specs
-    ):
-        return False
-    for name, schema, key in specs:
-        spark.sql(
-            f"CREATE TABLE {name} ({schema}) USING parquet "
-            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-            f"INTO {INDEX_BUCKETS} BUCKETS "
-            f"LOCATION '{index_path(name)}'"
-        )
-    return True
-
-# deterministic affine-hash "today's batch" predicate (~10% of docs);
-# distinct constants from the split/mix/seed hashes so the slice does
-# not correlate with any other assignment
-_INC_A, _INC_B, _INC_P, _INC_MOD, _INC_REM = 94_651, 10_399, 1_000_000_007, 10, 3
-_INC_PRED_SQL = (
-    f"((doc_id * {_INC_A} + {_INC_B}) % {_INC_P}) % {_INC_MOD} = {_INC_REM}"
+from bigbugdata_spark.operators.dedup_incr_core import (  # noqa: F401
+    _INC_A,
+    _INC_B,
+    _INC_MOD,
+    _INC_P,
+    _INC_PRED_SQL,
+    _INC_REM,
+    INDEX_BUCKETS,
+    INDEX_ROOT,
+    _corpus_fingerprint,
+    _incoming_col,
+    append_bucketed,
+    attach_index_tables,
+    ensure_index_root,
+    index_path,
+    remove_incomplete_locations,
+    sweep_stale_generations,
 )
-
-
-def _incoming_col():
-    return (
-        (F.col("doc_id") * _INC_A + _INC_B) % _INC_P % _INC_MOD == _INC_REM
-    )
-
-
-def _corpus_fingerprint(sf_dir: str) -> str:
-    """Content digest of documents.parquet (file sizes + mtimes + the
-    absolute path) — the persisted gram index is keyed by CONTENT so a
-    regenerated corpus (or a different scale factor at the same path)
-    never serves a stale index."""
-    import hashlib
-    from pathlib import Path
-
-    p = Path(sf_dir) / "documents.parquet"
-    h = hashlib.sha256(str(p.resolve()).encode())
-    files = sorted(p.rglob("*")) if p.is_dir() else [p]
-    for f in files:
-        if f.is_file():
-            st = f.stat()
-            h.update(f"{f.name}:{st.st_size}:{st.st_mtime_ns};".encode())
-    return h.hexdigest()[:16]
+from bigbugdata_spark.registry import register
 
 
 def _index_names(fp: str) -> tuple[str, str, str]:
@@ -125,35 +75,18 @@ def gram_index(
     BATCH.  append_batch_to_index is the maintenance path: after a
     batch is admitted its grams append into the same bucket layout
     (proven equal to a from-scratch rebuild by test).  Old-fingerprint
-    index generations are dropped at build time."""
+    SAME-CORPUS index generations are swept at build time (scoped by
+    the fingerprint's path component — see dedup_incr_core)."""
     fp = _corpus_fingerprint(sf_dir)
     idx_name, sz_name, df_name = _index_names(fp)
     if not spark.catalog.tableExists(idx_name):
-        import shutil
-        from pathlib import Path
-
         from bigbugdata_spark.operators.dedup import _doc_shingles
         from bigbugdata_spark.sources.bucketed import write_bucketed
 
-        # old-generation cleanup is FILESYSTEM-based: the in-memory
-        # catalog is per-session, so stale generations from dead
-        # sessions never appear in listTables — sweep the index root
-        # for same-prefix directories with a different fingerprint
-        # (and drop any same-session catalog entries that point there)
-        for t in spark.catalog.listTables():
-            if (
-                t.name.startswith(("gram_idx_", "gram_sz_", "gram_df_"))
-                and not t.name.endswith(fp)
-            ):
-                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
-        root = Path(INDEX_ROOT)
-        if root.is_dir():
-            for d in root.iterdir():
-                if (
-                    d.name.startswith(("gram_idx_", "gram_sz_", "gram_df_"))
-                    and not d.name.endswith(fp)
-                ):
-                    shutil.rmtree(d, ignore_errors=True)
+        ensure_index_root()
+        sweep_stale_generations(
+            spark, ("gram_idx_", "gram_sz_", "gram_df_"), fp
+        )
         # a completed same-fingerprint generation from another session
         # is ADOPTED, not rebuilt — the restart-survival half of the
         # amortization story
@@ -170,13 +103,7 @@ def gram_index(
                 spark.table(sz_name),
                 spark.table(df_name),
             )
-        # otherwise an INCOMPLETE directory may survive from a dead
-        # session (external-table location conflict) — stale by
-        # definition, remove before re-creating
-        for name in _index_names(fp):
-            loc = Path(index_path(name))
-            if loc.exists():
-                shutil.rmtree(loc, ignore_errors=True)
+        remove_incomplete_locations(_index_names(fp))
         sh = _doc_shingles(spark, sf_dir)
         grams = pin(sh.select("doc_id", F.explode("grams").alias("g")))
         write_bucketed(
@@ -217,25 +144,14 @@ def append_batch_to_index(
     existing row is ever rewritten.  `batch_grams` is (doc_id, g) for
     the batch's documents only."""
     idx_name, sz_name, df_name = _index_names(fp)
-
-    def _append(df: DataFrame, name: str, key: str) -> None:
-        (
-            df.write.format("parquet")
-            .bucketBy(INDEX_BUCKETS, key)
-            .sortBy(key)
-            .option("path", index_path(name))
-            .mode("append")
-            .saveAsTable(name)
-        )
-
     batch_grams = pin(batch_grams)
-    _append(batch_grams, idx_name, "g")
-    _append(
+    append_bucketed(batch_grams, idx_name, "g")
+    append_bucketed(
         batch_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz")),
         sz_name,
         "doc_id",
     )
-    _append(
+    append_bucketed(
         batch_grams.groupBy("g").agg(F.count(F.lit(1)).alias("df_part")),
         df_name,
         "g",

@@ -1,0 +1,184 @@
+"""Shared, NON-REGISTERING core of the two persisted incremental-dedup
+index paths (operators/dedup_incr.py's gram index and
+operators/dedup_incr_lsh.py's LSH band index) — split out in round 10
+so dedup_incr_lsh can sit inside the driver's ~50-entry correctness cap
+without dragging dedup_incr's two freshly-green queries back in (the
+scd_core.py treatment; see registry.py's rotation comment).
+
+Also hardens the index root per the round-9 advisory: the root is
+per-user (not the world-shared /tmp/bigbugdata-warehouse), created
+0o700, and generation sweeps are scoped to the CURRENT corpus path —
+an index built by another session for a different sf_dir is never
+deleted mid-query, and a different user's directory is never adopted.
+
+No analog in the reference (SURVEY §2.1); LLM-pipeline extension
+surface.
+"""
+
+from __future__ import annotations
+
+import getpass
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: bucket count for the persisted index tables — a multiple of the
+#: local core count; at 100 TB this scales with the executor fleet.
+INDEX_BUCKETS = 16
+
+#: explicit external-table root for every persisted index — independent
+#: of the running session's warehouse config, so the index never lands
+#: in a ./spark-warehouse inside the working tree (the round driver
+#: runs these queries under its own session settings).  PER-USER
+#: (advisory r9): a world-shared fixed path lets a concurrent session
+#: plant or delete a generation; scoping by user + 0o700 closes both.
+INDEX_ROOT = os.path.join(
+    tempfile.gettempdir(), f"bigbugdata-warehouse-{getpass.getuser()}"
+)
+
+
+def ensure_index_root() -> None:
+    os.makedirs(INDEX_ROOT, mode=0o700, exist_ok=True)
+
+
+def index_path(name: str) -> str:
+    return f"{INDEX_ROOT}/{name}"
+
+
+def attach_index_tables(
+    spark: SparkSession, specs: tuple[tuple[str, str, str], ...]
+) -> bool:
+    """ATTACH an existing on-disk index generation to this session's
+    catalog instead of rebuilding it (the in-memory catalog is
+    per-session, but the external-table files persist and are keyed by
+    content fingerprint, so a fresh session can adopt them): CREATE the
+    bucketed external tables over the existing locations via DDL —
+    CLUSTERED BY must be declared in DDL, the DataFrame createTable API
+    cannot express it.  specs = ((table_name, "col TYPE, ...", bucket_col),
+    ...); returns False (no attach) unless EVERY location holds a
+    completed write (_SUCCESS).  Adoption is safe against planting
+    because INDEX_ROOT is per-user 0o700 and table names embed the
+    corpus CONTENT fingerprint."""
+    from pathlib import Path
+
+    if not all(
+        (Path(index_path(n)) / "_SUCCESS").exists() for n, _, _ in specs
+    ):
+        return False
+    for name, schema, key in specs:
+        spark.sql(
+            f"CREATE TABLE {name} ({schema}) USING parquet "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+            f"INTO {INDEX_BUCKETS} BUCKETS "
+            f"LOCATION '{index_path(name)}'"
+        )
+    return True
+
+
+# deterministic affine-hash "today's batch" predicate (~10% of docs);
+# distinct constants from the split/mix/seed hashes so the slice does
+# not correlate with any other assignment
+_INC_A, _INC_B, _INC_P, _INC_MOD, _INC_REM = 94_651, 10_399, 1_000_000_007, 10, 3
+_INC_PRED_SQL = (
+    f"((doc_id * {_INC_A} + {_INC_B}) % {_INC_P}) % {_INC_MOD} = {_INC_REM}"
+)
+
+
+def _incoming_col():
+    return (
+        (F.col("doc_id") * _INC_A + _INC_B) % _INC_P % _INC_MOD == _INC_REM
+    )
+
+
+def _corpus_path_fp(sf_dir: str) -> str:
+    """8-hex digest of the corpus' resolved path alone — the sweep
+    scope: generations from OTHER corpora share the table-name prefix
+    but not this component, so they are never swept."""
+    import hashlib
+    from pathlib import Path
+
+    p = Path(sf_dir) / "documents.parquet"
+    return hashlib.sha256(str(p.resolve()).encode()).hexdigest()[:8]
+
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Fingerprint of documents.parquet: 8 hex chars of path digest +
+    8 of content digest (file sizes + mtimes) — the persisted indexes
+    are keyed by the full 16, so a regenerated corpus (or a different
+    scale factor at the same path) never serves a stale index, while
+    the path prefix lets sweeps stay corpus-scoped."""
+    import hashlib
+    from pathlib import Path
+
+    p = Path(sf_dir) / "documents.parquet"
+    h = hashlib.sha256()
+    files = sorted(p.rglob("*")) if p.is_dir() else [p]
+    for f in files:
+        if f.is_file():
+            st = f.stat()
+            h.update(f"{f.name}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return _corpus_path_fp(sf_dir) + h.hexdigest()[:8]
+
+
+def sweep_stale_generations(
+    spark: SparkSession, prefixes: tuple[str, ...], fp: str
+) -> None:
+    """Drop catalog entries and on-disk directories for SAME-CORPUS
+    generations whose content fingerprint differs from `fp` (the corpus
+    was regenerated).  The in-memory catalog is per-session, so stale
+    generations from dead sessions never appear in listTables — the
+    filesystem sweep is the real one.  Scoped to fp's path component:
+    another session's index over a DIFFERENT corpus path survives
+    (advisory r9 — the old sweep deleted any other-fingerprint
+    generation, racing concurrent sessions on other scale factors)."""
+    import shutil
+    from pathlib import Path
+
+    path_fp = fp[:8]
+
+    def _stale(name: str, prefix: str) -> bool:
+        tail = name[len(prefix):]
+        return tail.startswith(path_fp) and tail != fp
+
+    for t in spark.catalog.listTables():
+        for prefix in prefixes:
+            if t.name.startswith(prefix) and _stale(t.name, prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    root = Path(INDEX_ROOT)
+    if root.is_dir():
+        for d in root.iterdir():
+            for prefix in prefixes:
+                if d.name.startswith(prefix) and _stale(d.name, prefix):
+                    shutil.rmtree(d, ignore_errors=True)
+
+
+def remove_incomplete_locations(names: tuple[str, ...]) -> None:
+    """An INCOMPLETE directory may survive from a dead session
+    (external-table location conflict) — stale by definition, remove
+    before re-creating."""
+    import shutil
+    from pathlib import Path
+
+    for name in names:
+        loc = Path(index_path(name))
+        if loc.exists():
+            shutil.rmtree(loc, ignore_errors=True)
+
+
+def append_bucketed(
+    df: DataFrame, name: str, key: str
+) -> None:
+    """One batch's rows APPEND into an existing bucketed table (same
+    bucket spec, so co-location survives; each append adds one file per
+    bucket — the compaction story in sources/versioned.py applies when
+    file counts grow)."""
+    (
+        df.write.format("parquet")
+        .bucketBy(INDEX_BUCKETS, key)
+        .sortBy(key)
+        .option("path", index_path(name))
+        .mode("append")
+        .saveAsTable(name)
+    )

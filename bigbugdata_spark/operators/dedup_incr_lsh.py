@@ -28,14 +28,17 @@ from pyspark.sql import functions as F
 from bigbugdata_spark.caching import pin
 from bigbugdata_spark.functions import hashing as H
 from bigbugdata_spark.functions.fragments import JACCARD_T
-from bigbugdata_spark.operators.dedup_incr import (
+from bigbugdata_spark.operators.dedup_incr_core import (
     _INC_PRED_SQL,
     _corpus_fingerprint,
     _incoming_col,
     INDEX_BUCKETS,
-    INDEX_ROOT,
+    append_bucketed,
     attach_index_tables,
+    ensure_index_root,
     index_path,
+    remove_incomplete_locations,
+    sweep_stale_generations,
 )
 from bigbugdata_spark.registry import register
 
@@ -111,31 +114,11 @@ def lsh_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     fp = _corpus_fingerprint(sf_dir)
     band_name, set_name = _index_names(fp)
     if not spark.catalog.tableExists(band_name):
-        import shutil
-        from pathlib import Path
-
         from bigbugdata_spark.operators.dedup import _doc_shingles
         from bigbugdata_spark.sources.bucketed import write_bucketed
 
-        # old-generation cleanup is FILESYSTEM-based: the in-memory
-        # catalog is per-session, so stale generations from dead
-        # sessions never appear in listTables — sweep the index root
-        # for same-prefix directories with a different fingerprint
-        # (and drop any same-session catalog entries that point there)
-        for t in spark.catalog.listTables():
-            if (
-                t.name.startswith(("lsh_band_", "lsh_set_"))
-                and not t.name.endswith(fp)
-            ):
-                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
-        root = Path(INDEX_ROOT)
-        if root.is_dir():
-            for d in root.iterdir():
-                if (
-                    d.name.startswith(("lsh_band_", "lsh_set_"))
-                    and not d.name.endswith(fp)
-                ):
-                    shutil.rmtree(d, ignore_errors=True)
+        ensure_index_root()
+        sweep_stale_generations(spark, ("lsh_band_", "lsh_set_"), fp)
         if attach_index_tables(
             spark,
             (
@@ -144,10 +127,7 @@ def lsh_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             ),
         ):
             return spark.table(band_name), spark.table(set_name)
-        for name in _index_names(fp):
-            loc = Path(index_path(name))
-            if loc.exists():
-                shutil.rmtree(loc, ignore_errors=True)
+        remove_incomplete_locations(_index_names(fp))
         sh = pin(_doc_shingles(spark, sf_dir))
         write_bucketed(
             _band_frame(sh), band_name, "bkey", n_buckets=INDEX_BUCKETS,
@@ -168,20 +148,9 @@ def append_batch_to_lsh_index(
     APPEND into the same bucket layouts (append==rebuild proven by
     test). `batch_sh` is (doc_id, grams) for the batch only."""
     band_name, set_name = _index_names(fp)
-
-    def _append(df: DataFrame, name: str, key: str) -> None:
-        (
-            df.write.format("parquet")
-            .bucketBy(INDEX_BUCKETS, key)
-            .sortBy(key)
-            .option("path", index_path(name))
-            .mode("append")
-            .saveAsTable(name)
-        )
-
     batch_sh = pin(batch_sh)
-    _append(_band_frame(batch_sh), band_name, "bkey")
-    _append(batch_sh, set_name, "doc_id")
+    append_bucketed(_band_frame(batch_sh), band_name, "bkey")
+    append_bucketed(batch_sh, set_name, "doc_id")
     batch_sh.unpersist(blocking=False)
 
 

@@ -36,35 +36,18 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigbugdata_spark.functions import hashing as H
-from bigbugdata_spark.functions.fragments import EMB_DIM
-from bigbugdata_spark.operators.audits import SIM_CORPUS_SQL, ivf_stages_sql
+from bigbugdata_spark.operators.similarity_knn_core import (  # noqa: F401
+    KNN_K,
+    KNN_PROBE,
+    KNN_SQL,
+)
 from bigbugdata_spark.registry import register
 
-KNN_K = 5
-KNN_PROBE = 4  # index-build probe width (< query-time N_PROBE)
+# constants + the oracle SQL moved to the non-registering
+# operators/similarity_knn_core.py in round 10 (shared with
+# operators/similarity_keep.py without import-time registration drag).
 
-_KNN_SQL = f"""
-    WITH {SIM_CORPUS_SQL},
-    allq AS (
-        SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
-        FROM corpus
-    ),
-    {ivf_stages_sql("allq", KNN_PROBE)}
-    SELECT src, dst, rnk, cos_sim FROM (
-        SELECT cd.query_id AS src, co.vec_id AS dst,
-               ROW_NUMBER() OVER (
-                   PARTITION BY cd.query_id
-                   ORDER BY {H.sql_dot('q.q_emb', 'co.embedding', EMB_DIM)}
-                            / (q.q_nrm * co.nrm) DESC,
-                            co.vec_id ASC
-               ) AS rnk,
-               {H.sql_dot('q.q_emb', 'co.embedding', EMB_DIM)}
-                   / (q.q_nrm * co.nrm) AS cos_sim
-        FROM cand cd
-        JOIN corpus co ON co.vec_id = cd.vec_id
-        JOIN allq q ON q.query_id = cd.query_id
-    ) WHERE rnk <= {KNN_K}
-"""
+_KNN_SQL = KNN_SQL
 
 
 @register(

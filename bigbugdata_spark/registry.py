@@ -76,22 +76,64 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # in tests/test_oracle_parity.py (and at a second scale factor under
 # SPARK_GRAFT_PARITY_SF2).
 #
-# Round-10 rotation plan: after the 26 permanent slots,
-# streaming.features (1, the r8 leftover) + the 16 r9-new queries in
-# registration order (zorder_audit, asset_audit, orders_ltv,
-# events_mad, dedup_curve, events_season, streaming.freshness,
-# text_bpe_train [2 queries], events_growth, streaming.seasonality,
-# dedup_incr_lsh, streaming.growth, similarity_keep, orders_conc —
-# single-query modules throughout, so no neighbor-dragging) = 43;
-# backfill the last 7 slots with the stalest driver verdicts (r5-era
-# events/windows/joins/stateful/corpus/dedup, split as needed).
+# Round-10 rotation (VERDICT r9 #1, executed as planned with the
+# advisory's corrected count — 15 r9-new queries across 14 modules,
+# text_bpe_train registering 2): 26 permanent (20 §2 ops in
+# relational, the 5 oracle'd audit twins in audits, audit_pq_recall
+# in similarity_pq) + streaming.features (1, the r8 leftover) + the
+# 15 r9-new queries in their r9 registration order = 42; the last 8
+# slots backfill the stalest driver verdicts — corpus (5, r5) +
+# streaming windows/joins/stateful (1 each, r5) = 50 exactly, no
+# module split needed.  Import-time drag eliminated in round 10 via
+# the scd_core.py treatment: streaming.freshness now imports
+# operators/dq_fresh_core.py (not dq_fresh, r9-green),
+# dedup_incr_lsh imports operators/dedup_incr_core.py (not
+# dedup_incr, r8-green), similarity_keep imports
+# operators/similarity_knn_core.py (not similarity_knn, r9-green) —
+# so none of those fresh verdicts burn a cap slot.
+# streaming.growth's top-level import of streaming.stateful pulls
+# stateful's registration up to growth's position — in-cap either
+# way, since stateful is one of this round's 8 backfills.
+# Rotated OUT because their rows are freshly green in
+# CORRECTNESS_r09: storage_audit, similarity_incr, events_trans,
+# dq_drift, corpus_shard, text_bpe, dedup_src, streaming.drift,
+# emb_health, events_dwell, orders_rfm, text_lm, events_features,
+# corpus_curriculum, dq_fresh, dq_emb, profile_corr,
+# pipeline_release, text_prefix, events_burst, corpus_budget,
+# similarity_knn, similarity_cluster.  All rotated-out queries
+# remain continuously re-proven by the identical local gate in
+# tests/test_oracle_parity.py (and at a second scale factor under
+# SPARK_GRAFT_PARITY_SF2).
 # Never rotate out: the 20 §2 ops, the 5 audit twins, audit_pq_recall,
 # or any query whose newest fix lacks a driver verdict.
 _QUERY_MODULES = (
     "bigbugdata_spark.operators.relational",
     "bigbugdata_spark.operators.audits",
     "bigbugdata_spark.operators.similarity_pq",
-    # 24 of the 25 r8-new queries, in their r8 registration order:
+    # the r8 leftover (registered last in r8, queued first since):
+    "bigbugdata_spark.streaming.features",
+    # the 15 r9-new queries, in their r9 registration order:
+    "bigbugdata_spark.operators.zorder_audit",
+    "bigbugdata_spark.operators.asset_audit",
+    "bigbugdata_spark.operators.orders_ltv",
+    "bigbugdata_spark.operators.events_mad",
+    "bigbugdata_spark.operators.dedup_curve",
+    "bigbugdata_spark.operators.events_season",
+    "bigbugdata_spark.streaming.freshness",
+    "bigbugdata_spark.operators.text_bpe_train",
+    "bigbugdata_spark.operators.events_growth",
+    "bigbugdata_spark.streaming.seasonality",
+    "bigbugdata_spark.operators.dedup_incr_lsh",
+    "bigbugdata_spark.streaming.growth",
+    "bigbugdata_spark.operators.similarity_keep",
+    "bigbugdata_spark.operators.orders_conc",
+    # 8 backfill slots — the stalest driver verdicts (all r5):
+    "bigbugdata_spark.operators.corpus",
+    "bigbugdata_spark.streaming.windows",
+    "bigbugdata_spark.streaming.joins",
+    "bigbugdata_spark.streaming.stateful",
+    # ---- driver cap boundary (first 50 registrations end here) ----
+    # rotated out (fresh CORRECTNESS_r09 rows):
     "bigbugdata_spark.operators.storage_audit",
     "bigbugdata_spark.operators.similarity_incr",
     "bigbugdata_spark.operators.events_trans",
@@ -115,9 +157,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.corpus_budget",
     "bigbugdata_spark.operators.similarity_knn",
     "bigbugdata_spark.operators.similarity_cluster",
-    # ---- driver cap boundary (first 50 registrations end here) ----
-    "bigbugdata_spark.streaming.features",
-    # rotated out (fresh CORRECTNESS_r08 rows):
+    # rotated out in r9 (fresh CORRECTNESS_r08 rows then):
     "bigbugdata_spark.operators.dq_ext",
     "bigbugdata_spark.operators.events_state",
     "bigbugdata_spark.operators.text_rare",
@@ -145,29 +185,9 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.profile",
     "bigbugdata_spark.operators.quantize",
     "bigbugdata_spark.operators.events",
-    "bigbugdata_spark.streaming.windows",
     "bigbugdata_spark.operators.events_ext",
-    "bigbugdata_spark.streaming.joins",
-    "bigbugdata_spark.streaming.stateful",
-    "bigbugdata_spark.operators.corpus",
     "bigbugdata_spark.operators.dedup",
     "bigbugdata_spark.operators.similarity_ext",
-    # r9-new queries (no driver verdict yet -> behind streaming.features
-    # in the round-10 rotation queue):
-    "bigbugdata_spark.operators.zorder_audit",
-    "bigbugdata_spark.operators.asset_audit",
-    "bigbugdata_spark.operators.orders_ltv",
-    "bigbugdata_spark.operators.events_mad",
-    "bigbugdata_spark.operators.dedup_curve",
-    "bigbugdata_spark.operators.events_season",
-    "bigbugdata_spark.streaming.freshness",
-    "bigbugdata_spark.operators.text_bpe_train",
-    "bigbugdata_spark.operators.events_growth",
-    "bigbugdata_spark.streaming.seasonality",
-    "bigbugdata_spark.operators.dedup_incr_lsh",
-    "bigbugdata_spark.streaming.growth",
-    "bigbugdata_spark.operators.similarity_keep",
-    "bigbugdata_spark.operators.orders_conc",
 )
 
 
