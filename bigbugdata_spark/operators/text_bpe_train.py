@@ -74,13 +74,18 @@ def _sql_round(r: int) -> str:
         FROM p{r} ORDER BY c DESC, a, b LIMIT 1
     ),
     v{r + 1} AS (
+        -- LEFT JOIN ON TRUE + COALESCE instead of a cross join: when
+        -- pair candidates dry up before BPE_STEPS rounds, b{r} is
+        -- empty and a cross join would EMPTY the vocabulary — the
+        -- fallback keeps v{r} verbatim, matching the Spark trainer's
+        -- loop break (advisory r9)
         SELECT word, freq,
-               replace(replace(s,
+               COALESCE(replace(replace(s,
                    {_SEP_SQL} || b{r}.a || {_SEP_SQL} || b{r}.b || {_SEP_SQL},
                    {_SEP_SQL} || b{r}.a || b{r}.b || {_SEP_SQL}),
                    {_SEP_SQL} || b{r}.a || {_SEP_SQL} || b{r}.b || {_SEP_SQL},
-                   {_SEP_SQL} || b{r}.a || b{r}.b || {_SEP_SQL}) AS s
-        FROM v{r}, b{r}
+                   {_SEP_SQL} || b{r}.a || b{r}.b || {_SEP_SQL}), s) AS s
+        FROM v{r} LEFT JOIN b{r} ON TRUE
     )"""
 
 
@@ -211,9 +216,9 @@ def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge (= character count) and after BPE_STEPS merges, and the
     integer-permille symbol saving.  Runs the identical training loop
     and aggregates the FINAL vocabulary state — the oracle reuses the
-    trainer's unrolled rounds and aggregates its v{M} CTE, so the
-    applied merges (not just the chosen pairs) are hash-gated
-    corpus-wide.""".replace("{M}", str(BPE_STEPS))
+    trainer's unrolled rounds and aggregates its last-round vocabulary
+    CTE, so the applied merges (not just the chosen pairs) are
+    hash-gated corpus-wide."""
     vocab = _word_vocab(spark, sf_dir).localCheckpoint()
     for _ in range(BPE_STEPS):
         best = (

@@ -1,0 +1,240 @@
+"""Round-10 additions: the BPE oracle's empty-round fallback, and the
+multi-cycle admit->append->probe lifecycle over BOTH persisted
+incremental-dedup index paths (VERDICT r9 #3)."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from bigbugdata_spark.functions.fragments import JACCARD_T
+from bigbugdata_spark.registry import load_all
+
+SPECS = load_all()
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def test_bpe_oracle_empty_round_fallback(tmp_path, spark):
+    """Advisory r9: when pair candidates dry up before BPE_STEPS rounds,
+    the Spark trainer breaks out of the loop keeping the last
+    vocabulary; the oracle's v{r+1} CTE must fall back to v{r} (LEFT
+    JOIN ON TRUE + COALESCE) instead of cross-joining an empty b{r} and
+    emptying the vocabulary.  A two-word corpus dries up after two
+    merges — the compression oracle must still aggregate the surviving
+    vocabulary, not 0/NULL."""
+    from tests.parity import compare
+
+    docs = spark.createDataFrame(
+        [(0, "ab cd ab", "en", "syn", 8)], DOC_SCHEMA
+    )
+    doc_dir = tmp_path / "docs"
+    docs.write.parquet(str(doc_dir / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{doc_dir}/documents.parquet/*.parquet'"
+    )
+    train = SPECS["text_bpe_train"]
+    rows = train.fn(spark, str(doc_dir)).collect()
+    assert len(rows) == 2  # (a,b) then (c,d); round 2 has no candidates
+    ok, msg = compare(train.fn(spark, str(doc_dir)), con, train.oracle)
+    assert ok, msg
+    comp = SPECS["text_bpe_compression"]
+    got = comp.fn(spark, str(doc_dir)).collect()[0]
+    # the surviving vocabulary: words "ab" (freq 2) and "cd" (freq 1),
+    # each fully merged to one symbol
+    assert (got["n_words"], got["n_tokens"]) == (2, 3)
+    assert got["merged_symbols"] == 3 and got["base_symbols"] == 6
+    ok, msg = compare(comp.fn(spark, str(doc_dir)), con, comp.oracle)
+    assert ok, msg
+
+
+def _write_docs(spark, rows, path):
+    spark.createDataFrame(rows, DOC_SCHEMA).write.parquet(
+        str(path / "documents.parquet")
+    )
+
+
+def _doc_rows():
+    """40 docs: 0-24 base corpus, then three 5-doc batches (25-29,
+    30-34, 35-39) holding exact dups of earlier docs, a near-dup just
+    over JACCARD_T, and a cross-batch dup — every cycle must surface
+    at least one pair."""
+    def words(i):
+        return [f"w{i}x{j}" for j in range(12)]
+
+    texts = {i: words(i) for i in range(40)}
+    texts[25] = words(3)                      # batch1: exact dup of base
+    near = words(5)
+    near[6] = "CHANGED"                       # 7/13 shingles shared -> J~0.538
+    texts[27] = near                          # batch1: near-dup of base
+    texts[30] = words(3)                      # batch2: dup of base AND of 25
+    texts[34] = near                          # batch2: dup of 27, near-dup of 5
+    texts[35] = words(10)                     # batch3: exact dup of base
+    return [
+        (i, " ".join(texts[i]), "en", "syn", len(" ".join(texts[i])))
+        for i in range(40)
+    ]
+
+
+def _rel(df):
+    return {
+        (r["new_id"], r["match_id"], round(r["jaccard"], 9))
+        for r in df.collect()
+    }
+
+
+def _gram_probe(spark, fp, batch_grams):
+    """incremental_pairs' probe join against an appended gram-index
+    generation, with an explicit batch frame."""
+    idx = spark.table(f"gram_idx_{fp}")
+    sz = spark.table(f"gram_sz_{fp}")
+    common = (
+        batch_grams.alias("n")
+        .join(
+            idx.alias("c"),
+            (F.col("n.g") == F.col("c.g"))
+            & (F.col("n.doc_id") != F.col("c.doc_id")),
+        )
+        .groupBy(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("c.doc_id").alias("match_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1 = sz.select(F.col("doc_id").alias("new_id"), F.col("sz").alias("sz1"))
+    s2 = sz.select(F.col("doc_id").alias("match_id"), F.col("sz").alias("sz2"))
+    jac = F.col("c").cast("double") / (F.col("sz1") + F.col("sz2") - F.col("c"))
+    return (
+        common.join(s1, "new_id")
+        .join(s2, "match_id")
+        .select("new_id", "match_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+
+def _lsh_probe(spark, fp, batch_sh):
+    """dedup_incremental_lsh's probe join against an appended band-index
+    generation, with an explicit batch shingle frame."""
+    from bigbugdata_spark.operators.dedup_incr_lsh import _band_frame
+
+    bands = spark.table(f"lsh_band_{fp}")
+    sets = spark.table(f"lsh_set_{fp}")
+    cand = (
+        _band_frame(batch_sh)
+        .alias("n")
+        .join(bands.alias("c"), "bkey")
+        .where(F.col("n.doc_id") != F.col("c.doc_id"))
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("c.doc_id").alias("match_id"),
+        )
+        .distinct()
+    )
+    g1 = batch_sh.select(
+        F.col("doc_id").alias("new_id"), F.col("grams").alias("g1")
+    )
+    g2 = sets.select(
+        F.col("doc_id").alias("match_id"), F.col("grams").alias("g2")
+    )
+    jac = F.size(F.array_intersect("g1", "g2")).cast("double") / F.size(
+        F.array_union("g1", "g2")
+    )
+    return (
+        cand.join(g1, "new_id")
+        .join(g2, "match_id")
+        .select("new_id", "match_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+
+def test_incremental_index_multicycle_lifecycle(tmp_path, spark):
+    """VERDICT r9 #3: three admit->append->probe cycles on BOTH index
+    paths.  Per cycle: (a) each probe result equals the from-scratch
+    ground truth (set-Jaccard over the corpus-so-far, computed without
+    any index), (b) the gram and band routes stay relation-equal, and
+    (c) the appended gram-index generation equals a from-scratch build
+    over the corpus-so-far (multiset equality) — append==rebuild held
+    over a whole ingest history, not one batch."""
+    from bigbugdata_spark.operators.dedup import _doc_shingles
+    from bigbugdata_spark.operators.dedup_incr import (
+        _corpus_fingerprint,
+        append_batch_to_index,
+        gram_index,
+    )
+    from bigbugdata_spark.operators.dedup_incr_lsh import (
+        append_batch_to_lsh_index,
+        lsh_index,
+    )
+
+    rows = _doc_rows()
+    full_dir = tmp_path / "full"
+    base_dir = tmp_path / "base"
+    _write_docs(spark, rows, full_dir)
+    _write_docs(spark, [r for r in rows if r[0] < 25], base_dir)
+
+    # ground-truth gram sets, no index anywhere near this derivation
+    sets_by_id = {
+        r["doc_id"]: set(r["grams"])
+        for r in _doc_shingles(spark, str(full_dir)).collect()
+    }
+
+    def truth(batch_ids, hi):
+        out = set()
+        for b in batch_ids:
+            for o in range(hi):
+                if o == b:
+                    continue
+                s1, s2 = sets_by_id[b], sets_by_id[o]
+                inter = len(s1 & s2)
+                if inter:
+                    j = inter / (len(s1) + len(s2) - inter)
+                    if j >= JACCARD_T:
+                        out.add((b, o, round(j, 9)))
+        return out
+
+    fp = _corpus_fingerprint(str(base_dir))
+    gram_index(spark, str(base_dir))
+    lsh_index(spark, str(base_dir))
+    full_sh = _doc_shingles(spark, str(full_dir))
+
+    for cycle, lo in enumerate((25, 30, 35)):
+        hi = lo + 5
+        batch_ids = list(range(lo, hi))
+        batch_pred = (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        batch_sh = full_sh.filter(batch_pred)
+        batch_grams = batch_sh.select(
+            "doc_id", F.explode("grams").alias("g")
+        )
+        # admit -> append (both paths) -> probe
+        append_batch_to_index(spark, batch_grams, fp)
+        append_batch_to_lsh_index(spark, batch_sh, fp)
+        want = truth(batch_ids, hi)
+        assert want, f"cycle {cycle}: fixture must produce pairs"
+        got_gram = _rel(_gram_probe(spark, fp, batch_grams))
+        got_lsh = _rel(_lsh_probe(spark, fp, batch_sh))
+        assert got_gram == want, f"cycle {cycle}: gram probe != truth"
+        assert got_lsh == want, f"cycle {cycle}: lsh probe != truth"
+
+        # (c) appended generation == from-scratch build over corpus-so-far
+        scratch_dir = tmp_path / f"scratch{cycle}"
+        _write_docs(spark, [r for r in rows if r[0] < hi], scratch_dir)
+        sfp = _corpus_fingerprint(str(scratch_dir))
+        gram_index(spark, str(scratch_dir))
+        for tbl in ("gram_idx", "gram_sz", "gram_df"):
+            got = sorted(map(tuple, spark.table(f"{tbl}_{fp}").collect()))
+            ref = sorted(map(tuple, spark.table(f"{tbl}_{sfp}").collect()))
+            if tbl == "gram_df":
+                # df rows are per-batch PARTIALS — readers SUM by g
+                agg = lambda t: sorted(  # noqa: E731
+                    map(
+                        tuple,
+                        spark.table(t)
+                        .groupBy("g")
+                        .agg(F.sum("df_part").alias("df"))
+                        .collect(),
+                    )
+                )
+                got, ref = agg(f"{tbl}_{fp}"), agg(f"{tbl}_{sfp}")
+            assert got == ref, f"cycle {cycle}: {tbl} append != rebuild"
