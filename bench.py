@@ -51,6 +51,21 @@ RELATIONAL_HEADLINE = (
     "op21_filtered_sum_complement",
 )
 
+# The MODERN headline set (round 10, VERDICT r9 #6): the heaviest
+# current-generation plans, previously scale-probed but not headlined —
+# so the round-over-round number tracks what the engine actually runs.
+# Reported as `modern_total` NEXT TO the legacy 37-query `value` (which
+# stays fixed for r1-r9 comparability).  Timing for this set wraps
+# fn() + execution together: iterative operators (BPE training's
+# per-round argmax, kmeans-style loops) do driver-controlled work
+# inside fn(), which the legacy loop's post-fn timer would miss.
+MODERN_HEADLINE = (
+    "dedup_incremental",
+    "sim_knn_graph",
+    "pipe_release_manifest",
+    "text_bpe_train",
+)
+
 # iterations per query: the first execution of each distinct plan pays
 # whole-stage-codegen compilation (~0.5-1 s at this scale — bigger than
 # some queries); min-of-N is the steady-state cost, which is what scales
@@ -196,6 +211,18 @@ _SCALE_EMB_PAIR_QUERIES = frozenset(
      "audit_emb_lsh_recall", "sim_label_pair_stats"}
 )
 SCALE_ITERATIONS = 2
+# De-noised sub-second rows (VERDICT r9 #4): when a query's warm base
+# is sub-second, min-of-2 leaves the RATIO noise-dominated (the LSH
+# ingest row swung 2.9-5.3 across clean runs while its x10 wall stayed
+# ~1.1 s) — such rows re-measure min-of-SCALE_ITERATIONS_SUBSEC at both
+# sizes, and ingest-shaped rows additionally carry an ABSOLUTE x10 wall
+# budget, the honest gate a regression cannot hide behind.
+SCALE_SUBSEC_THRESHOLD = 0.5
+SCALE_ITERATIONS_SUBSEC = 6
+X10_WALL_BUDGET_SEC = {
+    "dedup_incremental": 1.5,
+    "dedup_incremental_lsh": 1.5,
+}
 
 
 def _source_fingerprint() -> str:
@@ -274,17 +301,32 @@ def bench_scale_probe(spark, specs) -> dict:
         if name not in specs:
             continue
         entry: dict = {}
+
+        def _measure(sf_dir: str, iters: int) -> float:
+            spark.catalog.clearCache()
+            runs = []
+            for _ in range(iters):
+                df = specs[name].fn(spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            return round(min(runs), 4)
+
         try:
-            for key, sf_dir in (("base_sec", SF_DIR), ("x10_sec", sdir)):
-                spark.catalog.clearCache()
-                runs = []
-                for _ in range(SCALE_ITERATIONS):
-                    df = specs[name].fn(spark, sf_dir)
-                    t0 = time.perf_counter()
-                    df.write.format("noop").mode("overwrite").save()
-                    runs.append(time.perf_counter() - t0)
-                entry[key] = round(min(runs), 4)
+            iters = SCALE_ITERATIONS
+            entry["base_sec"] = _measure(SF_DIR, iters)
+            if entry["base_sec"] < SCALE_SUBSEC_THRESHOLD:
+                # sub-second base: the ratio's denominator is noise —
+                # re-measure BOTH sizes with more iterations
+                iters = SCALE_ITERATIONS_SUBSEC
+                entry["base_sec"] = _measure(SF_DIR, iters)
+            entry["x10_sec"] = _measure(sdir, iters)
+            entry["iterations_used"] = iters
             entry["ratio"] = round(entry["x10_sec"] / entry["base_sec"], 2)
+            if name in X10_WALL_BUDGET_SEC:
+                budget = X10_WALL_BUDGET_SEC[name]
+                entry["x10_budget_sec"] = budget
+                entry["x10_within_budget"] = entry["x10_sec"] <= budget
         except Exception as exc:  # noqa: BLE001 — record and continue
             entry["error"] = f"{type(exc).__name__}: {exc}"[:300]
         out["queries"][name] = entry
@@ -462,6 +504,26 @@ def main() -> None:
         timings[name] = round(min(runs), 4)
         medians[name] = round(statistics.median(runs), 4)
 
+    # modern headline set: fn() + execution inside the timed window
+    # (see MODERN_HEADLINE comment); same clearCache isolation
+    modern_timings: dict[str, float] = {}
+    for name in MODERN_HEADLINE:
+        if name not in specs:
+            continue
+        spark.catalog.clearCache()
+        runs = []
+        try:
+            for _ in range(ITERATIONS):
+                t0 = time.perf_counter()
+                df = specs[name].fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
+        modern_timings[name] = round(min(runs), 4)
+        medians[name] = round(statistics.median(runs), 4)
+
     # Spark-side canary measured NOW, on the SAME session that ran the
     # query loop — it exists to normalize those numbers, so measuring it
     # on the restarted kraken session below would let a slow session 1 /
@@ -522,6 +584,7 @@ def main() -> None:
 
     total = round(sum(timings[n] for n in relational if n in timings), 4)
     ext_total = round(sum(timings[n] for n in ext if n in timings), 4)
+    modern_total = round(sum(modern_timings.values()), 4)
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -529,6 +592,8 @@ def main() -> None:
         "queries": timings,
         "queries_median": medians,
         "ext_total": ext_total,
+        "modern_queries": modern_timings,
+        "modern_total": modern_total,
         "iterations": ITERATIONS,
         "agg": "min",
         "sf": sf_from_dir(SF_DIR),
@@ -548,6 +613,7 @@ def main() -> None:
             "drift_factor": round(drift, 4),
             "value_adj": round(total * drift, 4),
             "ext_total_adj": round(ext_total * drift, 4),
+            "modern_total_adj": round(modern_total * drift, 4),
         }
     if kraken is not None:
         out["kraken_e2e"] = kraken
