@@ -188,6 +188,9 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.events_ext",
     "bigbugdata_spark.operators.dedup",
     "bigbugdata_spark.operators.similarity_ext",
+    # r10-new queries (no driver verdict yet -> first in the round-11
+    # rotation queue):
+    "bigbugdata_spark.operators.zorder3_audit",
 )
 
 

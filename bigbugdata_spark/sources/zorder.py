@@ -103,7 +103,7 @@ def morton_key_n(cols: list[Column], bits: int) -> Column:
 
 def with_morton_n(
     df: DataFrame, cols: list[str], key_col: str = "_z"
-) -> Column:
+) -> DataFrame:
     """Add the N-column Morton key, range-normalizing every column from
     its observed min/max (one tiny aggregate broadcast back).  Bit
     budget splits the 62-bit BIGINT across the columns:
