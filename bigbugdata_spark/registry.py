@@ -191,6 +191,7 @@ _QUERY_MODULES = (
     # r10-new queries (no driver verdict yet -> first in the round-11
     # rotation queue):
     "bigbugdata_spark.operators.zorder3_audit",
+    "bigbugdata_spark.operators.pipeline_guard",
 )
 
 

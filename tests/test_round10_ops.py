@@ -238,3 +238,47 @@ def test_incremental_index_multicycle_lifecycle(tmp_path, spark):
                 )
                 got, ref = agg(f"{tbl}_{fp}"), agg(f"{tbl}_{sfp}")
             assert got == ref, f"cycle {cycle}: {tbl} append != rebuild"
+
+
+def test_semantic_guard_both_branches(tmp_path, spark):
+    """VERDICT r9 #7: pipe_semantic_guard must keep BOTH branches live —
+    a label-pure cluster clears PURITY_T and the keep rule DROPS its
+    non-exemplars, while a mixed-label cluster stays below the bar and
+    every vector passes through.  Planted corpus: 6 identical vectors
+    with one label (pure — rule applies, 5 dropped), 6 identical
+    vectors with alternating labels (purity 0.5 — guarded
+    pass-through).  The oracle re-derives the same table on the
+    planted corpus."""
+    from tests.parity import compare
+
+    dim = 64
+    e0 = [1.0] + [0.0] * (dim - 1)
+    e1 = [0.0, 1.0] + [0.0] * (dim - 2)
+    rows = [(i, e0, 7) for i in range(6)] + [
+        (i, e1, 3 if i % 2 == 0 else 4) for i in range(6, 12)
+    ]
+    emb_dir = tmp_path / "emb"
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(emb_dir / "embeddings.parquet"))
+
+    got = {
+        r["vec_id"]: r
+        for r in SPECS["pipe_semantic_guard"].fn(spark, str(emb_dir)).collect()
+    }
+    assert len(got) == 12
+    for i in range(6):
+        assert got[i]["rule_applied"] == 1 and got[i]["purity"] == 1.0
+        assert got[i]["kept"] == (1 if i == 0 else 0)
+    for i in range(6, 12):
+        assert got[i]["rule_applied"] == 0 and got[i]["purity"] == 0.5
+        assert got[i]["kept"] == 1
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{emb_dir}/embeddings.parquet/*.parquet'"
+    )
+    q = SPECS["pipe_semantic_guard"]
+    ok, msg = compare(q.fn(spark, str(emb_dir)), con, q.oracle)
+    assert ok, msg
