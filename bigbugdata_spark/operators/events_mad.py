@@ -44,66 +44,21 @@ from bigbugdata_spark.registry import register
 K_MAD = 5  # flag events with |cents - median| > K_MAD * mad
 
 
-@register(
-    "evt_anomaly_mad",
-    oracle=f"""
-        WITH ranked AS (
-            SELECT event_type, {CENTS_SQL} AS cents, event_id,
-                   ROW_NUMBER() OVER (PARTITION BY event_type
-                                      ORDER BY {CENTS_SQL}, event_id) AS rn,
-                   COUNT(*) OVER (PARTITION BY event_type) AS n
-            FROM events
-        ),
-        med AS (
-            SELECT event_type,
-                   MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
-                            THEN cents END) AS median_cents
-            FROM ranked GROUP BY event_type
-        ),
-        dev AS (
-            SELECT r.event_type, r.cents,
-                   ABS(r.cents - m.median_cents) AS adev,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY r.event_type
-                       ORDER BY ABS(r.cents - m.median_cents), r.event_id
-                   ) AS rn,
-                   COUNT(*) OVER (PARTITION BY r.event_type) AS n,
-                   m.median_cents
-            FROM ranked r JOIN med m ON r.event_type = m.event_type
-        ),
-        mad AS (
-            SELECT event_type,
-                   MAX(median_cents) AS median_cents,
-                   MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
-                            THEN adev END) AS mad_cents,
-                   CAST(MAX(n) AS BIGINT) AS n_events
-            FROM dev GROUP BY event_type
-        )
-        SELECT d.event_type,
-               CAST(MAX(m.median_cents) AS BIGINT) AS median_cents,
-               CAST(MAX(m.mad_cents) AS BIGINT) AS mad_cents,
-               CAST(MAX(m.n_events) AS BIGINT) AS n_events,
-               CAST(SUM(CASE WHEN d.adev > {K_MAD} * m.mad_cents
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-        FROM dev d JOIN mad m ON d.event_type = m.event_type
-        GROUP BY d.event_type
-    """,
-    tags=("events", "dq", "window"),
-)
-def evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per event_type: rank-based median cents, the median absolute
-    deviation, event count, and how many events deviate beyond
-    K_MAD * mad (strict >, so a zero-MAD constant stream flags only
-    genuinely different values).  Both medians are read off compressed
-    value histograms (see module docstring) — the raw events are
-    touched exactly once, by the (type, cents) groupBy."""
-    ev = table(spark, sf_dir, "events").select(
-        "event_type", cents_col().alias("cents")
-    )
-    # THE compression: everything downstream is histogram-sized
-    hist = ev.groupBy("event_type", "cents").agg(
+def mad_histogram(ev: DataFrame) -> DataFrame:
+    """(event_type, cents) -> cnt — THE compression, and the ONLY pass
+    over raw events: a map-side-combinable grouped aggregate that is
+    also streaming-safe (complete-mode state for the live monitor in
+    streaming/mad.py — one BIGINT per distinct (type, cents) cell).
+    Everything downstream is histogram-sized."""
+    return ev.groupBy("event_type", "cents").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+
+def finish_mad(hist: DataFrame) -> DataFrame:
+    """The MAD card from a (event_type, cents, cnt) histogram — the
+    shared tail of the batch audit and the live streaming monitor, so
+    the two cannot disagree about what "outlier" means."""
 
     def rank_select(h: DataFrame, val: str) -> DataFrame:
         """Smallest `val` whose per-type running count reaches
@@ -157,3 +112,65 @@ def evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+MAD_ORACLE_SQL = f"""
+        WITH ranked AS (
+            SELECT event_type, {CENTS_SQL} AS cents, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY {CENTS_SQL}, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        ),
+        med AS (
+            SELECT event_type,
+                   MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                            THEN cents END) AS median_cents
+            FROM ranked GROUP BY event_type
+        ),
+        dev AS (
+            SELECT r.event_type, r.cents,
+                   ABS(r.cents - m.median_cents) AS adev,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY r.event_type
+                       ORDER BY ABS(r.cents - m.median_cents), r.event_id
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY r.event_type) AS n,
+                   m.median_cents
+            FROM ranked r JOIN med m ON r.event_type = m.event_type
+        ),
+        mad AS (
+            SELECT event_type,
+                   MAX(median_cents) AS median_cents,
+                   MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                            THEN adev END) AS mad_cents,
+                   CAST(MAX(n) AS BIGINT) AS n_events
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type,
+               CAST(MAX(m.median_cents) AS BIGINT) AS median_cents,
+               CAST(MAX(m.mad_cents) AS BIGINT) AS mad_cents,
+               CAST(MAX(m.n_events) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN d.adev > {K_MAD} * m.mad_cents
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad m ON d.event_type = m.event_type
+        GROUP BY d.event_type
+    """
+
+
+@register(
+    "evt_anomaly_mad",
+    oracle=MAD_ORACLE_SQL,
+    tags=("events", "dq", "window"),
+)
+def evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: rank-based median cents, the median absolute
+    deviation, event count, and how many events deviate beyond
+    K_MAD * mad (strict >, so a zero-MAD constant stream flags only
+    genuinely different values).  Both medians are read off compressed
+    value histograms (see module docstring) — the raw events are
+    touched exactly once, by mad_histogram's (type, cents) groupBy."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", cents_col().alias("cents")
+    )
+    return finish_mad(mad_histogram(ev))

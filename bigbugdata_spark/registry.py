@@ -192,6 +192,7 @@ _QUERY_MODULES = (
     # rotation queue):
     "bigbugdata_spark.operators.zorder3_audit",
     "bigbugdata_spark.operators.pipeline_guard",
+    "bigbugdata_spark.streaming.mad",
 )
 
 

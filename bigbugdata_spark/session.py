@@ -9,9 +9,21 @@ hand rather than the 200 default.
 
 from __future__ import annotations
 
+import getpass
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
+
+#: per-user session storage (advisory r9, same hazard as the dedup index
+#: root): a world-shared /tmp warehouse lets concurrent users collide on
+#: managed-table locations, and a shared derby home means the SECOND
+#: session on the machine fails derby's single-owner lock outright.
+_USER = getpass.getuser()
+WAREHOUSE_DIR = os.path.join(
+    tempfile.gettempdir(), f"bigbugdata-spark-warehouse-{_USER}"
+)
+DERBY_HOME = os.path.join(tempfile.gettempdir(), f"bigbugdata-derby-{_USER}")
 
 
 def get_spark(
@@ -53,10 +65,12 @@ def get_spark(
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
-        # catalog tables (bucketed-layout support) live outside the repo
-        .config("spark.sql.warehouse.dir", "/tmp/bigbugdata-warehouse")
+        # catalog tables (bucketed-layout support) live outside the repo,
+        # scoped per-user (see WAREHOUSE_DIR/DERBY_HOME above)
+        .config("spark.sql.warehouse.dir", WAREHOUSE_DIR)
         .config(
-            "spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/bigbugdata-derby"
+            "spark.driver.extraJavaOptions",
+            f"-Dderby.system.home={DERBY_HOME}",
         )
     )
     for k, v in (extra_conf or {}).items():

@@ -25,11 +25,13 @@ def no_broadcast(spark):
 def test_bucketed_join_is_shuffle_free(spark, sf_oracle, no_broadcast):
     import shutil
 
+    from bigbugdata_spark.session import WAREHOUSE_DIR
+
     # a fresh derby metastore can forget tables whose warehouse dirs
     # survived a previous session — clear both sides
     for t in ("bb_fact_bucketed", "bb_dim_bucketed"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(f"/tmp/bigbugdata-warehouse/{t}", ignore_errors=True)
+        shutil.rmtree(f"{WAREHOUSE_DIR}/{t}", ignore_errors=True)
 
     li = table(spark, sf_oracle, "lineitem")
     fact = li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("qty"))

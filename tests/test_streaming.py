@@ -173,7 +173,9 @@ def test_bucketed_incremental_sink_idempotent_and_shuffle_free(
 
     tname = "bb_events_upsert_bucketed"
     spark.sql(f"DROP TABLE IF EXISTS {tname}")
-    shutil.rmtree(f"/tmp/bigbugdata-warehouse/{tname}", ignore_errors=True)
+    from bigbugdata_spark.session import WAREHOUSE_DIR
+
+    shutil.rmtree(f"{WAREHOUSE_DIR}/{tname}", ignore_errors=True)
 
     run_incremental_dedup_sink_bucketed(
         spark, sf_oracle, tname, str(tmp_path / "ckpt1")
