@@ -193,6 +193,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.zorder3_audit",
     "bigbugdata_spark.operators.pipeline_guard",
     "bigbugdata_spark.streaming.mad",
+    "bigbugdata_spark.operators.similarity_rank",
 )
 
 

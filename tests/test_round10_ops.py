@@ -282,3 +282,55 @@ def test_semantic_guard_both_branches(tmp_path, spark):
     q = SPECS["pipe_semantic_guard"]
     ok, msg = compare(q.fn(spark, str(emb_dir)), con, q.oracle)
     assert ok, msg
+
+
+def test_pagerank_planted_structure(tmp_path, spark):
+    """sim_pagerank on a planted corpus: two complete 6-cliques plus an
+    isolated vector.  Symmetry forces equal ranks within each clique;
+    the isolated vector settles at the exact teleport floor with deg 0;
+    floor-division losses keep total mass at or under PR_SCALE.  The
+    oracle re-derives the identical integer rounds."""
+    from tests.parity import compare
+
+    from bigbugdata_spark.operators.similarity_rank import (
+        _DAMP_DEN,
+        _TELEPORT_NUM,
+        PR_SCALE,
+    )
+
+    dim = 64
+    e0 = [1.0] + [0.0] * (dim - 1)
+    e1 = [0.0, 1.0] + [0.0] * (dim - 2)
+    e2 = [0.0, 0.0, 1.0] + [0.0] * (dim - 3)
+    rows = (
+        [(i, e0, 7) for i in range(6)]
+        + [(i, e1, 3) for i in range(6, 12)]
+        + [(12, e2, 9)]
+    )
+    emb_dir = tmp_path / "emb"
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(emb_dir / "embeddings.parquet"))
+
+    got = {
+        r["vec_id"]: r
+        for r in SPECS["sim_pagerank"].fn(spark, str(emb_dir)).collect()
+    }
+    assert len(got) == 13
+    teleport = (_TELEPORT_NUM * PR_SCALE) // (_DAMP_DEN * 13)
+    assert got[12]["deg"] == 0 and got[12]["pr_ppb"] == teleport
+    for lo in (0, 6):
+        clique = [got[i] for i in range(lo, lo + 6)]
+        assert all(r["deg"] == 5 for r in clique)
+        assert len({r["pr_ppb"] for r in clique}) == 1
+        assert clique[0]["pr_ppb"] > teleport
+    assert sum(r["pr_ppb"] for r in got.values()) <= PR_SCALE
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{emb_dir}/embeddings.parquet/*.parquet'"
+    )
+    q = SPECS["sim_pagerank"]
+    ok, msg = compare(q.fn(spark, str(emb_dir)), con, q.oracle)
+    assert ok, msg
