@@ -194,6 +194,8 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.pipeline_guard",
     "bigbugdata_spark.streaming.mad",
     "bigbugdata_spark.operators.similarity_rank",
+    "bigbugdata_spark.operators.dq_seq",
+    "bigbugdata_spark.operators.similarity_tri",
 )
 
 

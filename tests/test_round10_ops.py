@@ -334,3 +334,85 @@ def test_pagerank_planted_structure(tmp_path, spark):
     q = SPECS["sim_pagerank"]
     ok, msg = compare(q.fn(spark, str(emb_dir)), con, q.oracle)
     assert ok, msg
+
+
+def test_id_completeness_counts_planted_defects(tmp_path, spark):
+    """dq_id_completeness's defect counters on a planted corpus: events
+    with ids {0..9} minus {3, 7} plus a double-delivered 5 -> span 10,
+    8 distinct, 2 missing, 1 duplicate; orders dense and clean -> zero
+    defects.  Oracle re-derives both cards."""
+    from tests.parity import compare
+
+    ids = [i for i in range(10) if i not in (3, 7)] + [5]
+    ev = spark.createDataFrame(
+        [(i, 100 + i, "click", "2024-01-05 10:00:00", 1.0) for i in ids],
+        "event_id long, user_id long, event_type string, ts string, value double",
+    ).selectExpr(
+        "event_id", "user_id", "event_type",
+        "CAST(ts AS TIMESTAMP) AS ts", "value",
+    )
+    orders = spark.createDataFrame(
+        [(k, 1, "O") for k in range(5)],
+        "o_orderkey long, o_custkey long, o_orderstatus string",
+    )
+    d = tmp_path / "seq"
+    ev.write.parquet(str(d / "events.parquet"))
+    orders.write.parquet(str(d / "orders.parquet"))
+
+    got = {
+        r["feed"]: r
+        for r in SPECS["dq_id_completeness"].fn(spark, str(d)).collect()
+    }
+    e = got["events"]
+    assert (e["n_rows"], e["n_ids"], e["span"]) == (9, 8, 10)
+    assert (e["n_missing"], e["n_dupes"]) == (2, 1)
+    o = got["orders"]
+    assert (o["n_missing"], o["n_dupes"]) == (0, 0)
+
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{d}/{t}.parquet/*.parquet'"
+        )
+    q = SPECS["dq_id_completeness"]
+    ok, msg = compare(q.fn(spark, str(d)), con, q.oracle)
+    assert ok, msg
+
+
+def test_triangle_stats_planted_cliques(tmp_path, spark):
+    """sim_triangle_stats on the two-clique + isolated corpus: every
+    clique member sits in C(5,2) = 10 triangles at degree 5; the
+    isolated vector reports 0/0; oracle agrees."""
+    from tests.parity import compare
+
+    dim = 64
+    e0 = [1.0] + [0.0] * (dim - 1)
+    e1 = [0.0, 1.0] + [0.0] * (dim - 2)
+    e2 = [0.0, 0.0, 1.0] + [0.0] * (dim - 3)
+    rows = (
+        [(i, e0, 7) for i in range(6)]
+        + [(i, e1, 3) for i in range(6, 12)]
+        + [(12, e2, 9)]
+    )
+    emb_dir = tmp_path / "emb"
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(emb_dir / "embeddings.parquet"))
+
+    got = {
+        r["vec_id"]: r
+        for r in SPECS["sim_triangle_stats"].fn(spark, str(emb_dir)).collect()
+    }
+    for i in range(12):
+        assert (got[i]["deg"], got[i]["n_triangles"]) == (5, 10)
+    assert (got[12]["deg"], got[12]["n_triangles"]) == (0, 0)
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{emb_dir}/embeddings.parquet/*.parquet'"
+    )
+    q = SPECS["sim_triangle_stats"]
+    ok, msg = compare(q.fn(spark, str(emb_dir)), con, q.oracle)
+    assert ok, msg
