@@ -196,6 +196,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.similarity_rank",
     "bigbugdata_spark.operators.dq_seq",
     "bigbugdata_spark.operators.similarity_tri",
+    "bigbugdata_spark.operators.events_qtrend",
 )
 
 
