@@ -135,7 +135,14 @@ def text_fingerprint(text: Column) -> Column:
 
 def dot(a: Column, b: Column) -> Column:
     """Float-array dot product in double precision, summed left-to-right
-    (matches the oracle's list_reduce order for bit-identical results)."""
+    (matches the oracle's list_reduce order for bit-identical results).
+
+    Measured r10, do not "optimize": unrolling this to a fixed 64-term
+    element_at chain (bit-identical association) made the all-nodes kNN
+    scoring 4x SLOWER (5.2 s -> 20 s warm at sf0.1) — the deep chained
+    expression falls out of codegen while the HOF fold stays in the
+    vectorized array path.  The aggregate/zip_with form IS the fast
+    path."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
