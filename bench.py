@@ -64,6 +64,9 @@ MODERN_HEADLINE = (
     "sim_knn_graph",
     "pipe_release_manifest",
     "text_bpe_train",
+    # r10: the graph-iterative representative (integer fixed-point
+    # rounds over the mutual-kNN edge list)
+    "sim_pagerank",
 )
 
 # iterations per query: the first execution of each distinct plan pays

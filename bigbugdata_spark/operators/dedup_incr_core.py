@@ -92,34 +92,38 @@ def _incoming_col():
     )
 
 
-def _corpus_path_fp(sf_dir: str) -> str:
+def _corpus_path_fp(sf_dir: str, table_file: str = "documents.parquet") -> str:
     """8-hex digest of the corpus' resolved path alone — the sweep
     scope: generations from OTHER corpora share the table-name prefix
     but not this component, so they are never swept."""
     import hashlib
     from pathlib import Path
 
-    p = Path(sf_dir) / "documents.parquet"
+    p = Path(sf_dir) / table_file
     return hashlib.sha256(str(p.resolve()).encode()).hexdigest()[:8]
 
 
-def _corpus_fingerprint(sf_dir: str) -> str:
-    """Fingerprint of documents.parquet: 8 hex chars of path digest +
+def _corpus_fingerprint(
+    sf_dir: str, table_file: str = "documents.parquet"
+) -> str:
+    """Fingerprint of one source table: 8 hex chars of path digest +
     8 of content digest (file sizes + mtimes) — the persisted indexes
     are keyed by the full 16, so a regenerated corpus (or a different
     scale factor at the same path) never serves a stale index, while
-    the path prefix lets sweeps stay corpus-scoped."""
+    the path prefix lets sweeps stay corpus-scoped.  `table_file`
+    defaults to the dedup indexes' documents source; the rollup store
+    fingerprints events.parquet through the same helper."""
     import hashlib
     from pathlib import Path
 
-    p = Path(sf_dir) / "documents.parquet"
+    p = Path(sf_dir) / table_file
     h = hashlib.sha256()
     files = sorted(p.rglob("*")) if p.is_dir() else [p]
     for f in files:
         if f.is_file():
             st = f.stat()
             h.update(f"{f.name}:{st.st_size}:{st.st_mtime_ns};".encode())
-    return _corpus_path_fp(sf_dir) + h.hexdigest()[:8]
+    return _corpus_path_fp(sf_dir, table_file) + h.hexdigest()[:8]
 
 
 def sweep_stale_generations(

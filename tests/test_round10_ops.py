@@ -416,3 +416,81 @@ def test_triangle_stats_planted_cliques(tmp_path, spark):
     q = SPECS["sim_triangle_stats"]
     ok, msg = compare(q.fn(spark, str(emb_dir)), con, q.oracle)
     assert ok, msg
+
+
+def test_rollup_store_multicycle_append_equals_recompute(tmp_path, spark):
+    """evt_rollup_materialized's maintenance path: build the partial
+    store on a base slice, append two ingest batches, and the merged
+    rollup must equal a direct recompute over the full table after each
+    cycle; a warm serve must scan ONLY the partial store."""
+    from pyspark.sql import functions as F
+
+    from bigbugdata_spark.operators.dedup_incr_core import _corpus_fingerprint
+    from bigbugdata_spark.operators.events_rollup_incr import (
+        append_batch_to_rollup,
+        rollup_store,
+    )
+    from bigbugdata_spark.plans import inspect as I
+
+    def ev_rows(lo, hi):
+        return [
+            (
+                i,
+                100 + i % 7,
+                ["click", "view", "purchase"][i % 3],
+                f"2024-01-{(i % 9) + 1:02d} 10:{i % 60:02d}:00",
+                float(i % 50) + 0.25,
+            )
+            for i in range(lo, hi)
+        ]
+
+    schema = (
+        "event_id long, user_id long, event_type string, "
+        "ts string, value double"
+    )
+
+    def write(rows, d):
+        spark.createDataFrame(rows, schema).selectExpr(
+            "event_id", "user_id", "event_type",
+            "CAST(ts AS TIMESTAMP) AS ts", "value",
+        ).write.parquet(str(d / "events.parquet"))
+
+    base_dir = tmp_path / "base"
+    write(ev_rows(0, 60), base_dir)
+    fp = _corpus_fingerprint(str(base_dir), "events.parquet")
+    rollup_store(spark, str(base_dir))
+
+    full = spark.createDataFrame(ev_rows(0, 100), schema).selectExpr(
+        "event_id", "user_id", "event_type",
+        "CAST(ts AS TIMESTAMP) AS ts", "value",
+    )
+    for cycle, (lo, hi) in enumerate(((60, 80), (80, 100))):
+        batch = full.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+        )
+        append_batch_to_rollup(spark, batch, fp)
+        served = (
+            spark.table(f"evt_rollup_{fp}")
+            .groupBy("day", "event_type")
+            .agg(
+                F.sum("n_part").alias("n"),
+                F.sum("cents_part").alias("c"),
+            )
+        )
+        want = (
+            full.filter(F.col("event_id") < hi)
+            .select(
+                F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                "event_type",
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+            .groupBy("day", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c"))
+        )
+        got = sorted(map(tuple, served.collect()))
+        ref = sorted(map(tuple, want.collect()))
+        assert got == ref, f"cycle {cycle}: merged rollup != recompute"
+
+    served = rollup_store(spark, str(base_dir))
+    scans = I.read_columns(served)
+    assert scans == [{"day", "event_type", "n_part", "cents_part"}], scans
