@@ -111,14 +111,19 @@ def append_batch_to_rollup(
     append_bucketed(_rollup_partials(batch_ev), f"{_PREFIX}{fp}", "day")
 
 
+#: the rollup ground truth — shared verbatim with the streaming
+#: maintenance path (streaming/rollup.py), whose claim is stream==batch
+ROLLUP_ORACLE_SQL = f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM({CENTS_SQL}) AS BIGINT) AS sum_cents
+    FROM events GROUP BY day, event_type
+"""
+
+
 @register(
     "evt_rollup_materialized",
-    oracle=f"""
-        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
-               CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(SUM({CENTS_SQL}) AS BIGINT) AS sum_cents
-        FROM events GROUP BY day, event_type
-    """,
+    oracle=ROLLUP_ORACLE_SQL,
     tags=("events", "storage", "agg"),
 )
 def evt_rollup_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -494,3 +494,41 @@ def test_rollup_store_multicycle_append_equals_recompute(tmp_path, spark):
     served = rollup_store(spark, str(base_dir))
     scans = I.read_columns(served)
     assert scans == [{"day", "event_type", "n_part", "cents_part"}], scans
+
+
+def test_stream_rollup_replay_idempotent(tmp_path, spark):
+    """A redelivered micro-batch (same batch_id) must leave the merged
+    rollup unchanged — the overwrite-own-partition idempotence contract
+    — and distinct batches must accumulate."""
+    from pyspark.sql import functions as F
+
+    from bigbugdata_spark.streaming.rollup import (
+        merged_rollup,
+        write_rollup_batch,
+    )
+
+    def ev(lo, hi):
+        return spark.createDataFrame(
+            [
+                (i, 1, "click", f"2024-01-0{(i % 3) + 1} 09:00:00", 2.5)
+                for i in range(lo, hi)
+            ],
+            "event_id long, user_id long, event_type string, "
+            "ts string, value double",
+        ).selectExpr(
+            "event_id", "user_id", "event_type",
+            "CAST(ts AS TIMESTAMP) AS ts", "value",
+        )
+
+    out = str(tmp_path / "store")
+    write_rollup_batch(ev(0, 30), 0, out)
+    once = sorted(map(tuple, merged_rollup(spark, out).collect()))
+    write_rollup_batch(ev(0, 30), 0, out)  # redelivery
+    replay = sorted(map(tuple, merged_rollup(spark, out).collect()))
+    assert replay == once
+    write_rollup_batch(ev(30, 40), 1, out)  # genuinely new batch
+    grown = {
+        (r["day"], r["event_type"]): r["n_events"]
+        for r in merged_rollup(spark, out).collect()
+    }
+    assert sum(grown.values()) == 40
