@@ -160,6 +160,29 @@ def _cmd_filter_reports(args) -> None:
     _write_stdout_csv(rows, out_fields)
 
 
+def _cmd_query(args) -> None:
+    """Run one registered query by name (or list them all): the CLI door
+    to the extension surface, so the engine is usable as a tool beyond
+    the reference's four kraken commands."""
+    from bigbugdata_spark.registry import load_all
+
+    specs = load_all()
+    if args.name is None:
+        for name in sorted(specs):
+            doc = specs[name].doc.split("\n")[0][:76]
+            print(f"{name}\t{doc}")
+        return
+    if args.name not in specs:
+        sys.exit(f"unknown query {args.name!r} (run `query` with no name to list)")
+    spark = get_spark("bigbugdata-query")
+    df = specs[args.name].fn(spark, args.sf_dir)
+    if args.output:
+        df.write.mode("overwrite").option("header", True).csv(args.output)
+        print(args.output)
+    else:
+        df.show(args.limit, truncate=False)
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="bigbugdata-spark")
     parser.add_argument(
@@ -207,6 +230,22 @@ def build_parser() -> argparse.ArgumentParser:
     frep_p.add_argument("--folder", required=True)
     frep_p.add_argument("--taxids", required=True)
     frep_p.set_defaults(func=_cmd_filter_reports)
+
+    q_p = sub.add_parser(
+        "query",
+        help="run any registered engine query (beyond the reference's "
+             "surface) against a testdata directory",
+    )
+    q_p.add_argument("name", nargs="?", default=None,
+                     help="registered query name; omit to list all")
+    q_p.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                     help="parquet table directory (default: sf0.01)")
+    q_p.add_argument("-o", "--output", default=None,
+                     help="write result as CSV to this directory instead "
+                          "of printing the first rows")
+    q_p.add_argument("--limit", type=int, default=20,
+                     help="rows to print when not writing (default: 20)")
+    q_p.set_defaults(func=_cmd_query)
     return parser
 
 

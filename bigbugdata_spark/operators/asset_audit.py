@@ -33,6 +33,12 @@ from bigbugdata_spark.registry import register
 
 _SLICE_MOD, _SLICE_REM = 10, 7
 _LAND_PARTITIONS = 2
+#: hard ceiling on the fixture-synthesis collect (VERDICT r9 watch #3):
+#: the 1-in-_SLICE_MOD slice is ~200 docs at the sf0.01 gate and ~2k at
+#: bench SF; if a future SF pushes the slice past this, fail loudly
+#: instead of silently materializing an unbounded driver-side fixture —
+#: a real ingest reads an existing directory and never runs this step.
+_FIXTURE_CAP = 5_000
 
 ASSET_ORACLE_SQL = f"""
     WITH sliced AS (
@@ -82,12 +88,20 @@ def mm_asset_lake_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bounded fixture synthesis (1-in-_SLICE_MOD docs at test SF):
         # files named <lang>/d<doc_id padded to 8>.<png|bin>, payload =
         # the UTF-8 text bytes
-        rows = (
+        sliced = (
             table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") % _SLICE_MOD == _SLICE_REM)
             .select("doc_id", "text", "lang")
-            .collect()
         )
+        n_slice = sliced.count()
+        if n_slice > _FIXTURE_CAP:
+            raise RuntimeError(
+                f"asset fixture slice is {n_slice} docs (> {_FIXTURE_CAP}): "
+                "this gate's driver-side synthesis is test-scale-only — "
+                "raise _SLICE_MOD or point a real ingest at an existing "
+                "directory instead"
+            )
+        rows = sliced.collect()
         for r in rows:
             # the slice fixes doc_id mod _SLICE_MOD, so parity must come
             # from the quotient or one modality would never occur
