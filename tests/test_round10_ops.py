@@ -532,3 +532,65 @@ def test_stream_rollup_replay_idempotent(tmp_path, spark):
         for r in merged_rollup(spark, out).collect()
     }
     assert sum(grown.values()) == 40
+
+
+def test_privacy_release_guarantee_live(spark, sf_oracle):
+    """pipe_privacy_release on the real fixture: both sides of the gate
+    are live (every type releases AND suppresses something here), the
+    released+suppressed split conserves dq_k_anonymity's row totals,
+    and every released minimum carries the k guarantee."""
+    from bigbugdata_spark.operators.dq_anon import K_ANON
+
+    audit = {
+        r["event_type"]: r
+        for r in SPECS["dq_k_anonymity"].fn(spark, sf_oracle).collect()
+    }
+    rel = {
+        r["event_type"]: r
+        for r in SPECS["pipe_privacy_release"].fn(spark, sf_oracle).collect()
+    }
+    assert set(audit) == set(rel) and audit
+    for t, a in audit.items():
+        r = rel[t]
+        assert r["n_released"] + r["n_suppressed"] == a["n_rows"]
+        assert r["n_suppressed"] == a["n_rows_at_risk"]
+        assert r["n_released"] > 0 and r["n_suppressed"] > 0
+        if r["min_released_cell"] is not None:
+            assert r["min_released_cell"] >= K_ANON
+
+
+def test_central_exemplars_planted_cliques(tmp_path, spark):
+    """sim_central_exemplars on the two-clique + isolated corpus: each
+    clique's PageRank is symmetric, so the argmax tie-break keeps the
+    minimum id; the isolated vector is its own exemplar at the teleport
+    floor; n_members match the planted structure."""
+    from bigbugdata_spark.operators.similarity_rank import (
+        _DAMP_DEN,
+        _TELEPORT_NUM,
+        PR_SCALE,
+    )
+
+    dim = 64
+    e0 = [1.0] + [0.0] * (dim - 1)
+    e1 = [0.0, 1.0] + [0.0] * (dim - 2)
+    e2 = [0.0, 0.0, 1.0] + [0.0] * (dim - 3)
+    rows = (
+        [(i, e0, 7) for i in range(6)]
+        + [(i, e1, 3) for i in range(6, 12)]
+        + [(12, e2, 9)]
+    )
+    emb_dir = tmp_path / "emb"
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(emb_dir / "embeddings.parquet"))
+
+    got = {
+        r["component"]: r
+        for r in SPECS["sim_central_exemplars"].fn(spark, str(emb_dir)).collect()
+    }
+    assert set(got) == {0, 6, 12}
+    assert (got[0]["n_members"], got[0]["exemplar_id"]) == (6, 0)
+    assert (got[6]["n_members"], got[6]["exemplar_id"]) == (6, 6)
+    teleport = (_TELEPORT_NUM * PR_SCALE) // (_DAMP_DEN * 13)
+    assert (got[12]["n_members"], got[12]["exemplar_id"]) == (1, 12)
+    assert got[12]["exemplar_pr_ppb"] == teleport
