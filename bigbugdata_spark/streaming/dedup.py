@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigbugdata_spark.registry import register
 from bigbugdata_spark.streaming.core import _run_to_memory, stream_events
 
 DEDUP_KEYS = ["user_id", "event_type", "value_cents"]
@@ -43,6 +44,15 @@ def _keyed(events: DataFrame) -> DataFrame:
     )
 
 
+@register(
+    "evt_stream_dedup",
+    oracle="""
+        SELECT DISTINCT user_id, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+        FROM events
+    """,
+    tags=("streaming", "dedup"),
+)
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked streaming dedup: one surviving row per key, with key
     state evicted once the watermark passes 10 minutes beyond the key's

@@ -594,3 +594,141 @@ def test_central_exemplars_planted_cliques(tmp_path, spark):
     teleport = (_TELEPORT_NUM * PR_SCALE) // (_DAMP_DEN * 13)
     assert (got[12]["n_members"], got[12]["exemplar_id"]) == (1, 12)
     assert got[12]["exemplar_pr_ppb"] == teleport
+
+
+def _plant_events(spark, d, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts string, value double",
+    ).selectExpr(
+        "event_id", "user_id", "event_type",
+        "CAST(ts AS TIMESTAMP) AS ts", "value",
+    ).write.parquet(str(d / "events.parquet"))
+
+
+def test_ewma_exact_dyadic_smoothing(tmp_path, spark):
+    """evt_ewma_daily on a planted series (daily cents 100, 200, 400,
+    gap, 800): the dyadic decay-1/2 weights and the truncated geometric
+    mass 2 - 2^-m give hand-computable EXACT doubles — including the
+    calendar gap contributing zero mass while still aging the weights."""
+    from tests.parity import compare
+
+    d = tmp_path / "ewma"
+    rows = [
+        (0, 1, "click", "2024-01-01 10:00:00", 1.00),
+        (1, 1, "click", "2024-01-02 10:00:00", 2.00),
+        (2, 1, "click", "2024-01-03 10:00:00", 4.00),
+        (3, 1, "click", "2024-01-05 10:00:00", 8.00),
+    ]
+    _plant_events(spark, d, rows)
+    got = {
+        r["day"]: r for r in SPECS["evt_ewma_daily"].fn(spark, str(d)).collect()
+    }
+    assert got["2024-01-01"]["ewma_cents"] == 100.0  # mass 1
+    assert got["2024-01-02"]["ewma_cents"] == (200 + 50) / 1.5
+    assert got["2024-01-03"]["ewma_cents"] == (400 + 100 + 25) / 1.75
+    # day 4 absent (no synthesized calendar rows); day 5's window spans
+    # the gap: (800 + 400/4 + 200/8 + 100/16) / (2 - 1/16)
+    assert "2024-01-04" not in got
+    assert got["2024-01-05"]["ewma_cents"] == 931.25 / 1.9375
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{d}/events.parquet/*.parquet'"
+    )
+    ok, msg = compare(
+        SPECS["evt_ewma_daily"].fn(spark, str(d)),
+        con,
+        SPECS["evt_ewma_daily"].oracle,
+    )
+    assert ok, msg
+
+
+def test_key_skew_card(tmp_path, spark):
+    """prof_key_skew on planted counts 5/3/1/1: exact shares, integer
+    cumulative counts, and the (cnt DESC, key ASC) tie-break."""
+    d = tmp_path / "skew"
+    rows = []
+    eid = 0
+    for user, n in ((1, 5), (2, 3), (3, 1), (4, 1)):
+        for _ in range(n):
+            rows.append((eid, user, "click", "2024-01-05 10:00:00", 1.0))
+            eid += 1
+    _plant_events(spark, d, rows)
+    got = [
+        tuple(r)
+        for r in SPECS["prof_key_skew"].fn(spark, str(d)).orderBy("rnk").collect()
+    ]
+    assert got == [
+        (1, 1, 5, 0.5, 0.5, 4, 10),
+        (2, 2, 3, 0.3, 0.8, 4, 10),
+        (3, 3, 1, 0.1, 0.9, 4, 10),
+        (4, 4, 1, 0.1, 1.0, 4, 10),
+    ]
+
+
+def test_join_cardinality_card(tmp_path, spark):
+    """prof_join_cardinality on planted per-key counts (events 3/2/1 on
+    keys 1/2/5, orders 2/1/4 on keys 1/2/9): join size 3*2 + 2*1 = 8
+    predicted without running the join; worst key 1 contributes 6."""
+    d = tmp_path / "jc"
+    rows = []
+    eid = 0
+    for user, n in ((1, 3), (2, 2), (5, 1)):
+        for _ in range(n):
+            rows.append((eid, user, "click", "2024-01-05 10:00:00", 1.0))
+            eid += 1
+    _plant_events(spark, d, rows)
+    orows = []
+    ok_ = 0
+    for cust, n in ((1, 2), (2, 1), (9, 4)):
+        for _ in range(n):
+            orows.append((ok_, cust, "O"))
+            ok_ += 1
+    spark.createDataFrame(
+        orows, "o_orderkey long, o_custkey long, o_orderstatus string"
+    ).write.parquet(str(d / "orders.parquet"))
+    row = SPECS["prof_join_cardinality"].fn(spark, str(d)).collect()[0]
+    assert tuple(row) == (6, 3, 7, 3, 2, 8, 1, 6)
+
+
+def test_null_profile_counts(tmp_path, spark):
+    """dq_null_profile on planted documents exercising the null and
+    blank paths the real corpus has none of; oracle parity on the same
+    planted dir pins the UNION-ALL twin."""
+    from tests.parity import compare
+
+    d = tmp_path / "nulls"
+    docs = [
+        (0, "a", "en", "s", 1),
+        (1, "b", "en", "", 1),
+        (2, None, None, "s2", 2),
+        (3, "  ", "en", "s3", 2),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+    got = {
+        r["col_name"]: r
+        for r in SPECS["dq_null_profile"].fn(spark, str(d)).collect()
+    }
+    assert len(got) == 5
+    t = got["text"]
+    assert (t["n_null"], t["n_blank"], t["n_distinct"]) == (1, 1, 3)
+    lang = got["lang"]
+    assert (lang["n_null"], lang["n_blank"], lang["n_distinct"]) == (1, 0, 1)
+    src = got["source"]
+    assert (src["n_null"], src["n_blank"], src["n_distinct"]) == (0, 1, 4)
+    assert (got["doc_id"]["n_distinct"], got["n_chars"]["n_distinct"]) == (4, 2)
+    assert all(r["n_rows"] == 4 for r in got.values())
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{d}/documents.parquet/*.parquet'"
+    )
+    ok, msg = compare(
+        SPECS["dq_null_profile"].fn(spark, str(d)),
+        con,
+        SPECS["dq_null_profile"].oracle,
+    )
+    assert ok, msg
