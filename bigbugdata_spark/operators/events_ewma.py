@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigbugdata_spark.caching import pin
 from bigbugdata_spark.catalog import table
 from bigbugdata_spark.functions.fragments import CENTS_SQL, cents_col
 from bigbugdata_spark.registry import register
@@ -73,9 +74,14 @@ def evt_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     20-day horizon, truncated-window weights renormalized by the exact
     geometric mass 2 - 2^-m) — the smoothed activity baseline per type."""
     ev = table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.sum(cents_col()).cast("long").alias("n_cents"))
+    # pin the panel: both join sides AND the day0 scalar reuse it —
+    # without the pin each consumer re-scans and re-aggregates the raw
+    # events (4 scans of the 100 TB table for one calendar-sized frame)
+    daily = pin(
+        ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+            F.sum(cents_col()).cast("long").alias("n_cents")
+        )
+    )
     day0 = daily.agg(F.min("day").alias("day0"))
     idx = daily.crossJoin(F.broadcast(day0)).select(
         "event_type",

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigbugdata_spark.caching import pin
 from bigbugdata_spark.catalog import table
 from bigbugdata_spark.registry import register
 
@@ -75,18 +76,22 @@ def prof_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_common_keys, join_rows, max_key, max_key_rows) — the exact output
     size and worst-key contribution of the events-x-orders enrichment
     join, derived from per-key counts without executing the join."""
-    c1 = (
+    # pinned: each key frame feeds both its side-total aggregate and the
+    # overlap join; each raw table is scanned exactly once
+    c1 = pin(
         table(spark, sf_dir, "events")
         .groupBy(F.col("user_id").alias("k"))
         .agg(F.count(F.lit(1)).alias("n1"))
     )
-    c2 = (
+    c2 = pin(
         table(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("k"))
         .agg(F.count(F.lit(1)).alias("n2"))
     )
-    j = c1.join(c2, "k").select(
-        "k", "n1", "n2", (F.col("n1") * F.col("n2")).alias("contrib")
+    j = pin(
+        c1.join(c2, "k").select(
+            "k", "n1", "n2", (F.col("n1") * F.col("n2")).alias("contrib")
+        )
     )
     lt = c1.agg(
         F.sum("n1").cast("long").alias("n_left"),

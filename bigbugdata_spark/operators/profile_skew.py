@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bigbugdata_spark.caching import pin
 from bigbugdata_spark.catalog import table
 from bigbugdata_spark.registry import register
 
@@ -72,7 +73,9 @@ def prof_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(rnk, user_id, cnt, share, cum_share, n_keys, n_rows): the
     TOP_KEYS heaviest keys of events.user_id with exact row shares and
     the key-space totals — the shuffle-planning skew card."""
-    counts = (
+    # pinned: the totals aggregate and the top-K both consume the key
+    # frame — without the pin each re-scans the raw table
+    counts = pin(
         table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("cnt"))

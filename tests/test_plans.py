@@ -587,3 +587,26 @@ def test_cohort_queries_single_scan_window_derivation(spark, sf):
         assert I.join_kinds(df) == [], name
         assert I.shuffle_count(df) <= budget, name
         assert I.unbounded_global_windows(df) == [], name
+
+
+def test_r10_profile_cards_scan_raw_tables_once(spark, sf):
+    """The round-10 diagnostic cards pin their key/panel frames so every
+    multi-consumer plan (totals + top-K, both join sides + day0 scalar)
+    reads the RAW table exactly once — at 100 TB the difference between
+    one scan and four is the whole query cost.  Windows stay bounded
+    (post-limit frames only)."""
+    import bigbugdata_spark.plans.inspect as I
+    from bigbugdata_spark.caching import release_pinned
+
+    try:
+        for name, raw_scans in (
+            ("prof_key_skew", 1),
+            ("prof_join_cardinality", 2),
+            ("evt_ewma_daily", 1),
+            ("dq_null_profile", 1),
+        ):
+            df = SPECS[name].fn(spark, sf)
+            assert len(I.scan_info(df)) == raw_scans, name
+            assert I.unbounded_global_windows(df) == [], name
+    finally:
+        release_pinned()
