@@ -133,3 +133,68 @@ def test_pipeline_invariants(spark, tmp_path_factory, corpus):
         per_taxon[c["taxID"]] = per_taxon.get(c["taxID"], 0) + c["reads"]
         totals[c["taxID"]] = c["total_reads"]
     assert per_taxon == totals
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    series=st.dictionaries(
+        st.integers(min_value=0, max_value=40),
+        st.integers(min_value=0, max_value=10**6),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_ewma_dyadic_exactness(spark, tmp_path_factory, series):
+    """evt_ewma_daily's central claim, property-tested: because every
+    weight is a dyadic 2^-k and daily totals are integer cents, the
+    weighted numerator and the geometric mass are EXACTLY representable
+    doubles, so the engine's double must equal driver-side Fraction
+    arithmetic (rounded only at the single final division) on ANY
+    sparse integer series — not just the hand-picked fixture."""
+    import datetime as dt
+    from fractions import Fraction
+
+    from bigbugdata_spark.caching import release_pinned
+    from bigbugdata_spark.operators.events_ewma import EWMA_WINDOW
+    from bigbugdata_spark.registry import load_all
+
+    d = tmp_path_factory.mktemp("ewma_prop")
+    base = dt.date(2024, 1, 1)
+    rows = [
+        (i, 1, "click", f"{base + dt.timedelta(days=off)} 10:00:00", c / 100.0)
+        for i, (off, c) in enumerate(sorted(series.items()))
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts string, value double",
+    ).selectExpr(
+        "event_id", "user_id", "event_type",
+        "CAST(ts AS TIMESTAMP) AS ts", "value",
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    try:
+        got = {
+            r["day"]: (r["n_cents"], r["ewma_cents"])
+            for r in load_all()["evt_ewma_daily"].fn(spark, str(d)).collect()
+        }
+    finally:
+        release_pinned()
+
+    off0 = min(series)
+    assert len(got) == len(series)
+    for off, cents in series.items():
+        idx = off - off0
+        num = sum(
+            Fraction(series.get(off - k, 0), 2**k)
+            for k in range(EWMA_WINDOW)
+        )
+        mass = Fraction(2) - Fraction(1, 2 ** min(EWMA_WINDOW - 1, idx))
+        day = str(base + dt.timedelta(days=off))
+        # num and mass are dyadic -> float() is exact; the final IEEE
+        # division is the only rounding step, identical in the JVM
+        expect = float(num) / float(mass)
+        assert got[day] == (cents, expect), (day, got[day], (cents, expect))
