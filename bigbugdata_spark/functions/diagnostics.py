@@ -1,0 +1,145 @@
+"""Reusable table-diagnostic primitives — the generic cores behind the
+registered profiling queries (prof_key_skew, prof_join_cardinality,
+dq_null_profile), exposed as plain DataFrame->DataFrame functions so
+any table/key can be profiled, not just the demo bindings the oracle
+gate pins.
+
+Each function keeps the registered query's scale contract:
+- one map-side-combinable pass over the raw input;
+- every subsequent stage runs on a key-/column-cardinality-sized frame;
+- BIGINT arithmetic throughout (single IEEE divisions for shares);
+- top-K via orderBy+limit (TakeOrderedAndProject), windows only over
+  the post-limit frame.
+
+Every card's aggregated frame feeds multiple consumers (totals + top-K;
+side totals + overlap join), so each is pinned via the caching
+contract (bigbugdata_spark.caching) — one raw scan per input table;
+callers release with release_pinned() per that contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bigbugdata_spark.caching import pin
+
+
+def key_skew(df: DataFrame, key: str, top: int = 25) -> DataFrame:
+    """Top-`top` heaviest values of `df[key]` with exact share and
+    cumulative share, plus key-space totals — the pre-shuffle skew card
+    for any prospective join/aggregation key."""
+    counts = pin(df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt")))
+    tot = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+    )
+    head = counts.orderBy(F.desc("cnt"), F.asc(key)).limit(top)
+    order = Window.orderBy(F.desc("cnt"), F.asc(key))
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        head.select(
+            F.row_number().over(order).cast("long").alias("rnk"),
+            key,
+            "cnt",
+            F.sum("cnt").over(run).alias("cum_cnt"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rnk",
+            key,
+            "cnt",
+            (F.col("cnt") / F.col("n_rows").cast("double")).alias("share"),
+            (F.col("cum_cnt") / F.col("n_rows").cast("double")).alias(
+                "cum_share"
+            ),
+            "n_keys",
+            "n_rows",
+        )
+    )
+
+
+def join_cardinality(
+    left: DataFrame, left_key: str, right: DataFrame, right_key: str
+) -> DataFrame:
+    """One row predicting the equi-join `left.left_key = right.right_key`
+    from per-key counts: side row/key totals, key overlap, exact output
+    size, and the worst key's contribution — without running the join."""
+    c1 = pin(
+        left.groupBy(F.col(left_key).alias("k")).agg(
+            F.count(F.lit(1)).alias("n1")
+        )
+    )
+    c2 = pin(
+        right.groupBy(F.col(right_key).alias("k")).agg(
+            F.count(F.lit(1)).alias("n2")
+        )
+    )
+    j = pin(
+        c1.join(c2, "k").select(
+            "k", "n1", "n2", (F.col("n1") * F.col("n2")).alias("contrib")
+        )
+    )
+    lt = c1.agg(
+        F.sum("n1").cast("long").alias("n_left"),
+        F.count(F.lit(1)).alias("n_left_keys"),
+    )
+    rt = c2.agg(
+        F.sum("n2").cast("long").alias("n_right"),
+        F.count(F.lit(1)).alias("n_right_keys"),
+    )
+    jt = j.agg(
+        F.count(F.lit(1)).alias("n_common_keys"),
+        F.coalesce(F.sum("contrib"), F.lit(0)).cast("long").alias("join_rows"),
+    )
+    worst = (
+        j.orderBy(F.desc("contrib"), F.asc("k"))
+        .limit(1)
+        .select(
+            F.col("k").alias("max_key"),
+            F.col("contrib").alias("max_key_rows"),
+        )
+    )
+    return (
+        lt.crossJoin(F.broadcast(rt))
+        .crossJoin(F.broadcast(jt))
+        .crossJoin(F.broadcast(worst))
+        .select(
+            "n_left",
+            "n_left_keys",
+            "n_right",
+            "n_right_keys",
+            "n_common_keys",
+            "join_rows",
+            "max_key",
+            "max_key_rows",
+        )
+    )
+
+
+def null_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """(col_name, n_rows, n_null, n_blank, n_distinct) for each of
+    `cols` (default: every column) in ONE scan — columns unpivot
+    map-side into (col_name, value-as-string) pairs; the distinct
+    aggregate shuffles each column's vocabulary, not its row count."""
+    use = list(cols) if cols is not None else list(df.columns)
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in use
+                ]
+            )
+        ).alias("s")
+    ).select("s.col_name", "s.v")
+    blank = (F.col("v").isNotNull() & (F.trim("v") == "")).cast("long")
+    return pairs.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("v").isNull().cast("long")).alias("n_null"),
+        F.sum(blank).alias("n_blank"),
+        F.countDistinct("v").alias("n_distinct"),
+    )

@@ -24,9 +24,9 @@ count shuffles its vocabulary, not its row count.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from bigbugdata_spark.catalog import table
+from bigbugdata_spark.functions.diagnostics import null_profile
 from bigbugdata_spark.registry import register
 
 _DOC_COLS = ("doc_id", "text", "lang", "source", "n_chars")
@@ -58,25 +58,7 @@ def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(col_name, n_rows, n_null, n_blank, n_distinct) for every column
     of documents — the uniform one-scan completeness card (the oracle
     spells it as one UNION ALL branch per column; the Spark plan
-    unpivots map-side and profiles all columns in a single pass)."""
-    docs = table(spark, sf_dir, "documents")
-    pairs = docs.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("col_name"),
-                        F.col(c).cast("string").alias("v"),
-                    )
-                    for c in _DOC_COLS
-                ]
-            )
-        ).alias("s")
-    ).select("s.col_name", "s.v")
-    blank = (F.col("v").isNotNull() & (F.trim("v") == "")).cast("long")
-    return pairs.groupBy("col_name").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("v").isNull().cast("long")).alias("n_null"),
-        F.sum(blank).alias("n_blank"),
-        F.countDistinct("v").alias("n_distinct"),
-    )
+    unpivots map-side and profiles all columns in a single pass; the
+    generic core, usable on any table, is
+    functions.diagnostics.null_profile)."""
+    return null_profile(table(spark, sf_dir, "documents"), list(_DOC_COLS))

@@ -22,10 +22,9 @@ pick is orderBy+limit -> TakeOrderedAndProject over the key frame.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from bigbugdata_spark.caching import pin
 from bigbugdata_spark.catalog import table
+from bigbugdata_spark.functions.diagnostics import join_cardinality
 from bigbugdata_spark.registry import register
 
 _JOINCARD_SQL = """
@@ -75,56 +74,12 @@ def prof_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row: (n_left, n_left_keys, n_right, n_right_keys,
     n_common_keys, join_rows, max_key, max_key_rows) — the exact output
     size and worst-key contribution of the events-x-orders enrichment
-    join, derived from per-key counts without executing the join."""
-    # pinned: each key frame feeds both its side-total aggregate and the
-    # overlap join; each raw table is scanned exactly once
-    c1 = pin(
-        table(spark, sf_dir, "events")
-        .groupBy(F.col("user_id").alias("k"))
-        .agg(F.count(F.lit(1)).alias("n1"))
-    )
-    c2 = pin(
-        table(spark, sf_dir, "orders")
-        .groupBy(F.col("o_custkey").alias("k"))
-        .agg(F.count(F.lit(1)).alias("n2"))
-    )
-    j = pin(
-        c1.join(c2, "k").select(
-            "k", "n1", "n2", (F.col("n1") * F.col("n2")).alias("contrib")
-        )
-    )
-    lt = c1.agg(
-        F.sum("n1").cast("long").alias("n_left"),
-        F.count(F.lit(1)).alias("n_left_keys"),
-    )
-    rt = c2.agg(
-        F.sum("n2").cast("long").alias("n_right"),
-        F.count(F.lit(1)).alias("n_right_keys"),
-    )
-    jt = j.agg(
-        F.count(F.lit(1)).alias("n_common_keys"),
-        F.coalesce(F.sum("contrib"), F.lit(0)).cast("long").alias("join_rows"),
-    )
-    worst = (
-        j.orderBy(F.desc("contrib"), F.asc("k"))
-        .limit(1)
-        .select(
-            F.col("k").alias("max_key"),
-            F.col("contrib").alias("max_key_rows"),
-        )
-    )
-    return (
-        lt.crossJoin(F.broadcast(rt))
-        .crossJoin(F.broadcast(jt))
-        .crossJoin(F.broadcast(worst))
-        .select(
-            "n_left",
-            "n_left_keys",
-            "n_right",
-            "n_right_keys",
-            "n_common_keys",
-            "join_rows",
-            "max_key",
-            "max_key_rows",
-        )
+    join, derived from per-key counts without executing the join (the
+    generic core, usable on any table pair, is
+    functions.diagnostics.join_cardinality)."""
+    return join_cardinality(
+        table(spark, sf_dir, "events"),
+        "user_id",
+        table(spark, sf_dir, "orders"),
+        "o_custkey",
     )

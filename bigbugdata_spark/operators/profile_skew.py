@@ -23,11 +23,10 @@ the K-row post-limit frame only).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, SparkSession
 
-from bigbugdata_spark.caching import pin
 from bigbugdata_spark.catalog import table
+from bigbugdata_spark.functions.diagnostics import key_skew
 from bigbugdata_spark.registry import register
 
 TOP_KEYS = 25
@@ -72,40 +71,8 @@ _SKEW_SQL = f"""
 def prof_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(rnk, user_id, cnt, share, cum_share, n_keys, n_rows): the
     TOP_KEYS heaviest keys of events.user_id with exact row shares and
-    the key-space totals — the shuffle-planning skew card."""
-    # pinned: the totals aggregate and the top-K both consume the key
-    # frame — without the pin each re-scans the raw table
-    counts = pin(
-        table(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    tot = counts.agg(
-        F.count(F.lit(1)).alias("n_keys"),
-        F.sum("cnt").cast("long").alias("n_rows"),
-    )
-    # TakeOrderedAndProject: no key-cardinality-wide single-partition
-    # sort; the windows below see only the TOP_KEYS-row frame.
-    top = counts.orderBy(F.desc("cnt"), F.asc("user_id")).limit(TOP_KEYS)
-    order = Window.orderBy(F.desc("cnt"), F.asc("user_id"))
-    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
-        top.select(
-            F.row_number().over(order).cast("long").alias("rnk"),
-            "user_id",
-            "cnt",
-            F.sum("cnt").over(run).alias("cum_cnt"),
-        )
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "rnk",
-            "user_id",
-            "cnt",
-            (F.col("cnt") / F.col("n_rows").cast("double")).alias("share"),
-            (F.col("cum_cnt") / F.col("n_rows").cast("double")).alias(
-                "cum_share"
-            ),
-            "n_keys",
-            "n_rows",
-        )
+    the key-space totals — the shuffle-planning skew card (the generic
+    core, usable on any table/key, is functions.diagnostics.key_skew)."""
+    return key_skew(
+        table(spark, sf_dir, "events"), "user_id", top=TOP_KEYS
     )

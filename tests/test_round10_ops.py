@@ -732,3 +732,33 @@ def test_null_profile_counts(tmp_path, spark):
         SPECS["dq_null_profile"].oracle,
     )
     assert ok, msg
+
+
+def test_diagnostics_generics_on_other_tables(spark, sf_small):
+    """The generic cores behind the round-10 cards work on ANY
+    table/key, not just the oracle-pinned demo bindings: skew over
+    lineitem.l_orderkey, join prediction for the real lineitem-orders
+    join (verified against actually running it), and a null profile of
+    orders."""
+    from bigbugdata_spark.functions.diagnostics import (
+        join_cardinality,
+        key_skew,
+        null_profile,
+    )
+
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_small}/orders.parquet")
+
+    sk = key_skew(li, "l_orderkey", top=10).collect()
+    assert len(sk) == 10 and sk[0]["rnk"] == 1
+    assert abs(sum(r["share"] for r in sk) - sk[-1]["cum_share"]) < 1e-12
+
+    card = join_cardinality(li, "l_orderkey", od, "o_orderkey").collect()[0]
+    true_rows = li.join(od, li.l_orderkey == od.o_orderkey).count()
+    assert card["join_rows"] == true_rows
+    assert card["n_left"] == li.count() and card["n_right"] == od.count()
+
+    prof = {r["col_name"]: r for r in null_profile(od).collect()}
+    assert set(prof) == set(od.columns)
+    assert prof["o_orderkey"]["n_distinct"] == od.count()
+    assert all(r["n_null"] == 0 for r in prof.values())
