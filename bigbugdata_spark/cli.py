@@ -176,6 +176,16 @@ def _cmd_query(args) -> None:
         sys.exit(f"unknown query {args.name!r} (run `query` with no name to list)")
     spark = get_spark("bigbugdata-query")
     df = specs[args.name].fn(spark, args.sf_dir)
+    if args.explain:
+        from bigbugdata_spark.plans import inspect as I
+
+        print(I.plan_string(df, "formatted"))
+        print(f"raw scans:         {len(I.scan_info(df))}")
+        print(f"joins:             {I.join_kinds(df) or '[]'}")
+        print(f"shuffles:          {I.shuffle_count(df)}")
+        offenders = I.unbounded_global_windows(df)
+        print(f"unbounded windows: {offenders or 'none'}")
+        return
     if args.output:
         df.write.mode("overwrite").option("header", True).csv(args.output)
         print(args.output)
@@ -245,6 +255,10 @@ def build_parser() -> argparse.ArgumentParser:
                           "of printing the first rows")
     q_p.add_argument("--limit", type=int, default=20,
                      help="rows to print when not writing (default: 20)")
+    q_p.add_argument("--explain", action="store_true",
+                     help="print the formatted physical plan plus the "
+                          "scan/join/shuffle/window audit instead of "
+                          "executing the query")
     q_p.set_defaults(func=_cmd_query)
     return parser
 

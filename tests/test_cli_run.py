@@ -39,3 +39,37 @@ def test_cli_run_matches_reference(tmp_path, spark):
             else {k for k in ref_rows[0] if k not in ("taxID", "taxName")}
         )
         _assert_rows_match(ref_rows, our_rows, float_cols=float_cols, where=name)
+
+
+def test_cli_query_list_run_explain(tmp_path, spark, capsys):
+    """The `query` subcommand's three modes: listing every registered
+    query, executing one to CSV, and --explain printing the plan audit
+    without executing."""
+    cli_main(["query"])
+    listed = capsys.readouterr().out
+    assert "prof_key_skew" in listed and "tpch_q1_pricing_summary" in listed
+
+    out = tmp_path / "skew_csv"
+    cli_main([
+        "query", "prof_key_skew",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "-o", str(out),
+    ])
+    capsys.readouterr()
+    got = spark.read.option("header", True).csv(str(out))
+    n_users = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert got.count() == min(25, n_users) and "cum_share" in got.columns
+
+    cli_main([
+        "query", "prof_key_skew",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--explain",
+    ])
+    audit = capsys.readouterr().out
+    assert "raw scans:" in audit and "unbounded windows: none" in audit
+    assert "AdaptiveSparkPlan" in audit or "Physical Plan" in audit
