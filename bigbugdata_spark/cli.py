@@ -174,6 +174,16 @@ def _cmd_query(args) -> None:
         return
     if args.name not in specs:
         sys.exit(f"unknown query {args.name!r} (run `query` with no name to list)")
+    if args.explain and "streaming" in specs[args.name].tags:
+        # a streaming query's fn() drives the stream to its sink and
+        # returns the materialized table — "explaining" it would both
+        # execute the full run and audit only the trivial post-sink
+        # scan, not the pipeline
+        sys.exit(
+            f"{args.name} is a streaming query: its plan materializes a "
+            "stream to a sink, so --explain would execute it and audit "
+            "only the post-sink table. Explain its batch twin instead."
+        )
     spark = get_spark("bigbugdata-query")
     df = specs[args.name].fn(spark, args.sf_dir)
     if args.explain:

@@ -100,10 +100,15 @@ def join_cardinality(
             F.col("contrib").alias("max_key_rows"),
         )
     )
+    # LEFT join (not crossJoin) against the worst-key row: with no
+    # common keys `worst` is EMPTY, and a cross join would annihilate
+    # the whole card exactly when "this join produces 0 rows" is the
+    # answer that matters — the totals row must survive with NULL
+    # max_key/max_key_rows.
     return (
         lt.crossJoin(F.broadcast(rt))
         .crossJoin(F.broadcast(jt))
-        .crossJoin(F.broadcast(worst))
+        .join(F.broadcast(worst), F.lit(True), "left")
         .select(
             "n_left",
             "n_left_keys",
@@ -123,6 +128,8 @@ def null_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     map-side into (col_name, value-as-string) pairs; the distinct
     aggregate shuffles each column's vocabulary, not its row count."""
     use = list(cols) if cols is not None else list(df.columns)
+    if not use:
+        raise ValueError("null_profile needs at least one column")
     pairs = df.select(
         F.explode(
             F.array(
@@ -137,9 +144,22 @@ def null_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         ).alias("s")
     ).select("s.col_name", "s.v")
     blank = (F.col("v").isNotNull() & (F.trim("v") == "")).cast("long")
-    return pairs.groupBy("col_name").agg(
+    grouped = pairs.groupBy("col_name").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("v").isNull().cast("long")).alias("n_null"),
         F.sum(blank).alias("n_blank"),
         F.countDistinct("v").alias("n_distinct"),
+    )
+    # an EMPTY table must still profile as one all-zeros row per column
+    # (matching one aggregate per UNION-ALL oracle branch) — the grouped
+    # frame alone would silently vanish
+    skeleton = df.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(c) for c in use])).alias("col_name")
+    )
+    return skeleton.join(F.broadcast(grouped), "col_name", "left").select(
+        "col_name",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in ("n_rows", "n_null", "n_blank", "n_distinct")
+        ],
     )

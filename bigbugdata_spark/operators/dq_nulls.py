@@ -36,11 +36,12 @@ def _one_col_sql(c: str) -> str:
     return f"""
         SELECT '{c}' AS col_name,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_null,
-               CAST(SUM(CASE WHEN {c} IS NOT NULL
-                             AND TRIM(CAST({c} AS VARCHAR)) = ''
-                        THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+               CAST(COALESCE(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END),
+                             0) AS BIGINT) AS n_null,
+               CAST(COALESCE(SUM(CASE WHEN {c} IS NOT NULL
+                                      AND TRIM(CAST({c} AS VARCHAR)) = ''
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_blank,
                CAST(COUNT(DISTINCT CAST({c} AS VARCHAR)) AS BIGINT)
                    AS n_distinct
         FROM documents"""

@@ -22,6 +22,14 @@ self-join on the PANEL (types x days rows — cardinality-bounded by the
 calendar at any corpus size, never by event volume), so the quadratic
 piece runs on a frame that stays tiny at 100 TB.  Days with no events
 contribute zero mass without materializing calendar gaps.
+
+The exactness precondition (weighted 20-day totals < 2^34 cents, i.e.
+partial sums < 2^53 ulps of 2^-19) holds with two orders of magnitude
+of margin at every local gate SF — asserted by
+tests/test_round10_ops.py::test_ewma_exactness_bound_at_gate_sfs, the
+guard the docstring claim rides on.  Beyond the bound (hot types at
+cluster scale) the result degrades gracefully to ordinary
+double-precision smoothing; only last-ulp oracle parity is lost.
 """
 
 from __future__ import annotations

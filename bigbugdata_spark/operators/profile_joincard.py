@@ -61,7 +61,7 @@ _JOINCARD_SQL = """
     )
     SELECT n_left, n_left_keys, n_right, n_right_keys,
            n_common_keys, join_rows, max_key, max_key_rows
-    FROM lt, rt, jt, worst
+    FROM lt, rt, jt LEFT JOIN worst ON TRUE
 """
 
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigbugdata_spark.functions.fragments import CENTS_SQL
 from bigbugdata_spark.registry import register
 from bigbugdata_spark.streaming.core import _run_to_memory, stream_events
 
@@ -46,9 +47,11 @@ def _keyed(events: DataFrame) -> DataFrame:
 
 @register(
     "evt_stream_dedup",
-    oracle="""
+    # the cents convention comes from the shared fragment so a change
+    # there can never silently diverge from _keyed's cents_col()
+    oracle=f"""
         SELECT DISTINCT user_id, event_type,
-               CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+               {CENTS_SQL} AS value_cents
         FROM events
     """,
     tags=("streaming", "dedup"),

@@ -73,3 +73,13 @@ def test_cli_query_list_run_explain(tmp_path, spark, capsys):
     audit = capsys.readouterr().out
     assert "raw scans:" in audit and "unbounded windows: none" in audit
     assert "AdaptiveSparkPlan" in audit or "Physical Plan" in audit
+
+
+def test_cli_query_explain_refuses_streaming(capsys):
+    """--explain on a streaming query must refuse instead of silently
+    executing the stream and auditing only the post-sink table scan."""
+    import pytest
+
+    with pytest.raises(SystemExit) as exc:
+        cli_main(["query", "evt_stream_dedup", "--explain"])
+    assert "streaming query" in str(exc.value)

@@ -762,3 +762,89 @@ def test_diagnostics_generics_on_other_tables(spark, sf_small):
     assert set(prof) == set(od.columns)
     assert prof["o_orderkey"]["n_distinct"] == od.count()
     assert all(r["n_null"] == 0 for r in prof.values())
+
+
+def test_ewma_exactness_bound_at_gate_sfs():
+    """The dyadic-exactness argument needs every weighted 20-day total
+    to stay under 2^34 cents (partial sums < 2^53 ulps of 2^-19).  The
+    docstring claims it; this asserts it against the LARGEST local
+    data, with margin, so data growth can't silently void bit-exact
+    parity."""
+    import duckdb
+
+    from bigbugdata_spark.operators.events_ewma import EWMA_WINDOW
+
+    for sf in ("sf0.1", "sf0.01", "sf0.001"):
+        worst = duckdb.sql(
+            f"""
+            WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       SUM(CAST(ROUND(value*100) AS BIGINT)) AS n_cents
+                FROM '/root/testdata/{sf}/events.parquet'
+                GROUP BY 1, 2
+            )
+            SELECT MAX(w) FROM (
+                SELECT SUM(n_cents) OVER (
+                    PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW
+                ) AS w FROM daily
+            )
+            """
+        ).fetchone()[0]
+        assert worst * 100 < 2**34, (sf, worst)
+
+
+def test_join_cardinality_survives_disjoint_keys(tmp_path, spark):
+    """With NO common keys the card must still return its single totals
+    row (join_rows = 0, NULL worst key) — the empty LIMIT-1 worst frame
+    must not annihilate the result.  Oracle parity on the same planted
+    dir pins the LEFT JOIN twin."""
+    from tests.parity import compare
+
+    d = tmp_path / "disjoint"
+    _plant_events(spark, d, [(0, 1, "click", "2024-01-05 10:00:00", 1.0)])
+    spark.createDataFrame(
+        [(0, 99, "O")], "o_orderkey long, o_custkey long, o_orderstatus string"
+    ).write.parquet(str(d / "orders.parquet"))
+    row = SPECS["prof_join_cardinality"].fn(spark, str(d)).collect()[0]
+    assert (row["n_left"], row["n_right"]) == (1, 1)
+    assert (row["n_common_keys"], row["join_rows"]) == (0, 0)
+    assert row["max_key"] is None and row["max_key_rows"] is None
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'")
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{d}/orders.parquet/*.parquet'")
+    ok, msg = compare(
+        SPECS["prof_join_cardinality"].fn(spark, str(d)),
+        con,
+        SPECS["prof_join_cardinality"].oracle,
+    )
+    assert ok, msg
+
+
+def test_null_profile_empty_table(tmp_path, spark):
+    """An EMPTY table still profiles as one all-zeros row per column —
+    matching the oracle's one aggregate per UNION-ALL branch (the
+    empty-group edge the SF2 sweep exists to catch, pinned directly)."""
+    from tests.parity import compare
+
+    d = tmp_path / "empty"
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+    got = {
+        r["col_name"]: tuple(r)[1:]
+        for r in SPECS["dq_null_profile"].fn(spark, str(d)).collect()
+    }
+    assert len(got) == 5
+    assert all(v == (0, 0, 0, 0) for v in got.values())
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{d}/documents.parquet/*.parquet'"
+    )
+    ok, msg = compare(
+        SPECS["dq_null_profile"].fn(spark, str(d)),
+        con,
+        SPECS["dq_null_profile"].oracle,
+    )
+    assert ok, msg
