@@ -201,6 +201,13 @@ SCALE_PROBE_QUERIES = (
     "evt_anomaly_mad",
     "evt_seasonality_profile",
     "dedup_incremental_lsh",
+    # round-10 additions: the EWMA panel's quadratic piece is claimed
+    # calendar-bounded (range self-join on types x days, invariant to
+    # corpus size) — the probe measures the claim instead of arguing
+    # it; the null profile is the round's most scan-heavy new plan
+    # (map-side 5x unpivot + per-column distinct aggregate, linear).
+    "evt_ewma_daily",
+    "dq_null_profile",
 )
 # EMBEDDING-PAIR queries must stay out of the probe: vectors replicate
 # verbatim (key offset only — there is no text-tag analog for float
