@@ -122,6 +122,76 @@ def join_cardinality(
     )
 
 
+def encoding_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(col_name, n_values, n_distinct, plain_bytes, dict_bytes,
+    encoding) for each STRING column of `df` — the dictionary-vs-plain
+    encoding advisor a columnar writer consults: `plain_bytes` is the
+    raw payload (Σ byte-length over non-null values), `dict_bytes` the
+    dictionary alternative (Σ length over DISTINCT values + one
+    minimal-width code per value: 1/2/3/4 bytes for vocabularies up to
+    2^8/2^16/2^24/beyond), and `encoding` recommends whichever is
+    smaller.  Exact integers throughout.
+
+    One scan: columns unpivot map-side into (col_name, v) pairs; the
+    per-value stage shuffles each column's VOCABULARY (not its row
+    count), and the final rollup is columns-sized.  Callers pre-project
+    columns to deterministic strings (dates formatted, numerics cast)."""
+    if not cols:
+        raise ValueError("encoding_profile needs at least one column")
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.col_name", "s.v").filter(F.col("v").isNotNull())
+    per = pairs.groupBy("col_name", "v").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    agg = per.groupBy("col_name").agg(
+        F.sum("cnt").alias("n_values"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.length("v") * F.col("cnt")).alias("plain_bytes"),
+        F.sum(F.length("v")).alias("entry_bytes"),
+    )
+    # all-null columns must still report an all-zeros 'plain' row
+    skeleton = df.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(c) for c in cols])).alias("col_name")
+    )
+    filled = skeleton.join(F.broadcast(agg), "col_name", "left").select(
+        "col_name",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in ("n_values", "n_distinct", "plain_bytes", "entry_bytes")
+        ],
+    )
+    code_bytes = (
+        F.when(F.col("n_distinct") <= (1 << 8), 1)
+        .when(F.col("n_distinct") <= (1 << 16), 2)
+        .when(F.col("n_distinct") <= (1 << 24), 3)
+        .otherwise(4)
+    )
+    dict_bytes = (
+        F.col("entry_bytes") + F.col("n_values") * code_bytes
+    ).cast("long")
+    return filled.select(
+        "col_name",
+        "n_values",
+        "n_distinct",
+        "plain_bytes",
+        dict_bytes.alias("dict_bytes"),
+        F.when(dict_bytes < F.col("plain_bytes"), F.lit("dict"))
+        .otherwise(F.lit("plain"))
+        .alias("encoding"),
+    )
+
+
 def null_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """(col_name, n_rows, n_null, n_blank, n_distinct) for each of
     `cols` (default: every column) in ONE scan — columns unpivot

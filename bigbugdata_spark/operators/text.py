@@ -26,18 +26,16 @@ from bigbugdata_spark.functions.fragments import (
     CHUNK_STRIDE,
     QUALITY_SQL,
     STOPWORDS as _STOPWORDS,
-    sql_list as _sql_list,
 )
 from bigbugdata_spark.registry import register
 
-# language marker words for the n-gram/stopword heuristic (tiny fixed
-# profiles; the honest version of langid at SQL speed)
-_MARKERS = {
-    "en": ("the", "a", "of", "and", "is"),
-    "de": ("der", "die", "das", "und", "ist"),
-    "fr": ("le", "la", "les", "et", "est"),
-    "es": ("el", "los", "las", "y", "es"),
-}
+# language marker-word heuristic: shared core in functions/langid_core.py
+# (round-10 scd_core split so text_lang_confusion can import the
+# predictor without dragging this module's registrations into the cap)
+from bigbugdata_spark.functions.langid_core import (  # noqa: E402
+    LANG_PRED_SQL as _LANG_ID_SQL,
+    pred_lang as _pred_lang,
+)
 @register(
     "text_token_stats",
     oracle=f"""
@@ -109,62 +107,19 @@ def text_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _marker_count(toks, words: tuple[str, ...]):
-    arr = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-
-
-_LANG_ID_SQL = f"""
-    WITH scored AS (
-        SELECT doc_id, lang AS true_lang,
-               {{scores}}
-        FROM (SELECT doc_id, lang, {H.sql_tokens('text')} AS toks FROM documents)
-    )
-    SELECT doc_id, true_lang,
-           CASE
-             WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
-             WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
-             WHEN fr >= es AND fr > 0 THEN 'fr'
-             WHEN es > 0 THEN 'es'
-             ELSE 'und'
-           END AS pred_lang
-    FROM scored
-""".format(
-    scores=", ".join(
-        f"len(list_filter(toks, t -> list_contains({_sql_list(ws)}, t))) AS {lang}"
-        for lang, ws in _MARKERS.items()
-    )
-)
-
-
 @register("text_lang_id", oracle=_LANG_ID_SQL, tags=("text", "project"))
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language identification (stopword-profile heuristic —
-    the SQL-speed version of n-gram langid). Pure per-row expression:
-    no shuffle at all; the scan prunes to (doc_id, lang, text)."""
+    the SQL-speed version of n-gram langid; predictor shared with the
+    text_lang_confusion evaluation card via functions/langid_core.py).
+    Pure per-row expression: no shuffle at all; the scan prunes to
+    (doc_id, lang, text)."""
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", F.col("lang").alias("true_lang"), H.tokens(F.col("text")).alias("toks")
     )
-    scores = {
-        lang: _marker_count(F.col("toks"), ws) for lang, ws in _MARKERS.items()
-    }
-    pred = (
-        F.when(
-            (scores["en"] >= scores["de"])
-            & (scores["en"] >= scores["fr"])
-            & (scores["en"] >= scores["es"])
-            & (scores["en"] > 0),
-            F.lit("en"),
-        )
-        .when(
-            (scores["de"] >= scores["fr"]) & (scores["de"] >= scores["es"]) & (scores["de"] > 0),
-            F.lit("de"),
-        )
-        .when((scores["fr"] >= scores["es"]) & (scores["fr"] > 0), F.lit("fr"))
-        .when(scores["es"] > 0, F.lit("es"))
-        .otherwise(F.lit("und"))
+    return docs.select(
+        "doc_id", "true_lang", _pred_lang(F.col("toks")).alias("pred_lang")
     )
-    return docs.select("doc_id", "true_lang", pred.alias("pred_lang"))
 
 
 # QUALITY_SQL (the shared definition of document "quality") moved to

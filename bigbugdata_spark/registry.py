@@ -107,21 +107,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Never rotate out: the 20 §2 ops, the 5 audit twins, audit_pq_recall,
 # or any query whose newest fix lacks a driver verdict.
 #
-# Round-11 rotation plan: after the 26 permanent slots, the 21 r10-new
+# Round-11 rotation plan: after the 26 permanent slots, the 25 r10-new
 # queries in registration order (zorder3_audit, pipeline_guard,
 # streaming.mad, similarity_rank, dq_seq, similarity_tri,
 # events_qtrend, events_rollup_incr, mm_features, streaming.rollup,
 # events_sketch, dq_anon, pipeline_privacy, similarity_central,
 # orders_backlog, text_spectrum, events_ewma, profile_skew,
-# profile_joincard, dq_nulls, streaming.dedup — one query per module)
-# = 47; backfill the remaining 3 slots with the stalest driver
-# verdicts (r5-era events [9 queries] / events_ext [5] / dedup [8]
-# lead the staleness queue — split into single-query modules as
-# needed to land exactly 50; dedup_incr's multi-cycle-lifecycle-
-# tested pair and the r10-rotated corpus/streaming singles hold
-# fresh r10 verdicts and wait).  Count the actual registrations
-# before committing the order — the r9->r10 advisory caught a
-# miscounted comment driving an under-filled cap.
+# profile_joincard, dq_nulls, streaming.dedup, storage_gc,
+# events_attrib, storage_encoding, text_langconf — one query per
+# module) = 51: ONE slot over the cap, so the last r10 registration
+# (text_langconf) leads the r12 queue instead and r11 takes exactly
+# 26 + 24 = 50 with zero backfill slots (the r5-era events/
+# events_ext/dedup staleness queue waits for r12 alongside it).
+# Count the actual registrations before committing the order — the
+# r9->r10 advisory caught a miscounted comment driving an
+# under-filled cap.
 _QUERY_MODULES = (
     "bigbugdata_spark.operators.relational",
     "bigbugdata_spark.operators.audits",
@@ -227,6 +227,10 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.profile_joincard",
     "bigbugdata_spark.operators.dq_nulls",
     "bigbugdata_spark.streaming.dedup",
+    "bigbugdata_spark.operators.storage_gc",
+    "bigbugdata_spark.operators.events_attrib",
+    "bigbugdata_spark.operators.storage_encoding",
+    "bigbugdata_spark.operators.text_langconf",
 )
 
 

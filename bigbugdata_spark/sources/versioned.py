@@ -257,21 +257,27 @@ def pinned_versions(path: str) -> dict[str, int]:
     return out
 
 
-def expire_versions(path: str, retain_last: int = 1) -> dict:
-    """Retention: expire manifests older than the newest `retain_last`
-    versions — EXCEPT pinned ones, which stay readable with all their
-    files — then delete every data file no surviving manifest
-    references. Returns accounting {expired, retained, deleted_files,
-    freed_bytes}. Reading an expired version afterwards raises
-    FileNotFoundError (a pinned run failing loudly beats silently
-    reading a different corpus); retained versions keep reading
-    byte-identical files because data files are immutable and only
-    unreferenced ones are deleted."""
+def gc_plan(path: str, retain_last: int = 1) -> dict:
+    """VACUUM DRY RUN — the plan expire_versions would execute, without
+    touching anything: which versions are retained (the newest
+    `retain_last` plus every pinned one) vs expired, the retained
+    manifests' live file set, and every on-disk data file no retained
+    manifest references (`reclaimable`, with byte sizes).  Returns
+    {retained, expired, live_files, reclaimable_files, reclaimable_bytes};
+    file paths are table-relative, sorted.  This is the accounting a
+    storage operator reads and signs off on before running destructive
+    retention — expire_versions executes exactly this plan."""
     if retain_last < 1:
         raise ValueError("retain_last must be >= 1 (the head is never expired)")
     head = latest_version(path)
     if head is None:
-        return {"expired": [], "retained": [], "deleted_files": 0, "freed_bytes": 0}
+        return {
+            "retained": [],
+            "expired": [],
+            "live_files": [],
+            "reclaimable_files": [],
+            "reclaimable_bytes": 0,
+        }
     cutoff = head - retain_last + 1
     pinned = set(pinned_versions(path).values())
     all_vs = sorted(
@@ -285,23 +291,56 @@ def expire_versions(path: str, retain_last: int = 1) -> dict:
     for v in retained:
         live.update(f["path"] for f in _read_manifest(path, v)["files"])
     base = Path(path)
-    deleted, freed = 0, 0
-    for v in expired:
-        _manifest_path(path, v).unlink()
-    for stage_dir in sorted((base / "data").iterdir()):
-        if not stage_dir.is_dir():
-            continue
-        for p in sorted(stage_dir.glob("*.parquet")):
-            rel = f"data/{stage_dir.name}/{p.name}"
-            if rel not in live:
-                freed += p.stat().st_size
-                p.unlink()
-                deleted += 1
-        if not any(stage_dir.iterdir()):
-            stage_dir.rmdir()
+    reclaimable: list[dict] = []
+    data_dir = base / "data"
+    if data_dir.is_dir():
+        for stage_dir in sorted(data_dir.iterdir()):
+            if not stage_dir.is_dir():
+                continue
+            for p in sorted(stage_dir.glob("*.parquet")):
+                rel = f"data/{stage_dir.name}/{p.name}"
+                if rel not in live:
+                    reclaimable.append(
+                        {"path": rel, "bytes": p.stat().st_size}
+                    )
     return {
-        "expired": expired,
         "retained": retained,
+        "expired": expired,
+        "live_files": sorted(live),
+        "reclaimable_files": reclaimable,
+        "reclaimable_bytes": sum(f["bytes"] for f in reclaimable),
+    }
+
+
+def expire_versions(path: str, retain_last: int = 1) -> dict:
+    """Retention: expire manifests older than the newest `retain_last`
+    versions — EXCEPT pinned ones, which stay readable with all their
+    files — then delete every data file no surviving manifest
+    references. Returns accounting {expired, retained, deleted_files,
+    freed_bytes}. Reading an expired version afterwards raises
+    FileNotFoundError (a pinned run failing loudly beats silently
+    reading a different corpus); retained versions keep reading
+    byte-identical files because data files are immutable and only
+    unreferenced ones are deleted.  The classification is gc_plan's —
+    this executes exactly the plan the dry run reports."""
+    plan = gc_plan(path, retain_last)
+    base = Path(path)
+    for v in plan["expired"]:
+        _manifest_path(path, v).unlink()
+    deleted, freed = 0, 0
+    for f in plan["reclaimable_files"]:
+        p = base / f["path"]
+        freed += f["bytes"]
+        p.unlink()
+        deleted += 1
+    data_dir = base / "data"
+    if data_dir.is_dir():
+        for stage_dir in sorted(data_dir.iterdir()):
+            if stage_dir.is_dir() and not any(stage_dir.iterdir()):
+                stage_dir.rmdir()
+    return {
+        "expired": plan["expired"],
+        "retained": plan["retained"],
         "deleted_files": deleted,
         "freed_bytes": freed,
     }

@@ -848,3 +848,179 @@ def test_null_profile_empty_table(tmp_path, spark):
         SPECS["dq_null_profile"].oracle,
     )
     assert ok, msg
+
+
+def test_purchase_attribution_planted_stream(tmp_path, spark):
+    """evt_purchase_attribution on a planted stream exercising every
+    rule: ordinary last-touch, the organic (no preceding event) case,
+    the same-timestamp tiebreak (event_id order decides whether the
+    touch precedes the purchase), and a touch carried across an
+    intervening purchase; oracle parity on the same planted dir pins
+    the IGNORE-NULLS window twin."""
+    from tests.parity import compare
+
+    d = tmp_path / "attrib"
+    rows = [
+        # user 1: click -> purchase 100, then purchase 50 (touch CARRIES
+        # across the first purchase — still the click)
+        (1, "2024-01-01 10:00:00", 1, "click", 1.00),
+        (2, "2024-01-01 11:00:00", 1, "purchase", 100.00),
+        (3, "2024-01-02 09:00:00", 1, "purchase", 50.00),
+        # user 2: organic purchase (nothing precedes)
+        (4, "2024-01-01 08:00:00", 2, "purchase", 10.00),
+        # user 2: view AT THE SAME ts as the next purchase but with a
+        # smaller event_id -> the view IS the touch
+        (5, "2024-01-03 12:00:00", 2, "view", 0.50),
+        (6, "2024-01-03 12:00:00", 2, "purchase", 20.00),
+        # user 3: signup then error then purchase -> last touch = error
+        (7, "2024-01-01 09:00:00", 3, "signup", 1.00),
+        (8, "2024-01-01 09:30:00", 3, "error", 0.10),
+        (9, "2024-01-01 10:00:00", 3, "purchase", 30.00),
+    ]
+    spark.createDataFrame(
+        [(i, ts, u, t, v) for i, ts, u, t, v in rows],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "'{}' AS props",
+    ).write.parquet(str(d / "events.parquet"))
+    got = {
+        r["touch_type"]: (r["n_purchases"], r["attributed_cents"])
+        for r in SPECS["evt_purchase_attribution"].fn(spark, str(d)).collect()
+    }
+    assert got == {
+        "click": (2, 15000),
+        "organic": (1, 1000),
+        "view": (1, 2000),
+        "error": (1, 3000),
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{d}/events.parquet/*.parquet'"
+    )
+    ok, msg = compare(
+        SPECS["evt_purchase_attribution"].fn(spark, str(d)),
+        con,
+        SPECS["evt_purchase_attribution"].oracle,
+    )
+    assert ok, msg
+
+
+def test_gc_plan_classification_and_pins(tmp_path, spark):
+    """gc_plan (the VACUUM dry run) classifies exactly: after append /
+    replace / append, retaining the last two versions marks the first
+    append's files reclaimable; a pin on the expired version empties
+    the reclaimable set; executing the plan deletes exactly the planned
+    files and the retained versions still read."""
+    from bigbugdata_spark.sources.versioned import (
+        expire_versions,
+        gc_plan,
+        pin_version,
+        read_versioned,
+        unpin_version,
+        write_versioned,
+        replace_versioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    write_versioned(df, path)                                 # v0
+    replace_versioned(df.filter("id >= 5"), path)             # v1
+    write_versioned(df.filter("id < 2"), path)                # v2
+    plan = gc_plan(path, retain_last=2)
+    assert plan["retained"] == [1, 2] and plan["expired"] == [0]
+    assert plan["reclaimable_files"] and plan["reclaimable_bytes"] > 0
+    assert not set(f["path"] for f in plan["reclaimable_files"]) & set(
+        plan["live_files"]
+    )
+    # a pin on v0 keeps its files live -> nothing reclaimable
+    pin_version(path, 0, "run-x")
+    pinned_plan = gc_plan(path, retain_last=2)
+    assert pinned_plan["expired"] == [] and not pinned_plan["reclaimable_files"]
+    unpin_version(path, "run-x")
+    acct = expire_versions(path, retain_last=2)
+    assert acct["deleted_files"] == len(plan["reclaimable_files"])
+    assert acct["freed_bytes"] == plan["reclaimable_bytes"]
+    assert read_versioned(spark, path).count() == 7  # v2 = 5 + 2 rows
+    assert read_versioned(spark, path, 1).count() == 5
+    # the expired version is gone, loudly
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        read_versioned(spark, path, 0)
+
+
+def test_encoding_profile_planted_extremes(spark):
+    """encoding_profile on planted columns: heavy repetition -> 'dict'
+    with exact byte accounting, all-unique single-char values ->
+    'plain' (dict adds code bytes on top of the same payload), and an
+    all-null column -> an all-zeros 'plain' row."""
+    from bigbugdata_spark.functions.diagnostics import encoding_profile
+
+    df = spark.createDataFrame(
+        [("xxxxxxxxxx", str(i), None) for i in range(4)],
+        "rep string, uniq string, empty string",
+    )
+    got = {
+        r["col_name"]: r
+        for r in encoding_profile(df, ["rep", "uniq", "empty"]).collect()
+    }
+    rep = got["rep"]
+    #  plain = 4*10; dict = 10 (one entry) + 4*1 (codes)
+    assert (rep["plain_bytes"], rep["dict_bytes"]) == (40, 14)
+    assert rep["encoding"] == "dict" and rep["n_distinct"] == 1
+    uniq = got["uniq"]
+    #  plain = 4*1; dict = 4 + 4*1 — codes cost strictly more
+    assert (uniq["plain_bytes"], uniq["dict_bytes"]) == (4, 8)
+    assert uniq["encoding"] == "plain" and uniq["n_distinct"] == 4
+    empty = got["empty"]
+    assert (
+        empty["n_values"],
+        empty["n_distinct"],
+        empty["plain_bytes"],
+        empty["dict_bytes"],
+        empty["encoding"],
+    ) == (0, 0, 0, 0, "plain")
+
+
+def test_lang_confusion_planted_matrix(tmp_path, spark):
+    """text_lang_confusion on planted docs with known predictions:
+    marker-bearing docs land on the diagonal, a marker-free doc leaks
+    to 'und', and row_share divides each cell by its true class total;
+    oracle parity on the same planted dir pins the twin."""
+    from tests.parity import compare
+
+    d = tmp_path / "conf"
+    docs = [
+        (0, "the cat and the hat", "en", "s", 19),
+        (1, "a dog is here", "en", "s", 13),
+        (2, "zzz qqq", "en", "s", 7),           # no markers -> und
+        (3, "der hund ist gut", "de", "s", 16),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+    got = {
+        (r["true_lang"], r["pred_lang"]): (
+            r["n_docs"],
+            r["true_total"],
+            r["row_share"],
+        )
+        for r in SPECS["text_lang_confusion"].fn(spark, str(d)).collect()
+    }
+    assert got[("en", "en")] == (2, 3, 2 / 3)
+    assert got[("en", "und")] == (1, 3, 1 / 3)
+    assert got[("de", "de")] == (1, 1, 1.0)
+    assert len(got) == 3
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{d}/documents.parquet/*.parquet'"
+    )
+    ok, msg = compare(
+        SPECS["text_lang_confusion"].fn(spark, str(d)),
+        con,
+        SPECS["text_lang_confusion"].oracle,
+    )
+    assert ok, msg
