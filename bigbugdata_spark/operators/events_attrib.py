@@ -31,7 +31,9 @@ from bigbugdata_spark.catalog import table
 from bigbugdata_spark.functions.fragments import CENTS_SQL, cents_col
 from bigbugdata_spark.registry import register
 
-_ATTRIB_SQL = f"""
+#: shared with the streaming twin (streaming/attrib.py) — stream ==
+#: batch is the claim, so both register the SAME oracle
+ATTRIB_ORACLE_SQL = f"""
     WITH carried AS (
         SELECT event_type,
                {CENTS_SQL} AS cents,
@@ -54,7 +56,7 @@ _ATTRIB_SQL = f"""
 
 @register(
     "evt_purchase_attribution",
-    oracle=_ATTRIB_SQL,
+    oracle=ATTRIB_ORACLE_SQL,
     tags=("events", "window", "agg"),
 )
 def evt_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:

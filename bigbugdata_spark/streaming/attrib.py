@@ -1,0 +1,129 @@
+"""Streaming last-touch attribution (round 10) — the live twin of
+operators/events_attrib.evt_purchase_attribution and the THIRD custom
+stateful operator (after the sessionizer and the first-seen tracker):
+the carried "last preceding touch" is genuinely stateful (a streaming
+aggregate cannot look backwards in the stream), so per-user state holds
+the latest non-purchase event seen — (ts_us, event_id, event_type),
+three scalars — and every purchase is emitted exactly once, credited at
+the moment it flows past, via applyInPandasWithState.
+
+Ordering contract (documented, not assumed silently): attribution is a
+PREFIX property, so the emitted rows equal the batch derivation for any
+micro-batch SLICING of a per-user time-ordered feed (the Kafka
+partition-key ordering guarantee; each batch is walked in (ts,
+event_id) order and state carries across batches).  A feed that
+reorders a user's events ACROSS batches changes what "preceding" meant
+at emission time — that repair path is the batch derivation, exactly
+like the SCD2 sink's out-of-order backfill contract
+(streaming/scd_sink.py).
+
+Gated by the batch query's oracle VERBATIM (stream == batch is the
+claim) plus a multi-slicing equality test.
+
+Scale posture: state is three scalars per user keyed on user_id (the
+shuffle/bucket key), updated once per (user, batch) with Arrow batch
+transfer; emissions are purchase-count-sized, append-mode (each row
+final), and the post-sink rollup aggregates five touch types.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from bigbugdata_spark.functions.fragments import cents_col
+from bigbugdata_spark.operators.events_attrib import ATTRIB_ORACLE_SQL
+from bigbugdata_spark.registry import register
+from bigbugdata_spark.streaming.core import _run_to_memory, stream_events
+from bigbugdata_spark.streaming.stateful import _ts_us
+
+_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("cents", T.LongType()),
+        T.StructField("touch_type", T.StringType()),
+    ]
+)
+
+#: latest non-purchase event seen for this user, in (ts_us, event_id)
+#: total order; absent until the first touch arrives
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("touch_us", T.LongType()),
+        T.StructField("touch_eid", T.LongType()),
+        T.StructField("touch_type", T.StringType()),
+    ]
+)
+
+
+def _attribute(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Walk the user's rows in (ts, event_id) order, carrying the last
+    touch across batches; emit one row per purchase."""
+    touch_type = state.get[2] if state.exists else None
+    touch_moved = False
+    out_eid: list[int] = []
+    out_cents: list[int] = []
+    out_touch: list[str | None] = []
+    for pdf in batches:
+        pdf = pdf.assign(ts_us=_ts_us(pdf["ts"])).sort_values(
+            ["ts_us", "event_id"]
+        )
+        for r in pdf.itertuples(index=False):
+            if r.event_type == "purchase":
+                out_eid.append(int(r.event_id))
+                out_cents.append(int(r.cents))
+                out_touch.append(touch_type)
+            else:
+                touch_us, touch_eid = int(r.ts_us), int(r.event_id)
+                touch_type = str(r.event_type)
+                touch_moved = True
+    if touch_moved:
+        state.update((touch_us, touch_eid, touch_type))
+    if out_eid:
+        yield pd.DataFrame(
+            {
+                "event_id": out_eid,
+                "cents": out_cents,
+                "touch_type": pd.array(out_touch, dtype="object"),
+            }
+        )
+
+
+@register(
+    "evt_stream_attribution",
+    # the batch query's oracle verbatim — stream == batch is the claim
+    oracle=ATTRIB_ORACLE_SQL,
+    tags=("streaming", "events", "stateful"),
+)
+def evt_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution maintained live: per-user stateful carry
+    of the latest touch, one append-mode emission per purchase, then
+    the five-type rollup post-sink — equals the batch window derivation
+    for any slicing of an in-order feed."""
+    ev = stream_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", cents_col().alias("cents")
+    )
+    attributed = ev.groupBy("user_id").applyInPandasWithState(
+        _attribute,
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emitted = _run_to_memory(attributed, "append")
+    return emitted.groupBy(
+        F.coalesce("touch_type", F.lit("organic")).alias("touch_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").alias("attributed_cents"),
+    )
