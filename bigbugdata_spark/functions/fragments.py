@@ -106,10 +106,14 @@ QUALITY_SQL = f"""
                CAST(n_chars_obs AS DOUBLE) / n_tokens AS chars_per_token,
                CAST(n_punct AS DOUBLE) / n_chars_obs AS punct_ratio,
                CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
-               (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 0.4 ELSE 0.0 END
-                + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars_obs < 0.1 THEN 0.3 ELSE 0.0 END
-                + CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.01 THEN 0.3 ELSE 0.0 END
-               ) AS quality
+               -- integer decipoints + ONE final IEEE division: bit-exact
+               -- across engines (DuckDB's decimal-literal sum was
+               -- DECIMAL(4,1), the one non-BIGINT/DOUBLE/VARCHAR oracle
+               -- type left after the r10 HUGEINT reds — registry.py:8-12)
+               CAST(CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 4 ELSE 0 END
+                + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars_obs < 0.1 THEN 3 ELSE 0 END
+                + CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.01 THEN 3 ELSE 0 END
+                AS DOUBLE) / 10.0 AS quality
         FROM base
 """
 

@@ -46,8 +46,8 @@ TOP_CUSTOMERS = 100
                CAST((SELECT SUM(cents) FROM per_cust) AS BIGINT)
                    AS total_cents,
                CAST((SELECT SUM(cents) FROM top) AS BIGINT) AS top_cents,
-               CAST((SELECT SUM(cents) FROM top) * 1000 AS BIGINT)
-                   // (SELECT SUM(cents) FROM per_cust) AS share_pm
+               CAST(CAST((SELECT SUM(cents) FROM top) * 1000 AS BIGINT)
+                   // (SELECT SUM(cents) FROM per_cust) AS BIGINT) AS share_pm
     """,
     tags=("tpch", "agg", "topk"),
 )

@@ -196,10 +196,10 @@ _COMPRESSION_ORACLE_SQL = (
         CAST(SUM(freq * len(list_filter(string_split(s, {_SEP_SQL}),
                                         x -> x != ''))) AS BIGINT)
             AS merged_symbols,
-        CAST((SUM(freq * length(word))
+        CAST(CAST((SUM(freq * length(word))
               - SUM(freq * len(list_filter(string_split(s, {_SEP_SQL}),
                                            x -> x != '')))) * 1000
-             AS BIGINT) // SUM(freq * length(word)) AS saved_pm
+             AS BIGINT) // SUM(freq * length(word)) AS BIGINT) AS saved_pm
     FROM v{BPE_STEPS}
     """
 )

@@ -28,6 +28,33 @@ def test_oracle_parity(spark, sf_oracle, con, name):
     assert ok, f"{name}: {msg}"
 
 
+# Result-type lint (VERDICT r10 #4): the driver's value hash is
+# TYPE-sensitive — DuckDB HUGEINT (SUM(BIGINT), BIGINT//HUGEINT) and
+# DECIMAL literals hash differently from Spark's BIGINT/DOUBLE even when
+# every value is equal, which is exactly how the two r10 driver reds
+# (orders_revenue_concentration, text_bpe_compression) slipped past the
+# value-equal local gate above (parity.py canonicalizes Decimal->float).
+# Binding an oracle (`rel.types`) never executes it, so this sweeps all
+# 180+ oracles in seconds and turns the whole type class into a local
+# red X.  INTEGER is allowed: 38 oracles return it with multi-round
+# green driver rows (op01's l_linenumber since r1).
+_DRIVER_SAFE_TYPES = {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "BOOLEAN", "DATE"}
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_result_types_driver_safe(con, name):
+    rel = con.sql(SPECS[name].oracle)
+    offenders = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t) not in _DRIVER_SAFE_TYPES
+    ]
+    assert not offenders, (
+        f"{name}: oracle columns {offenders} are outside the driver-safe "
+        f"type set {sorted(_DRIVER_SAFE_TYPES)} — CAST them (registry.py:8-12)"
+    )
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only(spark, sf_oracle, name):
     spec = SPECS[name]
