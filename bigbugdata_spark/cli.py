@@ -160,6 +160,15 @@ def _cmd_filter_reports(args) -> None:
     _write_stdout_csv(rows, out_fields)
 
 
+#: queries whose fn() persists an index as a side effect but whose
+#: returned frame is a real (explainable) probe over it — --explain
+#: warns instead of refusing (the "storage" tag refuses: those run a
+#: full write/vacuum lifecycle and return only a trivial scan)
+_INDEX_WRITER_QUERIES = frozenset(
+    {"dedup_incremental", "dedup_incremental_lsh", "sim_ivf_incremental_assign"}
+)
+
+
 def _cmd_query(args) -> None:
     """Run one registered query by name (or list them all): the CLI door
     to the extension surface, so the engine is usable as a tool beyond
@@ -183,6 +192,26 @@ def _cmd_query(args) -> None:
             f"{args.name} is a streaming query: its plan materializes a "
             "stream to a sink, so --explain would execute it and audit "
             "only the post-sink table. Explain its batch twin instead."
+        )
+    if args.explain and "storage" in specs[args.name].tags:
+        # same failure mode as streaming (advisory r10): the storage
+        # verification queries (store_gc_plan, the z-order/encoding/
+        # rollup lake audits, version diffs) run their entire
+        # write/maintain/vacuum lifecycle inside fn() and return an
+        # eager checkpoint — --explain would execute all of it, with
+        # side effects, and audit only the trivial final scan
+        sys.exit(
+            f"{args.name} is a storage-lifecycle query: its fn() writes "
+            "(and may vacuum) a lake layout before returning an audit "
+            "over it, so --explain would execute those side effects and "
+            "explain only the post-write scan. Run it without --explain."
+        )
+    if args.explain and args.name in _INDEX_WRITER_QUERIES:
+        print(
+            f"note: {args.name} builds/updates a persisted index under "
+            "the per-user warehouse root as part of fn(); the plan below "
+            "covers the post-index probe, not the index build.",
+            file=sys.stderr,
         )
     spark = get_spark("bigbugdata-query")
     df = specs[args.name].fn(spark, args.sf_dir)

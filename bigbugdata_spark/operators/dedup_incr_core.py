@@ -40,7 +40,25 @@ INDEX_ROOT = os.path.join(
 
 
 def ensure_index_root() -> None:
+    """Create (or adopt) the per-user index root, then VERIFY it: with
+    exist_ok=True a pre-existing directory is adopted silently, so a
+    /tmp squat — another local user pre-creating the victim's path
+    world-writable — would otherwise reopen exactly the planting hole
+    the per-user scoping closed (advisory r10; this is the tempfile
+    secure-per-user-dir pattern: stat, check owner, strip group/other
+    bits, fail loudly on a foreign owner)."""
     os.makedirs(INDEX_ROOT, mode=0o700, exist_ok=True)
+    st = os.stat(INDEX_ROOT, follow_symlinks=False)
+    if not os.path.isdir(INDEX_ROOT) or os.path.islink(INDEX_ROOT):
+        raise RuntimeError(f"index root {INDEX_ROOT!r} is not a directory")
+    if st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"index root {INDEX_ROOT!r} is owned by uid {st.st_uid}, "
+            f"not the current user (uid {os.getuid()}) — refusing to "
+            "use a directory another user pre-created"
+        )
+    if st.st_mode & 0o077:
+        os.chmod(INDEX_ROOT, 0o700)
 
 
 def index_path(name: str) -> str:

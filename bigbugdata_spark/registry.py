@@ -107,28 +107,73 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Never rotate out: the 20 §2 ops, the 5 audit twins, audit_pq_recall,
 # or any query whose newest fix lacks a driver verdict.
 #
-# Round-11 rotation plan: after the 26 permanent slots, the 25 r10-new
-# queries in registration order (zorder3_audit, pipeline_guard,
-# streaming.mad, similarity_rank, dq_seq, similarity_tri,
-# events_qtrend, events_rollup_incr, mm_features, streaming.rollup,
-# events_sketch, dq_anon, pipeline_privacy, similarity_central,
-# orders_backlog, text_spectrum, events_ewma, profile_skew,
-# profile_joincard, dq_nulls, streaming.dedup, storage_gc,
-# events_attrib, storage_encoding, text_langconf — one query per
-# module) = 51: ONE slot over the cap, so the last r10 registration
-# (text_langconf) leads the r12 queue instead and r11 takes exactly
-# 26 + 24 = 50 with zero backfill slots (the r5-era events/
-# events_ext/dedup staleness queue waits for r12 alongside it).
+# Round-11 rotation (VERDICT r10 #2, re-planned around the two r10
+# hash-reds — both root-caused to DuckDB HUGEINT result types, both
+# fixed by CAST this round, and the standing rule says never rotate
+# out a query whose fix lacks a driver verdict): 26 permanent (20 §2
+# ops in relational, the 5 oracle'd audit twins in audits,
+# audit_pq_recall in similarity_pq) + the two fixed modules —
+# orders_conc (1: orders_revenue_concentration) and text_bpe_train
+# (2: text_bpe_train re-proven alongside its module-mate
+# text_bpe_compression) = 29 — + the FIRST 21 of the 25 r10-new
+# queries in their r10 registration order (one query per module,
+# zorder3_audit .. streaming.dedup) = 50 exactly.  The last 4 r10
+# registrations (storage_gc, events_attrib, storage_encoding,
+# text_langconf) lead the r12 queue, ahead of the r5-era
+# events/events_ext/dedup staleness backfills.
+# Rotated OUT because their rows are freshly green in
+# CORRECTNESS_r10: streaming.features, zorder_audit, asset_audit,
+# orders_ltv, events_mad, dedup_curve, events_season,
+# streaming.freshness, events_growth, streaming.seasonality,
+# dedup_incr_lsh, streaming.growth, similarity_keep, corpus,
+# streaming windows/joins/stateful.  All rotated-out queries remain
+# continuously re-proven by the identical local gate in
+# tests/test_oracle_parity.py (and at a second scale under
+# SPARK_GRAFT_PARITY_SF2), and every oracle's RESULT TYPE is now
+# linted against the driver-safe set each run
+# (test_oracle_result_types_driver_safe), so the HUGEINT/DECIMAL
+# class that caused the r10 reds is a local red X from now on.
 # Count the actual registrations before committing the order — the
 # r9->r10 advisory caught a miscounted comment driving an
-# under-filled cap.
+# under-filled cap.  (Verified this round: first 50 printed from
+# REGISTRY order after load_all.)
 _QUERY_MODULES = (
     "bigbugdata_spark.operators.relational",
     "bigbugdata_spark.operators.audits",
     "bigbugdata_spark.operators.similarity_pq",
-    # the r8 leftover (registered last in r8, queued first since):
+    # the two r10 hash-reds, fixed this round (slots 27-29):
+    "bigbugdata_spark.operators.orders_conc",
+    "bigbugdata_spark.operators.text_bpe_train",
+    # the first 21 r10-new queries, in their r10 registration order:
+    "bigbugdata_spark.operators.zorder3_audit",
+    "bigbugdata_spark.operators.pipeline_guard",
+    "bigbugdata_spark.streaming.mad",
+    "bigbugdata_spark.operators.similarity_rank",
+    "bigbugdata_spark.operators.dq_seq",
+    "bigbugdata_spark.operators.similarity_tri",
+    "bigbugdata_spark.operators.events_qtrend",
+    "bigbugdata_spark.operators.events_rollup_incr",
+    "bigbugdata_spark.operators.mm_features",
+    "bigbugdata_spark.streaming.rollup",
+    "bigbugdata_spark.operators.events_sketch",
+    "bigbugdata_spark.operators.dq_anon",
+    "bigbugdata_spark.operators.pipeline_privacy",
+    "bigbugdata_spark.operators.similarity_central",
+    "bigbugdata_spark.operators.orders_backlog",
+    "bigbugdata_spark.operators.text_spectrum",
+    "bigbugdata_spark.operators.events_ewma",
+    "bigbugdata_spark.operators.profile_skew",
+    "bigbugdata_spark.operators.profile_joincard",
+    "bigbugdata_spark.operators.dq_nulls",
+    "bigbugdata_spark.streaming.dedup",
+    # ---- driver cap boundary (first 50 registrations end here) ----
+    # r10-new queries deferred one round (lead the r12 queue):
+    "bigbugdata_spark.operators.storage_gc",
+    "bigbugdata_spark.operators.events_attrib",
+    "bigbugdata_spark.operators.storage_encoding",
+    "bigbugdata_spark.operators.text_langconf",
+    # rotated out (fresh CORRECTNESS_r10 rows):
     "bigbugdata_spark.streaming.features",
-    # the 15 r9-new queries, in their r9 registration order:
     "bigbugdata_spark.operators.zorder_audit",
     "bigbugdata_spark.operators.asset_audit",
     "bigbugdata_spark.operators.orders_ltv",
@@ -136,20 +181,16 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.dedup_curve",
     "bigbugdata_spark.operators.events_season",
     "bigbugdata_spark.streaming.freshness",
-    "bigbugdata_spark.operators.text_bpe_train",
     "bigbugdata_spark.operators.events_growth",
     "bigbugdata_spark.streaming.seasonality",
     "bigbugdata_spark.operators.dedup_incr_lsh",
     "bigbugdata_spark.streaming.growth",
     "bigbugdata_spark.operators.similarity_keep",
-    "bigbugdata_spark.operators.orders_conc",
-    # 8 backfill slots — the stalest driver verdicts (all r5):
     "bigbugdata_spark.operators.corpus",
     "bigbugdata_spark.streaming.windows",
     "bigbugdata_spark.streaming.joins",
     "bigbugdata_spark.streaming.stateful",
-    # ---- driver cap boundary (first 50 registrations end here) ----
-    # rotated out (fresh CORRECTNESS_r09 rows):
+    # rotated out in r10 (fresh CORRECTNESS_r09 rows then):
     "bigbugdata_spark.operators.storage_audit",
     "bigbugdata_spark.operators.similarity_incr",
     "bigbugdata_spark.operators.events_trans",
@@ -204,33 +245,10 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.events_ext",
     "bigbugdata_spark.operators.dedup",
     "bigbugdata_spark.operators.similarity_ext",
-    # r10-new queries (no driver verdict yet -> first in the round-11
-    # rotation queue):
-    "bigbugdata_spark.operators.zorder3_audit",
-    "bigbugdata_spark.operators.pipeline_guard",
-    "bigbugdata_spark.streaming.mad",
-    "bigbugdata_spark.operators.similarity_rank",
-    "bigbugdata_spark.operators.dq_seq",
-    "bigbugdata_spark.operators.similarity_tri",
-    "bigbugdata_spark.operators.events_qtrend",
-    "bigbugdata_spark.operators.events_rollup_incr",
-    "bigbugdata_spark.operators.mm_features",
-    "bigbugdata_spark.streaming.rollup",
-    "bigbugdata_spark.operators.events_sketch",
-    "bigbugdata_spark.operators.dq_anon",
-    "bigbugdata_spark.operators.pipeline_privacy",
-    "bigbugdata_spark.operators.similarity_central",
-    "bigbugdata_spark.operators.orders_backlog",
-    "bigbugdata_spark.operators.text_spectrum",
-    "bigbugdata_spark.operators.events_ewma",
-    "bigbugdata_spark.operators.profile_skew",
-    "bigbugdata_spark.operators.profile_joincard",
-    "bigbugdata_spark.operators.dq_nulls",
-    "bigbugdata_spark.streaming.dedup",
-    "bigbugdata_spark.operators.storage_gc",
-    "bigbugdata_spark.operators.events_attrib",
-    "bigbugdata_spark.operators.storage_encoding",
-    "bigbugdata_spark.operators.text_langconf",
+    # r11-new (advisory r10: the module shipped in r10 but was never
+    # listed here — dead code until now; registered last so it joins
+    # the r12 queue behind the four deferred r10 registrations):
+    "bigbugdata_spark.streaming.attrib",
 )
 
 

@@ -74,7 +74,15 @@ def _attribute(
     out_eid: list[int] = []
     out_cents: list[int] = []
     out_touch: list[str | None] = []
-    for pdf in batches:
+    # applyInPandasWithState delivers one micro-batch group as MULTIPLE
+    # Arrow chunks whose relative order is input order (chunk size =
+    # spark.sql.execution.arrow.maxRecordsPerBatch) — sorting each chunk
+    # independently is NOT a total order over the group (advisory r10:
+    # a >10k-row user could credit a purchase to a later-timestamped
+    # touch).  Concatenate first, sort ONCE, then walk.
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True)
         pdf = pdf.assign(ts_us=_ts_us(pdf["ts"])).sort_values(
             ["ts_us", "event_id"]
         )

@@ -83,3 +83,16 @@ def test_cli_query_explain_refuses_streaming(capsys):
     with pytest.raises(SystemExit) as exc:
         cli_main(["query", "evt_stream_dedup", "--explain"])
     assert "streaming query" in str(exc.value)
+
+
+def test_cli_query_explain_refuses_storage_lifecycle(capsys):
+    """--explain on a storage-lifecycle query (write/vacuum inside
+    fn(), advisory r10) must refuse the same way the streaming guard
+    does: executing it would run the side effects destructively and
+    audit only the trivial post-write scan."""
+    import pytest
+
+    for name in ("store_gc_plan", "evt_zorder3_lake_accounting"):
+        with pytest.raises(SystemExit) as exc:
+            cli_main(["query", name, "--explain"])
+        assert "storage-lifecycle" in str(exc.value)
