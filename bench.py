@@ -459,7 +459,13 @@ def bench_kraken_e2e(spark) -> dict[str, float]:
         ("CF_RNA_Negative$", "^CF_RNA"),
     ]
     times = []
-    for i in range(2):
+    # three runs (round 11, was two): the warm steady state has ~0.5-1 s
+    # of run-to-run spread on this host, so a single warm run made `min`
+    # a coin flip — the r10 "+14% regression" was mostly this noise (the
+    # r11 bisect measured zero in-window cost from the 25 new module
+    # registrations: load_all is 0.6 s of import OUTSIDE the window, and
+    # gen2 GC collections in-window are zero)
+    for i in range(3):
         out = tempfile.mkdtemp(prefix="bigbugdata-bench-kraken-out-")
         t0 = time.perf_counter()
         result = run_pipeline(

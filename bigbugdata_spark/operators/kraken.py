@@ -263,40 +263,65 @@ def tophits(
     sample against the side table, a broadcast-size probe, instead of a
     full (sample, taxID)-grid equi-join before any pruning. Synthesized
     zero rows carry NULL z; the presence inner join drops them (the
-    reference's rank-gap quirk) before it could matter."""
+    reference's rank-gap quirk) before it could matter.
+
+    Neediness is decided from the top-k itself (round 11): positives
+    outrank zeros under the (rrpm DESC, taxID) order, so a sample has
+    >= k positive rows iff its top-k SPARSE rows are all positive —
+    the old separate n_pos aggregate was a second full pass over the
+    fact frame that, at production density, only ever confirmed "no
+    needy samples".  The check now reads the <= k*|samples| pinned
+    ranking (driver-sized, like the sample-ID collects), and the
+    zero-candidate synthesis subtree is built only for the samples
+    that actually need it."""
     spark = rrpm_df.sparkSession
     base = rrpm_df.select("sample_id", "taxID", "taxName", "rrpm", "z_score")
-    n_pos = (
-        base.filter(F.col("rrpm") > 0)
-        .groupBy("sample_id")
-        .agg(F.count(F.lit(1)).alias("_npos"))
-    )
-    all_samples = spark.createDataFrame([(s,) for s in samples], "sample_id string")
-    needy = (
-        all_samples.join(n_pos, "sample_id", "left")
-        .filter(F.coalesce(F.col("_npos"), F.lit(0)) < k)
-        .select("sample_id")
-    )
-    zero_rows = (
-        needy.crossJoin(taxa_df.select("taxID", "taxName"))
-        .join(base.select("sample_id", "taxID"), ["sample_id", "taxID"], "left_anti")
-        .select(
-            "sample_id",
-            "taxID",
-            "taxName",
-            F.lit(0.0).alias("rrpm"),
-            F.lit(None).cast("double").alias("z_score"),
-        )
-    )
     w = Window.partitionBy("sample_id").orderBy(F.desc("rrpm"), F.asc("taxID"))
-    # pin: ranked (<= k rows per sample) feeds two broadcasts below — the
-    # semi-join prune and the final probe; caching it runs the ranking
-    # window once
+    # pin: ranked (<= k rows per sample) feeds the needy check and two
+    # broadcasts below — the semi-join prune and the final probe;
+    # caching it runs the ranking window once
     ranked = pin(
-        base.unionByName(zero_rows)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        base.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
     )
+    pos_in_topk = {
+        r["sample_id"]: r["npos"]
+        for r in ranked.groupBy("sample_id")
+        .agg(F.sum(F.when(F.col("rrpm") > 0, 1).otherwise(0)).alias("npos"))
+        .collect()
+    }
+    needy_samples = [s for s in samples if pos_in_topk.get(s, 0) < k]
+    if needy_samples:
+        # the dense-ranking repair path: re-rank (sparse ∪ absent-cell
+        # zeros) for the needy samples alone and splice them in
+        needy = spark.createDataFrame(
+            [(s,) for s in needy_samples], "sample_id string"
+        )
+        needy_base = base.join(F.broadcast(needy), "sample_id")
+        zero_rows = (
+            needy.crossJoin(taxa_df.select("taxID", "taxName"))
+            .join(
+                base.select("sample_id", "taxID"),
+                ["sample_id", "taxID"],
+                "left_anti",
+            )
+            .select(
+                "sample_id",
+                "taxID",
+                "taxName",
+                F.lit(0.0).alias("rrpm"),
+                F.lit(None).cast("double").alias("z_score"),
+            )
+        )
+        ranked_needy = (
+            needy_base.unionByName(zero_rows)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+        ranked = pin(
+            ranked.join(F.broadcast(needy), "sample_id", "left_anti").unionByName(
+                ranked_needy
+            )
+        )
     # side stats are needed for <= k rows per sample only: semi-join the
     # raw rows against the broadcast top-k list BEFORE the last-wins
     # aggregate, so the agg shuffles k-per-sample survivors instead of
