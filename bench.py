@@ -208,6 +208,19 @@ SCALE_PROBE_QUERIES = (
     # (map-side 5x unpivot + per-column distinct aggregate, linear).
     "evt_ewma_daily",
     "dq_null_profile",
+    # round-11 additions (VERDICT r10 #6): the two heaviest plans the
+    # engine runs, measured instead of argued. Both are served from the
+    # shared graph spine (similarity_graph_core), so the probe RESETS
+    # the memo + persisted generation before every iteration — it
+    # measures the BUILD, the scale-sensitive artifact, not a memo hit.
+    # Expected shape: the IVF kNN build is O(n^1.5) BY DESIGN (corpus-
+    # scaled K = floor(sqrt(n)) codebook -> cell occupancy ~sqrt(n);
+    # same documented contract as sim_ivf_incremental_assign), so its
+    # clean ratio is ~10^1.5/10 above linear; the honest gates are the
+    # absolute x10 wall budgets below. Embeddings replicas are
+    # cycle-shifted (v2 rules) so cells fill like a real 10x corpus.
+    "sim_knn_graph",
+    "sim_pagerank",
 )
 # EMBEDDING-PAIR queries must stay out of the probe: vectors replicate
 # verbatim (key offset only — there is no text-tag analog for float
@@ -232,6 +245,46 @@ SCALE_ITERATIONS_SUBSEC = 6
 X10_WALL_BUDGET_SEC = {
     "dedup_incremental": 1.5,
     "dedup_incremental_lsh": 1.5,
+    # graph-spine builds (round 11): O(n^1.5) by design (corpus-scaled
+    # sqrt(n) codebook -> ~22M exact candidate scorings at x10,
+    # measured 195-210 s on this host) — the ratio will read ~20-25
+    # and that IS the documented contract; the wall budget is the gate
+    "sim_knn_graph": 300.0,
+    "sim_pagerank": 300.0,
+}
+
+#: per-name iteration overrides: the graph builds are 200 s-scale
+#: measurements where min-of-2 buys nothing but bench wall time; the
+#: two 4x+-ratio rows get EXTRA iterations so their ratios are
+#: trustworthy (VERDICT r10 #6 — r10 read 4.52/3.44 at min-of-2)
+SCALE_PROBE_ITERATIONS = {
+    "sim_knn_graph": 1,
+    "sim_pagerank": 1,
+    "sim_ivf_incremental_assign": 4,
+    "tpch_q9_product_profit": 4,
+}
+
+
+def _reset_graph_spine(sf_dir: str) -> None:
+    """Clear the shared graph spine's session memo AND its persisted
+    edge generation for `sf_dir`, so a probe iteration measures the
+    full build (the scale-sensitive cost) instead of a memo hit."""
+    import shutil
+
+    from bigbugdata_spark.operators import similarity_graph_core as G
+
+    G._MEMO.clear()
+    fp = G._corpus_fingerprint(sf_dir, "embeddings.parquet")
+    shutil.rmtree(
+        G.index_path(f"{G._EDGES_PREFIX}{fp}"), ignore_errors=True
+    )
+
+
+#: per-query pre-iteration hooks for probes whose steady state is a
+#: shared materialization — the probe measures the build
+SCALE_PROBE_RESET = {
+    "sim_knn_graph": _reset_graph_spine,
+    "sim_pagerank": _reset_graph_spine,
 }
 
 
@@ -258,8 +311,10 @@ def _build_scale_dir(spark) -> str:
 
     from pyspark.sql import functions as F
 
+    # v2: embeddings replicas are CYCLE-SHIFTED (round 11), not verbatim
+    # — the rule change must invalidate the cached build
     d = Path(tempfile.gettempdir()) / (
-        f"bigbugdata-bench-scale{SCALE_REPLICATION}-{Path(SF_DIR).name}"
+        f"bigbugdata-bench-scale{SCALE_REPLICATION}v2-{Path(SF_DIR).name}"
         f"-{_source_fingerprint()}"
     )
     marker = d / ".complete"
@@ -284,6 +339,25 @@ def _build_scale_dir(spark) -> str:
                     rep = rep.withColumn(
                         "text",
                         F.regexp_replace(F.col("text"), r"(\S+)", f"r{i}$1"),
+                    )
+                if t == "embeddings" and i > 0:
+                    # cyclic-shift each replica's vector by i dims (the
+                    # vector analog of the token tag, round 11): replicas
+                    # point in DIFFERENT directions (random 64-dim vectors
+                    # have near-zero cosine to their rotations), so IVF
+                    # cells fill the way a 10x-bigger real corpus would —
+                    # verbatim copies would stack 10 identical vectors in
+                    # every cell and manufacture quadratic same-cell
+                    # candidate volume the plan never creates on real
+                    # data. Norm (and so cosine geometry within a
+                    # replica) is exactly preserved.
+                    rep = rep.withColumn(
+                        "embedding",
+                        F.expr(
+                            f"concat(slice(embedding, {i + 1}, "
+                            f"size(embedding) - {i}), "
+                            f"slice(embedding, 1, {i}))"
+                        ),
                     )
                 reps.append(rep)
             out = functools.reduce(lambda a, b: a.unionByName(b), reps)
@@ -314,16 +388,24 @@ def bench_scale_probe(spark, specs) -> dict:
 
         def _measure(sf_dir: str, iters: int) -> float:
             spark.catalog.clearCache()
+            reset = SCALE_PROBE_RESET.get(name)
             runs = []
             for _ in range(iters):
-                df = specs[name].fn(spark, sf_dir)
-                t0 = time.perf_counter()
+                if reset is not None:
+                    reset(sf_dir)
+                    # fn() itself runs the build for spine-backed
+                    # queries, so time the whole call
+                    t0 = time.perf_counter()
+                    df = specs[name].fn(spark, sf_dir)
+                else:
+                    df = specs[name].fn(spark, sf_dir)
+                    t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
             return round(min(runs), 4)
 
         try:
-            iters = SCALE_ITERATIONS
+            iters = SCALE_PROBE_ITERATIONS.get(name, SCALE_ITERATIONS)
             entry["base_sec"] = _measure(SF_DIR, iters)
             if entry["base_sec"] < SCALE_SUBSEC_THRESHOLD:
                 # sub-second base: the ratio's denominator is noise —

@@ -22,9 +22,13 @@ integers against an integer envelope.
 
 Scale posture: one groupBy(day) pass builds daily sketches (map-side
 partial merge — sketch unions are commutative monoids, Spark's
-aggregate buffers merge them like SUM partials); the rolling read
-unions |days|^2/2 sketch PAIRS here for clarity (30 days -> 465
-tiny binary merges), or one sorted prefix scan in production; the
+aggregate buffers merge them like SUM partials); the rolling read is
+ONE sorted prefix scan (round 11, VERDICT r10 #7): hll_union_agg over
+a running ROWS-frame window accumulates each day's sketch into the
+carried union exactly once — |days| merges total, where the r10
+pairwise inequality join paid |days|^2/2 (240k tiny merges at 3 years
+of days).  The window is single-partition but day-cardinality-sized —
+the same bounded-panel contract as the EWMA/quantile-trend family; the
 exact columns ride the first-seen frame (growth accounting's shape).
 """
 
@@ -83,23 +87,23 @@ def evt_sketch_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("user_id").alias("sk"),
         F.countDistinct("user_id").cast("long").alias("n_users_day"),
     )
-    # rolling union: every day unions the sketches of all days <= it
-    pairs = daily.select("day", "n_users_day").alias("a").join(
-        daily.select(F.col("day").alias("day2"), "sk").alias("b"),
-        F.col("b.day2") <= F.col("a.day"),
-    )
-    rolled = pairs.groupBy("day", "n_users_day").agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk"))
-        .cast("long")
-        .alias("est")
-    )
-    # exact cumulative via first-seen days (growth accounting's shape)
-    firsts = ev.groupBy("user_id").agg(F.min("day").alias("fd"))
-    news = firsts.groupBy("fd").agg(F.count(F.lit(1)).alias("n_new"))
+    # rolling union as ONE sorted prefix scan: the running ROWS frame
+    # accumulates each day's sketch into the carried union exactly once
+    # (|days| merges — the r10 pairwise join paid |days|^2/2)
     wcum = (
         Window.orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    rolled = daily.select(
+        "day",
+        "n_users_day",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(wcum))
+        .cast("long")
+        .alias("est"),
+    )
+    # exact cumulative via first-seen days (growth accounting's shape)
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("fd"))
+    news = firsts.groupBy("fd").agg(F.count(F.lit(1)).alias("n_new"))
     cum = (
         rolled.join(news, rolled.day == news.fd, "left")
         .select(

@@ -26,8 +26,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bigbugdata_spark.catalog import table
-from bigbugdata_spark.functions.graph import connected_components
 from bigbugdata_spark.operators.similarity_rank import (
     _PAGERANK_SQL,
     PR_ROUNDS,
@@ -81,21 +79,15 @@ def sim_central_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic component's most central member by integer-ppb PageRank,
     ties to the smaller id; singleton components keep themselves at the
     teleport floor."""
-    from bigbugdata_spark.operators.similarity_knn import sim_knn_graph
-    from bigbugdata_spark.operators.similarity_rank import sim_pagerank
+    # the shared graph spine (round 11): components AND the rank frame
+    # are materialized once per corpus and reused across the family
+    from bigbugdata_spark.operators.similarity_graph_core import (
+        components,
+        pagerank_frame,
+    )
 
-    knn = sim_knn_graph(spark, sf_dir).select("src", "dst")
-    rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    mutual = (
-        knn.join(rev, ["src", "dst"])
-        .where(F.col("src") < F.col("dst"))
-        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    )
-    emb = table(spark, sf_dir, "embeddings").select("vec_id")
-    comp = connected_components(emb, mutual, id_col="vec_id").select(
-        F.col("id").alias("vec_id"), "component"
-    )
-    pr = sim_pagerank(spark, sf_dir).select("vec_id", "pr_ppb")
+    comp = components(spark, sf_dir)
+    pr = pagerank_frame(spark, sf_dir).select("vec_id", "pr_ppb")
     ranked = comp.join(pr, "vec_id")
     w = Window.partitionBy("component").orderBy(
         F.desc("pr_ppb"), F.asc("vec_id")

@@ -40,7 +40,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigbugdata_spark.catalog import table
-from bigbugdata_spark.functions.graph import connected_components
 from bigbugdata_spark.operators.similarity_knn import _KNN_SQL
 from bigbugdata_spark.registry import register
 
@@ -102,20 +101,13 @@ def sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     label purity as a single exact-integer division. Singleton
     components (vectors with no mutual edge) appear as size-1 clusters
     with purity 1.0."""
-    from bigbugdata_spark.operators.similarity_knn import sim_knn_graph
+    # the shared graph spine (round 11): the component frame is
+    # materialized once per corpus and reused across the graph family
+    from bigbugdata_spark.operators.similarity_graph_core import components
 
-    knn = sim_knn_graph(spark, sf_dir).select("src", "dst")
-    rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    mutual = (
-        knn.join(rev, ["src", "dst"])
-        .where(F.col("src") < F.col("dst"))
-        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    )
+    comp = components(spark, sf_dir)
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    comp = connected_components(emb.select("vec_id"), mutual, id_col="vec_id")
-    labeled = comp.join(
-        emb, comp.id == emb.vec_id
-    ).select("component", "label")
+    labeled = comp.join(emb, "vec_id").select("component", "label")
     label_counts = labeled.groupBy("component", "label").agg(
         F.count(F.lit(1)).alias("n")
     )

@@ -31,8 +31,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigbugdata_spark.catalog import table
-from bigbugdata_spark.functions.graph import connected_components
 from bigbugdata_spark.operators.similarity_knn_core import KNN_SQL as _KNN_SQL
 from bigbugdata_spark.registry import register
 
@@ -77,23 +75,17 @@ def sim_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, component, cluster_size, keep): keep = 1 iff the vector
     IS its component's minimum id — exactly one exemplar survives per
     mutual-kNN semantic cluster; singletons keep themselves."""
-    from bigbugdata_spark.operators.similarity_knn import sim_knn_graph
+    # the shared graph spine (round 11): the component frame is
+    # materialized once per corpus and reused across the graph family
+    from bigbugdata_spark.operators.similarity_graph_core import components
 
-    knn = sim_knn_graph(spark, sf_dir).select("src", "dst")
-    rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    mutual = (
-        knn.join(rev, ["src", "dst"])
-        .where(F.col("src") < F.col("dst"))
-        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    )
-    emb = table(spark, sf_dir, "embeddings").select("vec_id")
-    comp = connected_components(emb, mutual, id_col="vec_id")
+    comp = components(spark, sf_dir)
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
     return comp.join(sizes, "component").select(
-        F.col("id").alias("vec_id"),
+        "vec_id",
         "component",
         "cluster_size",
-        (F.col("id") == F.col("component")).cast("int").alias("keep"),
+        (F.col("vec_id") == F.col("component")).cast("int").alias("keep"),
     )

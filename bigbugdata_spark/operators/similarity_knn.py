@@ -32,10 +32,8 @@ instead of the quadratic blow-up a fixed K would give.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, SparkSession
 
-from bigbugdata_spark.functions import hashing as H
 from bigbugdata_spark.operators.similarity_knn_core import (  # noqa: F401
     KNN_K,
     KNN_PROBE,
@@ -59,42 +57,13 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edges (src, dst, rnk, cos_sim): each vector's KNN_K best
     IVF-candidates by cosine, rank ties broken by dst id. Nodes whose
     probed cells hold fewer than KNN_K other vectors emit fewer
-    edges (never padded)."""
-    # lazy import: keeps operators.similarity's registrations out of
-    # this module's import-time footprint (registry rotation order)
-    from bigbugdata_spark.operators.similarity import (
-        _corpus,
-        ivf_assign,
-        ivf_candidates,
-        ivf_cents,
-        ivf_probes,
-    )
+    edges (never padded).
 
-    corpus = _corpus(spark, sf_dir)
-    cents = ivf_cents(corpus)
-    assign = ivf_assign(corpus, cents)
-    allq = corpus.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-    )
-    probes = ivf_probes(allq, cents, n_probe=KNN_PROBE)
-    cand = ivf_candidates(probes, assign)
-    scored = (
-        cand.join(corpus, "vec_id")
-        .join(allq, "query_id")
-        .select(
-            F.col("query_id").alias("src"),
-            F.col("vec_id").alias("dst"),
-            (
-                H.dot(F.col("q_emb"), F.col("embedding"))
-                / (F.col("q_nrm") * F.col("nrm"))
-            ).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= KNN_K)
-        .select("src", "dst", F.col("rnk").cast("long").alias("rnk"), "cos_sim")
-    )
+    Served from the shared graph spine (round 11, VERDICT r10 #5): the
+    plan itself lives in similarity_graph_core._build_knn_plan; this
+    call returns the content-fingerprinted shared materialization that
+    pagerank/triangles/components/exemplars all consume, so the
+    expensive IVF build runs once per corpus, not once per consumer."""
+    from bigbugdata_spark.operators.similarity_graph_core import knn_edges
+
+    return knn_edges(spark, sf_dir)

@@ -35,16 +35,21 @@ driver-side scalar is COUNT(*) (the kmeans/IVF sizing precedent).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from bigbugdata_spark.catalog import table
 from bigbugdata_spark.operators.similarity_knn_core import KNN_SQL as _KNN_SQL
-from bigbugdata_spark.registry import register
 
-PR_ROUNDS = 5
-PR_SCALE = 1_000_000_000  # ranks in integer parts-per-billion
-_DAMP_NUM, _DAMP_DEN = 85, 100  # d = 0.85 as an exact ratio
-_TELEPORT_NUM = _DAMP_DEN - _DAMP_NUM
+# constants + the executed rounds live in the shared graph spine
+# (operators/similarity_graph_core.py, round 11) so every consumer of
+# the rank frame reuses ONE materialization; the oracle SQL below
+# unrolls the identical rounds from the same constants
+from bigbugdata_spark.operators.similarity_graph_core import (
+    DAMP_DEN as _DAMP_DEN,
+    DAMP_NUM as _DAMP_NUM,
+    PR_ROUNDS,
+    PR_SCALE,
+    TELEPORT_NUM as _TELEPORT_NUM,
+)
+from bigbugdata_spark.registry import register
 
 
 def _sql_round(k: int) -> str:
@@ -106,49 +111,9 @@ def sim_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, deg, pr_ppb): every vector's mutual-kNN degree and its
     integer-ppb PageRank after PR_ROUNDS damped rounds.  Isolated
     vectors settle at the teleport floor; cluster-central vectors
-    accumulate their neighborhoods' forwarded mass."""
-    from bigbugdata_spark.operators.similarity_knn import sim_knn_graph
+    accumulate their neighborhoods' forwarded mass.  Served from the
+    shared graph spine: the rounds execute once per corpus and feed
+    this card AND sim_central_exemplars."""
+    from bigbugdata_spark.operators.similarity_graph_core import pagerank_frame
 
-    knn = sim_knn_graph(spark, sf_dir).select("src", "dst")
-    rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    mutual = (
-        knn.join(rev, ["src", "dst"])
-        .where(F.col("src") < F.col("dst"))
-        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    )
-    edges = mutual.unionByName(
-        mutual.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
-    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = table(spark, sf_dir, "embeddings").select("vec_id")
-    n = nodes.count()  # the one driver scalar (kmeans/IVF precedent)
-    teleport = (_TELEPORT_NUM * PR_SCALE) // (_DAMP_DEN * n)
-    pr = nodes.withColumn("pr", F.lit(PR_SCALE // n)).localCheckpoint()
-    for _ in range(PR_ROUNDS):
-        contrib = (
-            edges.join(pr, edges.a == pr.vec_id)
-            .join(deg, "a")
-            .select(
-                F.col("b").alias("vec_id"),
-                F.expr("pr div deg").alias("c"),
-            )
-        )
-        s = contrib.groupBy("vec_id").agg(F.sum("c").alias("s"))
-        pr = (
-            nodes.join(s, "vec_id", "left")
-            .select(
-                "vec_id",
-                (
-                    F.lit(teleport)
-                    + F.expr(
-                        f"({_DAMP_NUM} * coalesce(s, 0L)) div {_DAMP_DEN}"
-                    )
-                ).alias("pr"),
-            )
-            .localCheckpoint()
-        )
-    return pr.join(deg, pr.vec_id == deg.a, "left").select(
-        "vec_id",
-        F.coalesce("deg", F.lit(0)).cast("long").alias("deg"),
-        F.col("pr").cast("long").alias("pr_ppb"),
-    )
+    return pagerank_frame(spark, sf_dir)

@@ -79,16 +79,11 @@ def sim_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, deg, n_triangles): every vector's mutual-kNN degree and
     the number of triangles it sits in — high deg with low triangles
     flags hub vectors; zero rows stay present (isolated vectors)."""
-    from bigbugdata_spark.operators.similarity_knn import sim_knn_graph
+    # the shared graph spine (round 11): mutual edges are materialized
+    # once per corpus and reused across the whole graph family
+    from bigbugdata_spark.operators.similarity_graph_core import mutual_edges
 
-    knn = sim_knn_graph(spark, sf_dir).select("src", "dst")
-    rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    mutual = (
-        knn.join(rev, ["src", "dst"])
-        .where(F.col("src") < F.col("dst"))
-        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .localCheckpoint()
-    )
+    mutual = mutual_edges(spark, sf_dir)
     e1 = mutual.alias("e1")
     e2 = mutual.alias("e2")
     e3 = mutual.alias("e3")
