@@ -249,6 +249,15 @@ _QUERY_MODULES = (
     # listed here — dead code until now; registered last so it joins
     # the r12 queue behind the four deferred r10 registrations):
     "bigbugdata_spark.streaming.attrib",
+    # r11-new queries (no driver verdict yet -> r12 rotation queue, in
+    # this registration order, behind the four deferred r10 modules and
+    # streaming.attrib above):
+    "bigbugdata_spark.operators.similarity_health",
+    "bigbugdata_spark.operators.text_tfidf",
+    "bigbugdata_spark.operators.text_bpe_apply",
+    "bigbugdata_spark.operators.corpus_lineage",
+    "bigbugdata_spark.operators.similarity_mmr",
+    "bigbugdata_spark.operators.storage_compact",
 )
 
 

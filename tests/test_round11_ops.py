@@ -3,7 +3,11 @@ contract (advisory r10 — chunk-order bug + the module was dead code),
 verified three ways: a direct multi-chunk unit test on the stateful
 kernel, a multi-slice availableNow stream == batch equality, and the
 whole-fixture oracle parity already covered by test_oracle_parity.py
-once the module registers.
+once the module registers.  Plus semantic unit tests for the six
+r11-new queries (sim_knn_health, text_tfidf_topk, text_bpe_tokenize,
+corpus_dedup_lineage, sim_mmr_topk, store_compaction_plan) — oracle
+parity proves engine agreement; these pin that the agreed-on answer
+is the RIGHT answer.
 """
 
 from __future__ import annotations
@@ -181,3 +185,163 @@ def test_stream_attribution_multi_slice_scrambled_chunks(spark, tmp_path):
     # the scramble must actually exercise cross-chunk credits: at least
     # one purchase is credited to a touch from a different 4-row chunk
     assert len(expected_set) == 11
+
+
+# --- r11-new operator semantics ---------------------------------------------
+
+
+def test_knn_health_card_shape_and_bounds(spark, sf_oracle):
+    """K rows, ranks 1..KNN_K, edge counts non-increasing by rank (a
+    node emitting rank r also emitted 1..r-1), reciprocal <= edges, and
+    mean cosine within [-1e6, 1e6] ppm."""
+    from bigbugdata_spark.operators.similarity_knn_core import KNN_K
+
+    rows = {
+        r["rnk"]: r
+        for r in SPECS["sim_knn_health"].fn(spark, sf_oracle).collect()
+    }
+    assert sorted(rows) == list(range(1, KNN_K + 1))
+    counts = [rows[r]["n_edges"] for r in sorted(rows)]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows.values():
+        assert 0 <= r["n_reciprocal"] <= r["n_edges"]
+        assert -1_000_000 <= r["mean_cos_ppm"] <= 1_000_000
+
+
+def test_tfidf_topk_scores_and_ranks(spark, sf_oracle):
+    """Per doc <= TOP_TERMS rows with contiguous ranks; every score is
+    exactly tf * 1e6 div df; rank order matches (score DESC, term)."""
+    from collections import defaultdict
+
+    from bigbugdata_spark.operators.text_tfidf import TOP_TERMS
+
+    rows = SPECS["text_tfidf_topk"].fn(spark, sf_oracle).collect()
+    assert rows
+    by_doc = defaultdict(list)
+    for r in rows:
+        assert r["score"] == r["tf"] * 1_000_000 // r["df"]
+        by_doc[r["doc_id"]].append(r)
+    for doc_rows in by_doc.values():
+        doc_rows.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in doc_rows] == list(
+            range(1, len(doc_rows) + 1)
+        )
+        assert len(doc_rows) <= TOP_TERMS
+        keys = [(-r["score"], r["term"]) for r in doc_rows]
+        assert keys == sorted(keys)
+
+
+def test_bpe_tokenize_totals_equal_compression_card(spark, sf_oracle):
+    """Cross-query invariant: per-doc accounting summed corpus-wide
+    must equal text_bpe_compression's totals exactly (same trainer,
+    same filter, same merge application)."""
+    from pyspark.sql import functions as F
+
+    per_doc = SPECS["text_bpe_tokenize"].fn(spark, sf_oracle)
+    tot = per_doc.agg(
+        F.sum("n_words").alias("w"),
+        F.sum("base_symbols").alias("b"),
+        F.sum("merged_symbols").alias("m"),
+    ).first()
+    card = SPECS["text_bpe_compression"].fn(spark, sf_oracle).first()
+    assert tot["w"] == card["n_tokens"]
+    assert tot["b"] == card["base_symbols"]
+    assert tot["m"] == card["merged_symbols"]
+
+
+def test_dedup_lineage_stages_consistent(spark, sf_oracle):
+    """Every survivor_id's own row is 'kept'; exact-removed docs share
+    their text with a doc of smaller id; every document appears exactly
+    once; at least one row per live stage on this fixture."""
+    rows = SPECS["corpus_dedup_lineage"].fn(spark, sf_oracle).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert len(by_id) == len(rows)
+    stages = {r["stage"] for r in rows}
+    assert stages <= {"exact", "near", "kept"}
+    # this fixture has near-dups but no byte-identical texts; the exact
+    # stage is exercised on a planted corpus in the next test
+    assert "kept" in stages and "near" in stages
+    for r in rows:
+        surv = by_id[r["survivor_id"]]
+        assert surv["stage"] == "kept"
+        assert surv["survivor_id"] == surv["doc_id"]
+        if r["stage"] == "kept":
+            assert r["survivor_id"] == r["doc_id"]
+
+
+def test_dedup_lineage_exact_stage_and_chaining(spark, tmp_path):
+    """Planted corpus: docs 1/2 byte-identical, doc 3 a near-dup of
+    their text, doc 4 unrelated.  Doc 2 must be removed at 'exact',
+    doc 3 at 'near', and BOTH must chain to survivor 1; doc 4 keeps
+    itself."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base, "en", "web", len(base)),
+        (2, base, "en", "web", len(base)),  # byte-identical dup of 1
+        (3, base + " lambda", "en", "web", len(base) + 7),  # near-dup
+        (4, "one two three four five six seven eight", "en", "web", 40),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["stage"], r["survivor_id"])
+        for r in SPECS["corpus_dedup_lineage"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == ("kept", 1)
+    assert got[2] == ("exact", 1)
+    assert got[3] == ("near", 1)
+    assert got[4] == ("kept", 4)
+
+
+def test_mmr_picks_are_distinct_and_start_at_max_relevance(spark, sf_oracle):
+    """MMR_K distinct non-query picks; step 1 equals the pure-relevance
+    argmax; steps are contiguous 1..K."""
+    from pyspark.sql import functions as F
+
+    from bigbugdata_spark.functions import hashing as H
+    from bigbugdata_spark.functions.fragments import N_QUERIES
+    from bigbugdata_spark.operators.similarity import _corpus
+    from bigbugdata_spark.operators.similarity_mmr import MMR_K
+
+    rows = sorted(
+        SPECS["sim_mmr_topk"].fn(spark, sf_oracle).collect(),
+        key=lambda r: r["step"],
+    )
+    assert [r["step"] for r in rows] == list(range(1, MMR_K + 1))
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == MMR_K and all(v >= N_QUERIES for v in ids)
+
+    corpus = _corpus(spark, sf_oracle)
+    q = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    top_rel = (
+        corpus.filter(F.col("vec_id") >= N_QUERIES)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                H.dot(F.col("embedding"), F.col("q_emb"))
+                / (F.col("nrm") * F.col("q_nrm"))
+            ).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .first()
+    )
+    assert rows[0]["vec_id"] == top_rel["vec_id"]
+
+
+def test_compaction_plan_executed_on_plan(spark, sf_oracle):
+    """Row totals preserved, every day's executed file count equals its
+    plan, and at least one day actually needed more than one file."""
+    from bigbugdata_spark.catalog import table
+
+    rows = SPECS["store_compaction_plan"].fn(spark, sf_oracle).collect()
+    assert rows
+    assert all(r["rows_match"] == 1 for r in rows)
+    assert all(r["files_after"] == r["target_files"] for r in rows)
+    assert sum(r["n_rows"] for r in rows) == table(
+        spark, sf_oracle, "events"
+    ).count()
+    assert any(r["target_files"] > 1 for r in rows)
