@@ -258,6 +258,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.corpus_lineage",
     "bigbugdata_spark.operators.similarity_mmr",
     "bigbugdata_spark.operators.storage_compact",
+    "bigbugdata_spark.operators.corpus_epochs",
 )
 
 

@@ -345,3 +345,20 @@ def test_compaction_plan_executed_on_plan(spark, sf_oracle):
         spark, sf_oracle, "events"
     ).count()
     assert any(r["target_files"] > 1 for r in rows)
+
+
+def test_epoch_mix_plan_arithmetic(spark, sf_oracle):
+    """Exact integer identities: need = BUDGET_X * total * pm div 1000,
+    epochs = need*1000 div avail; target shares sum to 1000; oversample
+    flag consistent."""
+    from bigbugdata_spark.operators.corpus_epochs import BUDGET_X, TARGET_PM
+
+    rows = SPECS["corpus_epoch_mix_plan"].fn(spark, sf_oracle).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    assert sum(TARGET_PM.values()) == 1000
+    for r in rows:
+        pm = TARGET_PM.get(r["lang"], 0)
+        assert r["target_pm"] == pm
+        assert r["need_tokens"] == BUDGET_X * total * pm // 1000
+        assert r["epochs_milli"] == r["need_tokens"] * 1000 // r["n_tokens"]
+        assert r["oversampled"] == int(r["epochs_milli"] > 1000)
