@@ -245,12 +245,15 @@ SCALE_ITERATIONS_SUBSEC = 6
 X10_WALL_BUDGET_SEC = {
     "dedup_incremental": 1.5,
     "dedup_incremental_lsh": 1.5,
-    # graph-spine builds (round 11): O(n^1.5) by design (corpus-scaled
-    # sqrt(n) codebook -> ~22M exact candidate scorings at x10,
-    # measured 195-210 s on this host) — the ratio will read ~20-25
-    # and that IS the documented contract; the wall budget is the gate
+    # graph-spine builds (round 11): the kNN build is O(n^1.5) by design
+    # (corpus-scaled sqrt(n) codebook -> ~22M exact candidate scorings
+    # at x10, measured 191 s on this host) — its ratio will read ~20-30
+    # and that IS the documented contract; the wall budget is the gate.
+    # sim_pagerank's probe measures the ROUNDS over existing edges
+    # (edge-list-linear; the downstream reset below), not a second
+    # rebuild.
     "sim_knn_graph": 300.0,
-    "sim_pagerank": 300.0,
+    "sim_pagerank": 180.0,
 }
 
 #: per-name iteration overrides: the graph builds are 200 s-scale
@@ -273,18 +276,37 @@ def _reset_graph_spine(sf_dir: str) -> None:
 
     from bigbugdata_spark.operators import similarity_graph_core as G
 
-    G._MEMO.clear()
     fp = G._corpus_fingerprint(sf_dir, "embeddings.parquet")
+    # scoped to THIS corpus: clearing the other scale's memo here would
+    # skew the pagerank probe's base/x10 symmetry (downstream reset)
+    for key in [k for k in G._MEMO if k[1] == fp]:
+        del G._MEMO[key]
     shutil.rmtree(
         G.index_path(f"{G._EDGES_PREFIX}{fp}"), ignore_errors=True
     )
+
+
+def _reset_graph_spine_downstream(sf_dir: str) -> None:
+    """Clear everything DERIVED from the edge list (mutual, components,
+    pagerank) but keep the edges: the pagerank probe then measures the
+    iterative rounds' scaling — its own increment — instead of paying a
+    second full kNN rebuild the sim_knn_graph probe already measured.
+    (The knn probe runs first in SCALE_PROBE_QUERIES and leaves each
+    scale's final build memoized — its reset is fingerprint-scoped so
+    the base memo survives the x10 iterations; if a knn memo is absent,
+    pagerank rebuilds it too — correct either way, just slower.)"""
+    from bigbugdata_spark.operators import similarity_graph_core as G
+
+    fp = G._corpus_fingerprint(sf_dir, "embeddings.parquet")
+    for key in [k for k in G._MEMO if k[1] == fp and k[2] != "knn"]:
+        del G._MEMO[key]
 
 
 #: per-query pre-iteration hooks for probes whose steady state is a
 #: shared materialization — the probe measures the build
 SCALE_PROBE_RESET = {
     "sim_knn_graph": _reset_graph_spine,
-    "sim_pagerank": _reset_graph_spine,
+    "sim_pagerank": _reset_graph_spine_downstream,
 }
 
 
@@ -541,13 +563,15 @@ def bench_kraken_e2e(spark) -> dict[str, float]:
         ("CF_RNA_Negative$", "^CF_RNA"),
     ]
     times = []
-    # three runs (round 11, was two): the warm steady state has ~0.5-1 s
-    # of run-to-run spread on this host, so a single warm run made `min`
-    # a coin flip — the r10 "+14% regression" was mostly this noise (the
-    # r11 bisect measured zero in-window cost from the 25 new module
-    # registrations: load_all is 0.6 s of import OUTSIDE the window, and
-    # gen2 GC collections in-window are zero)
-    for i in range(3):
+    # four runs (round 11, was two): the warm steady state has ~0.5-1 s
+    # of run-to-run spread on this host AND the fresh session's JIT is
+    # still tiering through run 3 (measured: 13.5/8.7/8.1/8.9/8.1 over
+    # five runs), so a single warm run made `min` a coin flip — the r10
+    # "+14% regression" was mostly this noise (the r11 bisect measured
+    # zero in-window cost from the 25 new module registrations: load_all
+    # is 0.6 s of import OUTSIDE the window, and gen2 GC collections
+    # in-window are zero). `first` stays the cold-plan number.
+    for i in range(4):
         out = tempfile.mkdtemp(prefix="bigbugdata-bench-kraken-out-")
         t0 = time.perf_counter()
         result = run_pipeline(

@@ -165,7 +165,21 @@ def _cmd_filter_reports(args) -> None:
 #: warns instead of refusing (the "storage" tag refuses: those run a
 #: full write/vacuum lifecycle and return only a trivial scan)
 _INDEX_WRITER_QUERIES = frozenset(
-    {"dedup_incremental", "dedup_incremental_lsh", "sim_ivf_incremental_assign"}
+    {
+        "dedup_incremental",
+        "dedup_incremental_lsh",
+        "sim_ivf_incremental_assign",
+        # the shared graph spine persists its edge generation on first
+        # build (similarity_graph_core) — every consumer may write it
+        "sim_knn_graph",
+        "sim_pagerank",
+        "sim_triangle_stats",
+        "sim_central_exemplars",
+        "sim_semantic_keep",
+        "sim_semantic_clusters",
+        "pipe_semantic_guard",
+        "sim_knn_health",
+    }
 )
 
 

@@ -362,3 +362,61 @@ def test_epoch_mix_plan_arithmetic(spark, sf_oracle):
         assert r["need_tokens"] == BUDGET_X * total * pm // 1000
         assert r["epochs_milli"] == r["need_tokens"] * 1000 // r["n_tokens"]
         assert r["oversampled"] == int(r["epochs_milli"] > 1000)
+
+
+def test_graph_spine_adopts_persisted_generation(spark, sf_oracle, monkeypatch):
+    """A session whose memo is cold must ADOPT the persisted edge
+    generation instead of rebuilding: with the builder monkeypatched to
+    explode, knn_edges still serves the edges from disk."""
+    from bigbugdata_spark.operators import similarity_graph_core as G
+
+    # ensure a generation exists, then forget the session memo
+    n = G.knn_edges(spark, sf_oracle).count()
+    G._MEMO.clear()
+
+    def _boom(*a, **k):  # noqa: ANN001
+        raise AssertionError("rebuilt despite a persisted generation")
+
+    monkeypatch.setattr(G, "_build_knn_plan", _boom)
+    assert G.knn_edges(spark, sf_oracle).count() == n
+
+
+def test_graph_spine_rebuilds_on_content_change(spark, tmp_path):
+    """A regenerated corpus (same path, new content) must never be
+    served a stale generation: the fingerprint changes, the old
+    generation is swept, and the edges rebuild from the new content."""
+    import shutil
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from bigbugdata_spark.operators import similarity_graph_core as G
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    dst = tmp_path / "embeddings.parquet"
+    shutil.copytree(src, str(dst)) if Path(src).is_dir() else shutil.copy(
+        src, str(dst)
+    )
+    fp1 = G._corpus_fingerprint(str(tmp_path), "embeddings.parquet")
+    n1 = G.knn_edges(spark, str(tmp_path)).count()
+    assert (Path(G.index_path(f"{G._EDGES_PREFIX}{fp1}")) / "_SUCCESS").exists()
+
+    # regenerate: halve the corpus in place (same path, new content)
+    half = (
+        spark.read.parquet(str(dst))
+        .filter(F.col("vec_id") % 2 == 0)
+        .collect()
+    )
+    shutil.rmtree(str(dst), ignore_errors=True) if Path(
+        str(dst)
+    ).is_dir() else Path(str(dst)).unlink()
+    spark.createDataFrame(half).coalesce(1).write.parquet(str(dst))
+
+    fp2 = G._corpus_fingerprint(str(tmp_path), "embeddings.parquet")
+    assert fp2 != fp1 and fp2[:8] == fp1[:8]  # same path, new content
+    G._MEMO.clear()
+    n2 = G.knn_edges(spark, str(tmp_path)).count()
+    assert n2 < n1  # rebuilt from the halved corpus, not served stale
+    # the same-corpus stale generation was swept
+    assert not Path(G.index_path(f"{G._EDGES_PREFIX}{fp1}")).exists()
+    assert (Path(G.index_path(f"{G._EDGES_PREFIX}{fp2}")) / "_SUCCESS").exists()
