@@ -259,6 +259,8 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.similarity_mmr",
     "bigbugdata_spark.operators.storage_compact",
     "bigbugdata_spark.operators.corpus_epochs",
+    "bigbugdata_spark.operators.dq_schema",
+    "bigbugdata_spark.operators.text_cooc",
 )
 
 

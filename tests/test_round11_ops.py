@@ -420,3 +420,81 @@ def test_graph_spine_rebuilds_on_content_change(spark, tmp_path):
     # the same-corpus stale generation was swept
     assert not Path(G.index_path(f"{G._EDGES_PREFIX}{fp1}")).exists()
     assert (Path(G.index_path(f"{G._EDGES_PREFIX}{fp2}")) / "_SUCCESS").exists()
+
+
+def test_schema_contract_all_green_and_complete(spark, sf_oracle):
+    """Every contract column present with ok=1 on the healthy fixture;
+    exactly the contract's row count (no undeclared columns)."""
+    from bigbugdata_spark.operators.dq_schema import CONTRACT
+
+    rows = SPECS["dq_schema_contract"].fn(spark, sf_oracle).collect()
+    assert len(rows) == len(CONTRACT)
+    assert all(r["ok"] == 1 for r in rows)
+    assert all(r["expected_kind"] == r["actual_kind"] for r in rows)
+
+
+def test_schema_contract_flags_drift(spark, tmp_path):
+    """A drifted table (renamed column + widened int) must go red: the
+    missing declared column, the mismatched kind, and the undeclared
+    newcomer each flip ok=0."""
+    import shutil
+
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents"):
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        shutil.copy(src, str(tmp_path / f"{t}.parquet"))
+    # embeddings drifts: label widened to int64, vec_id renamed
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    (
+        emb.select(
+            F.col("vec_id").alias("vector_id"),
+            "embedding",
+            F.col("label").cast("long").alias("label"),
+        )
+        .coalesce(1)
+        .write.parquet(str(tmp_path / "embeddings.parquet"))
+    )
+    rows = {
+        (r["table_name"], r["col_name"]): r
+        for r in SPECS["dq_schema_contract"].fn(spark, str(tmp_path)).collect()
+    }
+    assert rows[("embeddings", "vec_id")]["actual_kind"] == "missing"
+    assert rows[("embeddings", "vec_id")]["ok"] == 0
+    assert rows[("embeddings", "label")]["actual_kind"] == "int64"
+    assert rows[("embeddings", "label")]["ok"] == 0
+    assert rows[("embeddings", "vector_id")]["expected_kind"] == "missing"
+    assert rows[("embeddings", "vector_id")]["ok"] == 0
+    # untouched tables stay green
+    assert rows[("documents", "doc_id")]["ok"] == 1
+
+
+def test_cooc_pairs_match_python_reference(spark, sf_small):
+    """The full co-occurrence table (not just top-k) equals a plain
+    python reference walk over the same tokens at sf0.001, and the
+    registered top-k is its (n DESC, a, b) head."""
+    from collections import Counter
+
+    from bigbugdata_spark.catalog import table as _table
+    from bigbugdata_spark.operators.text_cooc import COOC_TOPK, COOC_WINDOW
+
+    texts = [
+        r["text"] for r in _table(spark, sf_small, "documents").collect()
+    ]
+    ref = Counter()
+    for txt in texts:
+        t = [w for w in txt.strip().lower().split() if w]
+        for d in range(1, COOC_WINDOW + 1):
+            for i in range(len(t) - d):
+                a, b = sorted((t[i], t[i + d]))
+                ref[(a, b)] += 1
+    expected = sorted(
+        ((n, a, b) for (a, b), n in ref.items()),
+        key=lambda x: (-x[0], x[1], x[2]),
+    )[:COOC_TOPK]
+    got = [
+        (r["n"], r["a"], r["b"])
+        for r in SPECS["text_cooc_topk"].fn(spark, sf_small).collect()
+    ]
+    assert got == expected
