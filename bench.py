@@ -571,6 +571,7 @@ def bench_kraken_e2e(spark) -> dict[str, float]:
     # zero in-window cost from the 25 new module registrations: load_all
     # is 0.6 s of import OUTSIDE the window, and gen2 GC collections
     # in-window are zero). `first` stays the cold-plan number.
+    canary_at_calibration_point = None
     for i in range(4):
         out = tempfile.mkdtemp(prefix="bigbugdata-bench-kraken-out-")
         t0 = time.perf_counter()
@@ -580,12 +581,24 @@ def bench_kraken_e2e(spark) -> dict[str, float]:
         )
         write_outputs(result, out, "species", mode="scale")
         times.append(time.perf_counter() - t0)
+        if i == 1:
+            # the adjustment canary is sampled HERE — after exactly two
+            # pipeline executions — because that is the session state
+            # SPARK_CANARY_REF_SEC was calibrated at (rounds <= 10 ran
+            # two kraken iterations, then the canary).  The canary's
+            # own codegen path keeps JIT-warming with session work
+            # (measured: 0.080 after 2 runs vs 0.067 after 4 on the
+            # same host), so sampling it after the two extra r11 runs
+            # would silently inflate *_adj by ~12% against every prior
+            # round's number.
+            canary_at_calibration_point = _spark_canary(spark)
     return {
         "first": round(times[0], 4),
         "min": round(min(times), 4),
         "baseline_sec": KRAKEN_BASELINE_SEC,
         "samples": KRAKEN_SAMPLES,
         "taxa": KRAKEN_TAXA,
+        "canary_at_calibration_point": canary_at_calibration_point,
     }
 
 
@@ -674,12 +687,16 @@ def main() -> None:
             kraken = bench_kraken_e2e(spark)
             # kraken runs on its own fresh session, so it gets its own
             # canary for normalization (the query-loop canary measures a
-            # different session's window); measured AFTER the runs so a
-            # mid-bench drift shows up in it. Its OWN try: a canary
-            # failure must not mis-attribute an error to (or discard)
-            # the already-successful kraken result.
+            # different session's window); sampled INSIDE the run loop
+            # at the exact session state SPARK_CANARY_REF_SEC was
+            # calibrated at (after two pipeline executions — see
+            # bench_kraken_e2e).  Guarded: a canary failure must not
+            # mis-attribute an error to (or discard) the already-
+            # successful kraken result.
             try:
-                kc = _spark_canary(spark)
+                kc = kraken.pop("canary_at_calibration_point", None)
+                if kc is None:
+                    kc = _spark_canary(spark)
                 kraken["spark_canary_sec"] = kc
                 if kc:
                     kraken["first_adj"] = round(
