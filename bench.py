@@ -705,6 +705,21 @@ def main() -> None:
                     kraken["min_adj"] = round(
                         kraken["min"] * SPARK_CANARY_REF_SEC / kc, 4
                     )
+                # the spark canary is BIMODAL with the shared JVM's
+                # compilation state (measured r11: ~0.08 s when its
+                # path sits at C1, ~0.04 s once C2 engages — a 2x
+                # multiplier swing on identical hardware and identical
+                # raw kraken numbers), so the sha256 host canary's
+                # adjustment rides alongside: hardware-stable (+-4%
+                # across every r10/r11 run), blind to JVM drift.  Read
+                # the RAW numbers first, then whichever adjustment's
+                # premise fits the question.
+                hc = _host_canary()
+                kraken["host_canary_sec"] = hc
+                if hc:
+                    kraken["min_adj_host"] = round(
+                        kraken["min"] * HOST_CANARY_REF_SEC / hc, 4
+                    )
             except Exception as exc:  # noqa: BLE001
                 errors["kraken_canary"] = f"{type(exc).__name__}: {exc}"[:300]
         except Exception as exc:  # noqa: BLE001
