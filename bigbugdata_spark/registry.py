@@ -261,6 +261,8 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.corpus_epochs",
     "bigbugdata_spark.operators.dq_schema",
     "bigbugdata_spark.operators.text_cooc",
+    "bigbugdata_spark.operators.events_forecast",
+    "bigbugdata_spark.operators.profile_ndv",
 )
 
 

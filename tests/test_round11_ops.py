@@ -498,3 +498,66 @@ def test_cooc_pairs_match_python_reference(spark, sf_small):
         for r in SPECS["text_cooc_topk"].fn(spark, sf_small).collect()
     ]
     assert got == expected
+
+
+def test_forecast_backtest_matches_python_reference(spark, sf_small):
+    """The seasonal-naive backtest equals a python reference over the
+    same exact-cents panel at sf0.001 (incl. truncating division on
+    negative bias)."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from bigbugdata_spark.catalog import table as _table
+    from bigbugdata_spark.functions.fragments import cents_col
+    from bigbugdata_spark.operators.events_forecast import LAG_DAYS
+
+    panel_rows = (
+        _table(spark, sf_small, "events")
+        .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.sum(cents_col()).alias("cents"))
+        .collect()
+    )
+    panel = {(r["event_type"], r["day"]): r["cents"] for r in panel_rows}
+    agg = defaultdict(lambda: [0, 0, 0])  # n, sum_abs, sum_signed
+    for (et, day), actual in panel.items():
+        prev = (
+            dt.date.fromisoformat(day) - dt.timedelta(days=LAG_DAYS)
+        ).isoformat()
+        if (et, prev) in panel:
+            pred = panel[(et, prev)]
+            a = agg[et]
+            a[0] += 1
+            a[1] += abs(actual - pred)
+            a[2] += actual - pred
+    def _trunc_div(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    expected = {
+        et: (n, _trunc_div(sa, n), _trunc_div(ss, n))
+        for et, (n, sa, ss) in agg.items()
+    }
+    got = {
+        r["event_type"]: (r["n_days_scored"], r["mae_cents"], r["bias_cents"])
+        for r in SPECS["evt_forecast_seasonal_naive"].fn(spark, sf_small).collect()
+    }
+    assert got == expected and got
+
+
+def test_ndv_quality_flags_and_exacts(spark, sf_oracle):
+    """Exact NDVs match countDistinct recomputation; all flags green on
+    the fixture (worst measured error 8.3% vs the 15% 3-sigma bound)."""
+    from pyspark.sql import functions as F
+
+    from bigbugdata_spark.catalog import table as _table
+    from bigbugdata_spark.operators.profile_ndv import _COLS
+
+    rows = {r["col_name"]: r for r in SPECS["prof_ndv_quality"].fn(spark, sf_oracle).collect()}
+    assert set(rows) == set(_COLS)
+    ev = _table(spark, sf_oracle, "events")
+    for c in _COLS:
+        exact = ev.select(c).distinct().count()
+        assert rows[c]["ndv_exact"] == exact
+        assert rows[c]["in_bounds"] == 1
