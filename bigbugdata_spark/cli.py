@@ -179,6 +179,7 @@ _INDEX_WRITER_QUERIES = frozenset(
         "sim_semantic_clusters",
         "pipe_semantic_guard",
         "sim_knn_health",
+        "sim_knn_outliers",
     }
 )
 

@@ -263,6 +263,8 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.text_cooc",
     "bigbugdata_spark.operators.events_forecast",
     "bigbugdata_spark.operators.profile_ndv",
+    "bigbugdata_spark.streaming.quantiles",
+    "bigbugdata_spark.operators.similarity_outlier",
 )
 
 

@@ -561,3 +561,51 @@ def test_ndv_quality_flags_and_exacts(spark, sf_oracle):
         exact = ev.select(c).distinct().count()
         assert rows[c]["ndv_exact"] == exact
         assert rows[c]["in_bounds"] == 1
+
+
+def test_stream_quantiles_match_batch(spark, sf_oracle):
+    """Histogram-ranked streaming quantiles == the batch rank-over-raw
+    derivation, row for row (the MAD-family equivalence argument)."""
+    streamed = {
+        tuple(r)
+        for r in SPECS["evt_stream_value_quantiles"].fn(spark, sf_oracle).collect()
+    }
+    batch = {
+        tuple(r) for r in SPECS["evt_value_quantiles"].fn(spark, sf_oracle).collect()
+    }
+    assert streamed == batch and streamed
+
+
+def test_knn_outliers_consistent_with_spine(spark, sf_oracle):
+    """Per-vector means recompute from the shared edge list; both flag
+    branches live on the fixture; underfilled-K implies isolated."""
+    from pyspark.sql import functions as F
+
+    from bigbugdata_spark.operators.similarity_graph_core import knn_edges
+    from bigbugdata_spark.operators.similarity_outlier import (
+        ISOLATION_T_PPM,
+        KNN_K,
+    )
+
+    rows = SPECS["sim_knn_outliers"].fn(spark, sf_oracle).collect()
+    flags = {r["isolated"] for r in rows}
+    assert flags == {0, 1}
+    per = {
+        r["src"]: (r["k"], r["s"])
+        for r in knn_edges(spark, sf_oracle)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.round(F.col("cos_sim") * 1_000_000).cast("long")).alias("s"),
+        )
+        .collect()
+    }
+    for r in rows:
+        if r["vec_id"] in per:
+            k, s = per[r["vec_id"]]
+            assert r["k_found"] == k
+            assert r["mean_cos_ppm"] == s // k if s >= 0 else True
+            expect = int(k < KNN_K or r["mean_cos_ppm"] < ISOLATION_T_PPM)
+            assert r["isolated"] == expect
+        else:
+            assert r["k_found"] == 0 and r["isolated"] == 1
