@@ -137,6 +137,20 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # r9->r10 advisory caught a miscounted comment driving an
 # under-filled cap.  (Verified this round: first 50 printed from
 # REGISTRY order after load_all.)
+#
+# Round-12 rotation queue (plan): 26 permanent + the 4 deferred r10
+# registrations (storage_gc, events_attrib, storage_encoding,
+# text_langconf — one query each) + the 14 r11-new queries in
+# registration order (streaming.attrib, similarity_health, text_tfidf,
+# text_bpe_apply, corpus_lineage, similarity_mmr, storage_compact,
+# corpus_epochs, dq_schema, text_cooc, events_forecast, profile_ndv,
+# streaming.quantiles, similarity_outlier — one query each) = 44; the
+# remaining 6 slots backfill the stalest driver verdicts (the r5-era
+# events/events_ext/dedup staleness queue).  As always: count the
+# actual registrations, keep any query whose newest fix lacks a
+# driver verdict, and mind import-time drag (streaming.quantiles
+# imports operators.events at module level — events is r8-verified
+# and sits EARLIER in this tuple, so no drag; re-check if reordered).
 _QUERY_MODULES = (
     "bigbugdata_spark.operators.relational",
     "bigbugdata_spark.operators.audits",
