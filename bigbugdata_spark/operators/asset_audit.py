@@ -66,6 +66,7 @@ ASSET_ORACLE_SQL = f"""
     "mm_asset_lake_accounting",
     oracle=ASSET_ORACLE_SQL,
     tags=("multimodal", "storage", "agg"),
+    side_effects=True,
 )
 def mm_asset_lake_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per landed modality: asset count, payload byte total, distinct-

@@ -35,6 +35,7 @@ from bigbugdata_spark.registry import register
         FROM documents GROUP BY lang
     """,
     tags=("corpus", "storage", "agg"),
+    side_effects=True,
 )
 def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-version accounting through the MANIFEST-VERSIONED table

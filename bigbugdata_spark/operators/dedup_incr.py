@@ -190,6 +190,7 @@ def append_batch_to_index(
         WHERE CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) >= {JACCARD_T}
     """,
     tags=("dedup", "join"),
+    index_writer=True,
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INGEST-SHAPED near-dup detection (round 7): for every document in

@@ -158,6 +158,7 @@ def append_batch_to_lsh_index(
     "dedup_incremental_lsh",
     oracle=_INCR_ORACLE_SQL,
     tags=("dedup", "join"),
+    index_writer=True,
 )
 def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(new_id, match_id, jaccard) for the deterministic ~10% batch

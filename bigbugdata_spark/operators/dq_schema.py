@@ -130,6 +130,7 @@ def _kind(dt: T.DataType) -> str:
     "dq_schema_contract",
     oracle=_SCHEMA_SQL,
     tags=("dq", "storage"),
+    side_effects=True,
 )
 def dq_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(table_name, col_name, expected_kind, actual_kind, ok) for every

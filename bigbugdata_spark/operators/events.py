@@ -321,61 +321,8 @@ def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "evt_value_quantiles",
-    oracle=f"""
-        WITH ranked AS (
-            SELECT event_type, {_CENTS} AS cents,
-                   ROW_NUMBER() OVER (PARTITION BY event_type
-                                      ORDER BY {_CENTS}, event_id) AS rn,
-                   COUNT(*) OVER (PARTITION BY event_type) AS n
-            FROM events
-        )
-        SELECT event_type,
-               CAST(MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN cents END) AS BIGINT) AS p50_cents,
-               CAST(MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN cents END) AS BIGINT) AS p90_cents,
-               CAST(MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN cents END) AS BIGINT) AS p99_cents,
-               CAST(MAX(n) AS BIGINT) AS n_events
-        FROM ranked GROUP BY event_type
-    """,
-    tags=("events", "window", "agg", "headline"),
-)
-def evt_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact discrete quantiles (p50/p90/p99) of the event value per
-    type: rank-based selection (value at row ceil(q*n) of the sorted
-    group) — no interpolation, no sketch, so the result is integer-exact
-    and engine-independent. One shuffle on event_type for the window.
-
-    Scale note: exact quantiles need a per-group sort — right up to the
-    point a single group outgrows a partition; past that, the approximate
-    path is percentile_approx (a positive-error GK sketch) whose results
-    are Spark-specific and therefore deliberately NOT oracle-gated here."""
-    ev = table(spark, sf_dir, "events")
-    ranked = ev.select(
-        "event_type",
-        _cents_col().alias("cents"),
-        "event_id",
-    )
-    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
-    wn = Window.partitionBy("event_type")
-    ranked = ranked.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
-    )
-
-    def pick(q: float):
-        return F.max(
-            F.when(
-                F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("long"),
-                F.col("cents"),
-            )
-        )
-
-    return ranked.groupBy("event_type").agg(
-        pick(0.5).cast("long").alias("p50_cents"),
-        pick(0.9).cast("long").alias("p90_cents"),
-        pick(0.99).cast("long").alias("p99_cents"),
-        F.max("n").cast("long").alias("n_events"),
-    )
+# evt_value_quantiles moved to operators/events_quant.py (r12 rotation
+# split; oracle constant in events_quant_core.py) — see that module.
 
 
 @register(

@@ -125,6 +125,7 @@ ROLLUP_ORACLE_SQL = f"""
     "evt_rollup_materialized",
     oracle=ROLLUP_ORACLE_SQL,
     tags=("events", "storage", "agg"),
+    side_effects=True,
 )
 def evt_rollup_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(day, event_type, n_events, sum_cents) served by merging the

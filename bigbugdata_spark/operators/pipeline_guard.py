@@ -89,6 +89,7 @@ _GUARD_SQL = f"""
     "pipe_semantic_guard",
     oracle=_GUARD_SQL,
     tags=("similarity", "dedup", "pipeline", "graph", "iterative"),
+    index_writer=True,
 )
 def pipe_semantic_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, component, cluster_size, purity, rule_applied, kept):

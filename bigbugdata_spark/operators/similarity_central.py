@@ -73,6 +73,7 @@ _CENTRAL_SQL = (
     "sim_central_exemplars",
     oracle=_CENTRAL_SQL,
     tags=("similarity", "graph", "iterative", "window"),
+    index_writer=True,
 )
 def sim_central_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(component, n_members, exemplar_id, exemplar_pr_ppb): each

@@ -94,6 +94,7 @@ _CLUSTER_SQL = f"""
     "sim_semantic_clusters",
     oracle=_CLUSTER_SQL,
     tags=("similarity", "graph", "iterative"),
+    index_writer=True,
 )
 def sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per mutual-kNN component: vector count, the majority label (ties

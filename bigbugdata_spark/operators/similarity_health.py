@@ -59,6 +59,7 @@ _HEALTH_SQL = f"""
     "sim_knn_health",
     oracle=_HEALTH_SQL,
     tags=("similarity", "graph", "agg"),
+    index_writer=True,
 )
 def sim_knn_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(rnk, n_edges, mean_cos_ppm, n_reciprocal) for rank 1..KNN_K:

@@ -102,6 +102,7 @@ def _assign_sql(src: str) -> str:
         FROM unioned GROUP BY cell_id
     """,
     tags=("similarity", "vector", "agg"),
+    index_writer=True,
 )
 def sim_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell assignment delta for one ingest cycle: the existing

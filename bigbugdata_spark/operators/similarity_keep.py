@@ -70,6 +70,7 @@ _KEEP_SQL = f"""
     "sim_semantic_keep",
     oracle=_KEEP_SQL,
     tags=("similarity", "dedup", "graph", "iterative"),
+    index_writer=True,
 )
 def sim_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, component, cluster_size, keep): keep = 1 iff the vector

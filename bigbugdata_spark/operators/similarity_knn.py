@@ -52,6 +52,7 @@ _KNN_SQL = KNN_SQL
     "sim_knn_graph",
     oracle=_KNN_SQL,
     tags=("similarity", "join", "graph"),
+    index_writer=True,
 )
 def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edges (src, dst, rnk, cos_sim): each vector's KNN_K best

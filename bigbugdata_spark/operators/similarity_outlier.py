@@ -63,6 +63,7 @@ _OUTLIER_SQL = f"""
     "sim_knn_outliers",
     oracle=_OUTLIER_SQL,
     tags=("similarity", "graph", "dq", "agg"),
+    index_writer=True,
 )
 def sim_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, k_found, mean_cos_ppm, isolated): every vector's kNN

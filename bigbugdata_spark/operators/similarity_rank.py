@@ -106,6 +106,7 @@ _PAGERANK_SQL = (
     "sim_pagerank",
     oracle=_PAGERANK_SQL,
     tags=("similarity", "graph", "iterative"),
+    index_writer=True,
 )
 def sim_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, deg, pr_ppb): every vector's mutual-kNN degree and its

@@ -74,6 +74,7 @@ _TRI_SQL = f"""
     "sim_triangle_stats",
     oracle=_TRI_SQL,
     tags=("similarity", "graph", "join"),
+    index_writer=True,
 )
 def sim_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, deg, n_triangles): every vector's mutual-kNN degree and

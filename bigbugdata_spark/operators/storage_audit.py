@@ -36,6 +36,7 @@ _FILES_PER_PARTITION = 2
         FROM events GROUP BY day
     """,
     tags=("events", "storage", "agg"),
+    side_effects=True,
 )
 def evt_partitioned_lake_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write the events table as a date-partitioned, user-clustered

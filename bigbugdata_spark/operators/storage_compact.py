@@ -75,6 +75,7 @@ def _day_file_counts(root: str) -> dict[str, int]:
     "store_compaction_plan",
     oracle=_COMPACT_SQL,
     tags=("storage", "events", "agg"),
+    side_effects=True,
 )
 def store_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(day, n_rows, target_files, files_after, rows_match) per day:

@@ -96,6 +96,7 @@ _ENCODING_SQL = "\nUNION ALL\n".join(
     "store_encoding_plan",
     oracle=_ENCODING_SQL,
     tags=("storage", "profile"),
+    side_effects=True,
 )
 def store_encoding_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(col_name, n_values, n_distinct, plain_bytes, dict_bytes,

@@ -60,6 +60,7 @@ _GC_SQL = f"""
     "store_gc_plan",
     oracle=_GC_SQL,
     tags=("storage", "agg"),
+    side_effects=True,
 )
 def store_gc_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-row retention card (status, n_docs, total_chars): `live` =

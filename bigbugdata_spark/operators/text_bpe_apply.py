@@ -33,18 +33,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigbugdata_spark.registry import register
-from bigbugdata_spark.operators.text_bpe_train import (
-    _SEP_EXPR,
-    _SEP_SQL,
-    _TRAIN_ORACLE_SQL,
-    BPE_STEPS,
-    _pair_counts,
-    _word_vocab,
-)
 
-# the trainer's unrolled CTE chain, up through the final vocabulary
-# state v{BPE_STEPS} (the text_bpe_compression slicing trick)
-_TRAIN_CTES = _TRAIN_ORACLE_SQL[: _TRAIN_ORACLE_SQL.rindex("SELECT CAST(step")]
+# the non-registering core (scd_core pattern): importing it pulls no
+# registrations into the driver cap, and the unrolled CTE chain is a
+# named constant instead of a string-slice of the finished oracle
+# (ADVICE r11)
+from bigbugdata_spark.operators.text_bpe_core import (
+    BPE_STEPS,
+    SEP_EXPR as _SEP_EXPR,
+    SEP_SQL as _SEP_SQL,
+    TRAIN_CTES as _TRAIN_CTES,
+    train as _train,
+)
 
 _APPLY_SQL = (
     _TRAIN_CTES
@@ -83,23 +83,9 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     row, matching the trainer's filter)."""
     from bigbugdata_spark.catalog import table
 
-    # the trainer loop, verbatim (text_bpe_train's semantics)
-    vocab = _word_vocab(spark, sf_dir).localCheckpoint()
-    for _ in range(BPE_STEPS):
-        best = (
-            _pair_counts(vocab)
-            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        a, b = best[0]["a"], best[0]["b"]
-        pat = F.lit("\x1f" + a + "\x1f" + b + "\x1f")
-        rep = F.lit("\x1f" + a + b + "\x1f")
-        vocab = vocab.withColumn(
-            "s", F.replace(F.replace(F.col("s"), pat, rep), pat, rep)
-        ).localCheckpoint()
+    # the trainer loop, verbatim (text_bpe_core.train — shared with
+    # text_bpe_train/text_bpe_compression)
+    vocab, _ = _train(spark, sf_dir)
     n_syms = F.size(F.expr(f"filter(split(s, {_SEP_EXPR}), x -> x != '')"))
     lookup = vocab.select("word", n_syms.cast("long").alias("n_syms"))
 

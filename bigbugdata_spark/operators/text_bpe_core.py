@@ -1,0 +1,168 @@
+"""Shared BPE trainer internals (non-registering; the scd_core pattern).
+
+Everything the three tokenizer queries (text_bpe_train,
+text_bpe_compression, text_bpe_tokenize) and the r12 rotation need at
+import time lives here so that importing one query module never drags
+another module's registrations into the driver cap, and so the unrolled
+CTE chain is a first-class named constant instead of a string-slice of
+the finished oracle (ADVICE r11: the rindex('SELECT CAST(step') slicing
+broke on any cosmetic reformat).
+
+Semantics are text_bpe_train's verbatim — see that module's docstring
+for the merge-application proof and the self-pair exclusion rationale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BPE_STEPS = 6
+SEP = "\x1f"
+SEP_SQL = "chr(31)"
+SEP_EXPR = "'\\u001f'"
+
+
+def _sql_round(r: int) -> str:
+    """CTEs for round r: pair counts p{r} from vocab v{r}, the argmax
+    b{r}, and the merged vocabulary v{r+1}."""
+    return f"""
+    e{r} AS (
+        SELECT freq,
+               list_filter(string_split(s, {SEP_SQL}), x -> x != '') AS syms
+        FROM v{r}
+    ),
+    p{r} AS (
+        SELECT pr['a'] AS a, pr['b'] AS b, CAST(SUM(freq) AS BIGINT) AS c
+        FROM (
+            SELECT freq, unnest(list_transform(range(1, len(syms)),
+                   i -> {{'a': syms[i], 'b': syms[i + 1]}})) AS pr
+            FROM e{r}
+        )
+        WHERE pr['a'] != pr['b']
+        GROUP BY a, b
+    ),
+    b{r} AS (
+        SELECT {r} AS step, a, b, c
+        FROM p{r} ORDER BY c DESC, a, b LIMIT 1
+    ),
+    v{r + 1} AS (
+        -- LEFT JOIN ON TRUE + COALESCE instead of a cross join: when
+        -- pair candidates dry up before BPE_STEPS rounds, b{r} is
+        -- empty and a cross join would EMPTY the vocabulary — the
+        -- fallback keeps v{r} verbatim, matching the Spark trainer's
+        -- loop break (advisory r9)
+        SELECT word, freq,
+               COALESCE(replace(replace(s,
+                   {SEP_SQL} || b{r}.a || {SEP_SQL} || b{r}.b || {SEP_SQL},
+                   {SEP_SQL} || b{r}.a || b{r}.b || {SEP_SQL}),
+                   {SEP_SQL} || b{r}.a || {SEP_SQL} || b{r}.b || {SEP_SQL},
+                   {SEP_SQL} || b{r}.a || b{r}.b || {SEP_SQL}), s) AS s
+        FROM v{r} LEFT JOIN b{r} ON TRUE
+    )"""
+
+
+#: the trainer's full unrolled CTE chain, WITH-keyword included, up
+#: through the final vocabulary state v{BPE_STEPS} — the named constant
+#: every BPE oracle appends its own final SELECT to.
+TRAIN_CTES = (
+    """
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+    ),
+    v0 AS (
+        SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq,
+               """
+    + SEP_SQL
+    + " || regexp_replace(w, '(.)', '\\1' || "
+    + SEP_SQL
+    + """, 'g') AS s
+        FROM toks WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w
+    ),"""
+    + ",".join(_sql_round(r) for r in range(BPE_STEPS))
+    + "\n    "
+)
+
+TRAIN_ORACLE_SQL = (
+    TRAIN_CTES
+    + f"""SELECT CAST(step AS BIGINT) AS step, a AS lhs, b AS rhs,
+           c AS pair_count
+    FROM ({" UNION ALL ".join(f"SELECT * FROM b{r}" for r in range(BPE_STEPS))})
+    """
+)
+
+
+def word_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The alphanumeric word vocabulary with \\x1f-delimited symbol
+    strings — the trainer's v0 state."""
+    from bigbugdata_spark.catalog import table
+
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+    )
+    return (
+        toks.filter(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.col("w").alias("word"),
+            "freq",
+            F.concat(
+                F.lit(SEP), F.regexp_replace("w", "(.)", "$1" + SEP)
+            ).alias("s"),
+        )
+    )
+
+
+def pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent symbol-pair frequencies over the vocabulary, self pairs
+    excluded (module docstring of text_bpe_train)."""
+    with_syms = vocab.withColumn(
+        "syms", F.expr(f"filter(split(s, {SEP_EXPR}), x -> x != '')")
+    )
+    return (
+        with_syms.where(F.size("syms") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), i -> "
+                    "struct(element_at(syms, i) AS a, "
+                    "element_at(syms, i + 1) AS b))"
+                )
+            ).alias("pr"),
+        )
+        .where(F.col("pr.a") != F.col("pr.b"))
+        .groupBy("pr.a", "pr.b")
+        .agg(F.sum("freq").alias("c"))
+    )
+
+
+def train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[tuple[int, str, str, int]]]:
+    """Run the BPE_STEPS trainer loop once: returns (final vocabulary
+    DataFrame, merge list [(step, lhs, rhs, pair_count)]).  One
+    single-row argmax collect per round (the sanctioned iterative
+    pattern); vocabulary localCheckpointed per round so plans stay
+    flat."""
+    vocab = word_vocab(spark, sf_dir).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(BPE_STEPS):
+        best = (
+            pair_counts(vocab)
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, c = best[0]["a"], best[0]["b"], best[0]["c"]
+        merges.append((step, a, b, c))
+        pat = F.lit(SEP + a + SEP + b + SEP)
+        rep = F.lit(SEP + a + b + SEP)
+        vocab = vocab.withColumn(
+            "s", F.replace(F.replace(F.col("s"), pat, rep), pat, rep)
+        ).localCheckpoint()
+    return vocab, merges

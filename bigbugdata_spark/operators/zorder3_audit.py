@@ -105,6 +105,7 @@ ZORDER3_ORACLE_SQL = f"""
     "evt_zorder3_lake_accounting",
     oracle=ZORDER3_ORACLE_SQL,
     tags=("events", "storage", "agg"),
+    side_effects=True,
 )
 def evt_zorder3_lake_accounting(
     spark: SparkSession, sf_dir: str

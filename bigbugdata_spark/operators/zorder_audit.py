@@ -86,6 +86,7 @@ ZORDER_ORACLE_SQL = f"""
     "evt_zorder_lake_accounting",
     oracle=ZORDER_ORACLE_SQL,
     tags=("events", "storage", "agg"),
+    side_effects=True,
 )
 def evt_zorder_lake_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write events Z-ORDERED BY (user_id, cents) and report per

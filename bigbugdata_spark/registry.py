@@ -138,27 +138,84 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # under-filled cap.  (Verified this round: first 50 printed from
 # REGISTRY order after load_all.)
 #
-# Round-12 rotation queue (plan): 26 permanent + the 4 deferred r10
-# registrations (storage_gc, events_attrib, storage_encoding,
-# text_langconf — one query each) + the 14 r11-new queries in
+# Round-12 rotation (VERDICT r11 #2, executed as queued with three
+# import-drag fixes): 26 permanent (20 §2 ops in relational, the 5
+# oracle'd audit twins in audits, audit_pq_recall in similarity_pq) +
+# the 4 deferred r10 registrations (storage_gc, events_attrib,
+# storage_encoding, text_langconf) + the 14 r11-new queries in
 # registration order (streaming.attrib, similarity_health, text_tfidf,
 # text_bpe_apply, corpus_lineage, similarity_mmr, storage_compact,
 # corpus_epochs, dq_schema, text_cooc, events_forecast, profile_ndv,
 # streaming.quantiles, similarity_outlier — one query each) = 44; the
-# remaining 6 slots backfill the stalest driver verdicts (the r5-era
-# events/events_ext/dedup staleness queue).  As always: count the
-# actual registrations, keep any query whose newest fix lacks a
-# driver verdict, and mind import-time drag (streaming.quantiles
-# imports operators.events at module level — events is r8-verified
-# and sits EARLIER in this tuple, so no drag; re-check if reordered).
+# remaining 6 slots backfill the stalest driver verdicts from the
+# r5-era queue: events_ext (5: evt_value_quantiles_approx, evt_cube,
+# evt_cohort_setops, evt_user_window_funcs, evt_cohort_fullouter) and
+# the new single-query split events_quant (evt_value_quantiles, moved
+# out of the 8-query events module so one r5-stale query re-enters
+# without spending 8 slots) = 50 exactly.  Import-time drag eliminated
+# the scd_core way before ordering: text_bpe_apply now imports
+# operators/text_bpe_core.py (not text_bpe_train — whose 2 fresh-r11
+# registrations would have burned cap slots AND whose oracle it used
+# to string-slice, ADVICE r11 #4); streaming.attrib + streaming.growth
+# import streaming/core.ts_us (not streaming.stateful — 1 reg,
+# r10-green); streaming.quantiles imports
+# operators/events_quant_core.py (not operators.events — 8 regs).
+# All three shared constants/helpers are byte-identical moves (oracle
+# SQL verified equal against HEAD before committing).
+# Rotated OUT because their rows are freshly green in
+# CORRECTNESS_r11: orders_conc, text_bpe_train, zorder3_audit,
+# pipeline_guard, streaming.mad, similarity_rank, dq_seq,
+# similarity_tri, events_qtrend, events_rollup_incr, mm_features,
+# streaming.rollup, events_sketch, dq_anon, pipeline_privacy,
+# similarity_central, orders_backlog, text_spectrum, events_ewma,
+# profile_skew, profile_joincard, dq_nulls, streaming.dedup.  All
+# rotated-out queries remain continuously re-proven by the identical
+# local gate in tests/test_oracle_parity.py (and at a second scale
+# under SPARK_GRAFT_PARITY_SF2), with every oracle's result type
+# linted against the driver-safe set each run.
+# Count verified this round: first 50 printed from REGISTRY order
+# after a fresh load_all() (tests/test_registry.py's cap check).
+#
+# Round-13 rotation queue (plan): no new no-verdict queries exist yet
+# at r12 commit time — fill the cap with 26 permanent + r13-new
+# queries + the stalest backfills (after r12 lands, the staleness
+# queue leads with the r5-era dedup module — 8 queries — then the r6
+# set: text, multimodal, similarity, profile, overlap, quantize,
+# pipeline).  dedup fits 8 slots whole; as always, count the actual
+# registrations, never rotate out a query whose newest fix lacks a
+# driver verdict, and re-check import drag if reordered.
 _QUERY_MODULES = (
+    # ---- permanent slots 1-26 ----
     "bigbugdata_spark.operators.relational",
     "bigbugdata_spark.operators.audits",
     "bigbugdata_spark.operators.similarity_pq",
-    # the two r10 hash-reds, fixed this round (slots 27-29):
+    # ---- the 4 deferred r10 registrations (slots 27-30) ----
+    "bigbugdata_spark.operators.storage_gc",
+    "bigbugdata_spark.operators.events_attrib",
+    "bigbugdata_spark.operators.storage_encoding",
+    "bigbugdata_spark.operators.text_langconf",
+    # ---- the 14 r11-new queries (slots 31-44) ----
+    "bigbugdata_spark.streaming.attrib",
+    "bigbugdata_spark.operators.similarity_health",
+    "bigbugdata_spark.operators.text_tfidf",
+    "bigbugdata_spark.operators.text_bpe_apply",
+    "bigbugdata_spark.operators.corpus_lineage",
+    "bigbugdata_spark.operators.similarity_mmr",
+    "bigbugdata_spark.operators.storage_compact",
+    "bigbugdata_spark.operators.corpus_epochs",
+    "bigbugdata_spark.operators.dq_schema",
+    "bigbugdata_spark.operators.text_cooc",
+    "bigbugdata_spark.operators.events_forecast",
+    "bigbugdata_spark.operators.profile_ndv",
+    "bigbugdata_spark.streaming.quantiles",
+    "bigbugdata_spark.operators.similarity_outlier",
+    # ---- stalest-verdict backfills (slots 45-50, all r5) ----
+    "bigbugdata_spark.operators.events_ext",
+    "bigbugdata_spark.operators.events_quant",
+    # ---- driver cap boundary (first 50 registrations end here) ----
+    # rotated out (fresh CORRECTNESS_r11 rows):
     "bigbugdata_spark.operators.orders_conc",
     "bigbugdata_spark.operators.text_bpe_train",
-    # the first 21 r10-new queries, in their r10 registration order:
     "bigbugdata_spark.operators.zorder3_audit",
     "bigbugdata_spark.operators.pipeline_guard",
     "bigbugdata_spark.streaming.mad",
@@ -180,13 +237,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.profile_joincard",
     "bigbugdata_spark.operators.dq_nulls",
     "bigbugdata_spark.streaming.dedup",
-    # ---- driver cap boundary (first 50 registrations end here) ----
-    # r10-new queries deferred one round (lead the r12 queue):
-    "bigbugdata_spark.operators.storage_gc",
-    "bigbugdata_spark.operators.events_attrib",
-    "bigbugdata_spark.operators.storage_encoding",
-    "bigbugdata_spark.operators.text_langconf",
-    # rotated out (fresh CORRECTNESS_r10 rows):
+    # rotated out in r11 (fresh CORRECTNESS_r10 rows then):
     "bigbugdata_spark.streaming.features",
     "bigbugdata_spark.operators.zorder_audit",
     "bigbugdata_spark.operators.asset_audit",
@@ -256,29 +307,8 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.profile",
     "bigbugdata_spark.operators.quantize",
     "bigbugdata_spark.operators.events",
-    "bigbugdata_spark.operators.events_ext",
     "bigbugdata_spark.operators.dedup",
     "bigbugdata_spark.operators.similarity_ext",
-    # r11-new (advisory r10: the module shipped in r10 but was never
-    # listed here — dead code until now; registered last so it joins
-    # the r12 queue behind the four deferred r10 registrations):
-    "bigbugdata_spark.streaming.attrib",
-    # r11-new queries (no driver verdict yet -> r12 rotation queue, in
-    # this registration order, behind the four deferred r10 modules and
-    # streaming.attrib above):
-    "bigbugdata_spark.operators.similarity_health",
-    "bigbugdata_spark.operators.text_tfidf",
-    "bigbugdata_spark.operators.text_bpe_apply",
-    "bigbugdata_spark.operators.corpus_lineage",
-    "bigbugdata_spark.operators.similarity_mmr",
-    "bigbugdata_spark.operators.storage_compact",
-    "bigbugdata_spark.operators.corpus_epochs",
-    "bigbugdata_spark.operators.dq_schema",
-    "bigbugdata_spark.operators.text_cooc",
-    "bigbugdata_spark.operators.events_forecast",
-    "bigbugdata_spark.operators.profile_ndv",
-    "bigbugdata_spark.streaming.quantiles",
-    "bigbugdata_spark.operators.similarity_outlier",
 )
 
 
@@ -289,17 +319,39 @@ class QuerySpec:
     oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
+    #: fn() executes side effects before returning (drives a stream to
+    #: its sink, or runs a write/maintain/vacuum storage lifecycle) and
+    #: returns only a post-hoc scan — the CLI refuses --explain on these
+    #: (VERDICT r11 #8: a spec flag, not a name/tag list, so a new
+    #: lifecycle query can't dodge the guard by missing a tag; the lint
+    #: test cross-checks the flag against the streaming/storage tags).
+    side_effects: bool = False
+    #: fn() persists an index as a side effect but the returned frame is
+    #: a real (explainable) probe over it — --explain warns, not refuses.
+    index_writer: bool = False
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    side_effects: bool = False,
+    index_writer: bool = False,
+):
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
         REGISTRY[name] = QuerySpec(
-            name=name, fn=fn, oracle=oracle, tags=tags, doc=(fn.__doc__ or "").strip()
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            tags=tags,
+            doc=(fn.__doc__ or "").strip(),
+            side_effects=side_effects,
+            index_writer=index_writer,
         )
         return fn
 

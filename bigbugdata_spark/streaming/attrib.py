@@ -15,7 +15,11 @@ event_id) order and state carries across batches).  A feed that
 reorders a user's events ACROSS batches changes what "preceding" meant
 at emission time — that repair path is the batch derivation, exactly
 like the SCD2 sink's out-of-order backfill contract
-(streaming/scd_sink.py).
+(streaming/scd_sink.py).  The carried touch is nonetheless MONOTONE
+(r12, VERDICT r11 #4): a late micro-batch whose touches all precede the
+stored one can never move state backwards — adoption compares (ts_us,
+event_id) against the carried tuple — so out-of-contract feeds degrade
+to stale-but-never-regressing credit instead of silent corruption.
 
 Gated by the batch query's oracle VERBATIM (stream == batch is the
 claim) plus a multi-slicing equality test.
@@ -41,7 +45,7 @@ from bigbugdata_spark.functions.fragments import cents_col
 from bigbugdata_spark.operators.events_attrib import ATTRIB_ORACLE_SQL
 from bigbugdata_spark.registry import register
 from bigbugdata_spark.streaming.core import _run_to_memory, stream_events
-from bigbugdata_spark.streaming.stateful import _ts_us
+from bigbugdata_spark.streaming.core import ts_us as _ts_us
 
 _OUTPUT_SCHEMA = T.StructType(
     [
@@ -69,7 +73,12 @@ def _attribute(
 ) -> Iterator[pd.DataFrame]:
     """Walk the user's rows in (ts, event_id) order, carrying the last
     touch across batches; emit one row per purchase."""
-    touch_type = state.get[2] if state.exists else None
+    # the carried touch in (ts_us, event_id) total order; (-1, -1) sorts
+    # before every real event so the first touch always wins
+    if state.exists:
+        touch_us, touch_eid, touch_type = state.get
+    else:
+        touch_us, touch_eid, touch_type = -1, -1, None
     touch_moved = False
     out_eid: list[int] = []
     out_cents: list[int] = []
@@ -92,9 +101,16 @@ def _attribute(
                 out_cents.append(int(r.cents))
                 out_touch.append(touch_type)
             else:
-                touch_us, touch_eid = int(r.ts_us), int(r.event_id)
-                touch_type = str(r.event_type)
-                touch_moved = True
+                # monotone adoption (VERDICT r11 #4): a late micro-batch
+                # whose touches precede the carried one must not move
+                # state (or crediting) backwards — adopt only strictly
+                # newer touches in (ts_us, event_id) order.  For an
+                # in-order feed the comparison is always true, so the
+                # prefix-property contract is unchanged.
+                if (int(r.ts_us), int(r.event_id)) > (touch_us, touch_eid):
+                    touch_us, touch_eid = int(r.ts_us), int(r.event_id)
+                    touch_type = str(r.event_type)
+                    touch_moved = True
     if touch_moved:
         state.update((touch_us, touch_eid, touch_type))
     if out_eid:
@@ -112,6 +128,7 @@ def _attribute(
     # the batch query's oracle verbatim — stream == batch is the claim
     oracle=ATTRIB_ORACLE_SQL,
     tags=("streaming", "events", "stateful"),
+    side_effects=True,
 )
 def evt_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution maintained live: per-user stateful carry

@@ -55,6 +55,7 @@ def _keyed(events: DataFrame) -> DataFrame:
         FROM events
     """,
     tags=("streaming", "dedup"),
+    side_effects=True,
 )
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked streaming dedup: one surviving row per key, with key

@@ -42,6 +42,7 @@ from bigbugdata_spark.streaming.core import _run_to_memory, stream_events
     # the batch query's oracle verbatim — stream == batch is the claim
     oracle=DRIFT_ORACLE_SQL,
     tags=("streaming", "dq", "events", "agg"),
+    side_effects=True,
 )
 def dq_stream_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The drift monitor as a live streaming aggregate: ingest the

@@ -63,6 +63,7 @@ def _enriched_totals(ev: DataFrame, cust: DataFrame) -> DataFrame:
         GROUP BY mktsegment, e.event_type
     """,
     tags=("streaming", "events", "join", "agg"),
+    side_effects=True,
 )
 def evt_stream_enriched_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension-enriched streaming totals: the events STREAM inner-joins

@@ -55,6 +55,7 @@ def lifecycle_features(ev: DataFrame) -> DataFrame:
         FROM events GROUP BY user_id
     """,
     tags=("streaming", "events", "features", "agg"),
+    side_effects=True,
 )
 def evt_stream_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The live user dimension: per-user lifecycle features maintained

@@ -37,6 +37,7 @@ _EVENTS_FEED = FRESHNESS_FEEDS[0]  # ("events", "ts", anchor, sla)
     # the batch audit's events branch verbatim — stream == batch
     oracle=feed_sql(*_EVENTS_FEED),
     tags=("streaming", "dq", "agg"),
+    side_effects=True,
 )
 def dq_stream_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The freshness pager live: ingest the events fixture with

@@ -34,7 +34,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from bigbugdata_spark.registry import register
 from bigbugdata_spark.streaming.core import _run_to_memory, stream_events
-from bigbugdata_spark.streaming.stateful import _ts_us
+from bigbugdata_spark.streaming.core import ts_us as _ts_us
 
 _OUTPUT_SCHEMA = T.StructType(
     [
@@ -79,6 +79,7 @@ def _track_first_seen(
         FROM firsts GROUP BY day
     """,
     tags=("streaming", "events", "stateful"),
+    side_effects=True,
 )
 def evt_stream_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per day, how many users appeared for the FIRST time — maintained

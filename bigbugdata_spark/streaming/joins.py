@@ -95,6 +95,7 @@ def batch_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.event_type = 'click' AND v.event_type = 'view'
     """,
     tags=("events", "streaming", "join"),
+    side_effects=True,
 )
 def evt_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join, driven to completion with

@@ -40,6 +40,7 @@ from bigbugdata_spark.streaming.core import _run_to_memory, stream_events
     # the batch query's oracle verbatim — stream == batch is the claim
     oracle=MAD_ORACLE_SQL,
     tags=("streaming", "events", "dq", "agg"),
+    side_effects=True,
 )
 def evt_stream_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MAD anomaly card live: ingest the events fixture with

@@ -25,13 +25,12 @@ from bigbugdata_spark.functions.fragments import cents_col
 from bigbugdata_spark.registry import register
 from bigbugdata_spark.streaming.core import _run_to_memory, stream_events
 
-#: the batch twin's oracle, verbatim (module registered early in the
-#: rotation history; importing it here at module level is safe — the
-#: events family registered long before this module in _QUERY_MODULES)
-from bigbugdata_spark.operators.events import evt_value_quantiles  # noqa: F401
-from bigbugdata_spark.registry import REGISTRY as _REG
-
-_QUANTILES_ORACLE = _REG["evt_value_quantiles"].oracle
+#: the batch twin's oracle, verbatim — imported from the
+#: non-registering core module so this import can never drag another
+#: module's registrations into the driver cap (scd_core pattern, r12)
+from bigbugdata_spark.operators.events_quant_core import (
+    QUANTILES_ORACLE_SQL as _QUANTILES_ORACLE,
+)
 
 
 def _pick(q: float):
@@ -50,6 +49,7 @@ def _pick(q: float):
     # the batch query's oracle verbatim — stream == batch is the claim
     oracle=_QUANTILES_ORACLE,
     tags=("streaming", "events", "window", "agg"),
+    side_effects=True,
 )
 def evt_stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90/p99 cents per event type, live: the stream feeds

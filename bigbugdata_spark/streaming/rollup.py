@@ -79,6 +79,7 @@ def merged_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
     # the batch query's oracle verbatim — stream == batch is the claim
     oracle=ROLLUP_ORACLE_SQL,
     tags=("streaming", "events", "storage", "agg"),
+    side_effects=True,
 )
 def evt_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The daily rollup maintained from the stream: ingest the events

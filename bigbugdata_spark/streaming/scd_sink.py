@@ -430,6 +430,7 @@ _SLICE_BOUNDS = ("2024-01-08", "2024-01-16", "2024-01-24")
     "evt_state_history_incremental",
     oracle=SCD2_ORACLE_SQL,
     tags=("events", "streaming", "window"),
+    side_effects=True,
 )
 def evt_state_history_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end incremental SCD2: time-slice the events table into

@@ -36,6 +36,7 @@ from bigbugdata_spark.streaming.core import _run_to_memory, stream_events
     # the batch query's oracle verbatim — stream == batch is the claim
     oracle=SEASONALITY_ORACLE_SQL,
     tags=("streaming", "events", "agg"),
+    side_effects=True,
 )
 def evt_stream_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The seasonality heatmap live: ingest the events fixture with

@@ -27,15 +27,9 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from bigbugdata_spark.functions.fragments import TS_FMT, TS_FMT_DUCK
 from bigbugdata_spark.registry import register
 from bigbugdata_spark.streaming.core import _run_to_memory, stream_events
-
-
-def _ts_us(s: pd.Series) -> pd.Series:
-    """Epoch microseconds from a timestamp series, independent of the
-    datetime64 resolution Arrow delivered (ns under pandas' classic
-    conversion, us under pandas>=2 preserved-resolution paths). A raw
-    ``astype("int64")`` would silently change scale with the resolution —
-    the exact bug class behind VERDICT r4 "What's wrong" #1."""
-    return s.astype("datetime64[us]").astype("int64")
+from bigbugdata_spark.streaming.core import ts_us as _ts_us  # noqa: F401
+# _ts_us moved to core.py (r12): attrib.py/growth.py import it there so
+# they no longer drag this module's registration into the driver cap.
 
 
 _OUTPUT_SCHEMA = T.StructType(
@@ -223,6 +217,7 @@ _WM_DELAY = "10 minutes"
         WHERE NOT (rn = 1 AND e >= w)
     """,
     tags=("events", "streaming", "stateful"),
+    side_effects=True,
 )
 def evt_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CUSTOM stateful sessionizer, registered through the same

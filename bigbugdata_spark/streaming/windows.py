@@ -80,6 +80,7 @@ def stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
     """,
     tags=("events", "streaming"),
+    side_effects=True,
 )
 def evt_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming tumbling-window query, registered through the same

@@ -77,12 +77,14 @@ def test_cli_query_list_run_explain(tmp_path, spark, capsys):
 
 def test_cli_query_explain_refuses_streaming(capsys):
     """--explain on a streaming query must refuse instead of silently
-    executing the stream and auditing only the post-sink table scan."""
+    executing the stream and auditing only the post-sink table scan.
+    The guard is the spec-level side_effects flag (VERDICT r11 #8), not
+    a name/tag list."""
     import pytest
 
     with pytest.raises(SystemExit) as exc:
         cli_main(["query", "evt_stream_dedup", "--explain"])
-    assert "streaming query" in str(exc.value)
+    assert "side_effects" in str(exc.value)
 
 
 def test_cli_query_explain_refuses_storage_lifecycle(capsys):
@@ -95,4 +97,22 @@ def test_cli_query_explain_refuses_storage_lifecycle(capsys):
     for name in ("store_gc_plan", "evt_zorder3_lake_accounting"):
         with pytest.raises(SystemExit) as exc:
             cli_main(["query", name, "--explain"])
-        assert "storage-lifecycle" in str(exc.value)
+        assert "side_effects" in str(exc.value)
+
+
+def test_side_effects_flag_consistent_with_tags():
+    """The lint that keeps the spec flag honest both ways: every
+    streaming/storage-tagged query declares side_effects, and every
+    side_effects declaration is on a streaming/storage-tagged query —
+    so a new lifecycle query missing its tag fails here, and the CLI
+    guard itself never needs a name list."""
+    from bigbugdata_spark.registry import load_all
+
+    specs = load_all()
+    tagged = {
+        n
+        for n, s in specs.items()
+        if "streaming" in s.tags or "storage" in s.tags
+    }
+    flagged = {n for n, s in specs.items() if s.side_effects}
+    assert tagged == flagged, tagged ^ flagged

@@ -97,6 +97,61 @@ def test_attribute_kernel_state_carries_across_calls():
     assert out["cents"].tolist() == [250]
 
 
+def test_attribute_kernel_monotone_under_batch_reordering():
+    """VERDICT r11 #4: a late micro-batch whose touches all PRECEDE the
+    carried touch must not move state backwards.  Deliver three
+    touch-only batches (t=10 click, t=20 view, t=30 search) in scrambled
+    batch order [t=30, t=10, t=20], then a purchase batch at t=40: the
+    purchase must be credited to 'search' (the true latest preceding
+    touch — the batch derivation's answer), and carried state must equal
+    the global max touch, not the last-delivered batch's touch."""
+    state = _FakeState()
+    list(_attribute((1,), iter([_chunk([(1, 30, 300, "search", 0)])]), state))
+    list(_attribute((1,), iter([_chunk([(1, 10, 100, "click", 0)])]), state))
+    assert state.get == (30_000_000, 300, "search")  # no regression
+    list(_attribute((1,), iter([_chunk([(1, 20, 200, "view", 0)])]), state))
+    assert state.get == (30_000_000, 300, "search")
+    out = pd.concat(
+        list(_attribute((1,), iter([_chunk([(1, 40, 400, "purchase", 700)])]), state))
+    )
+    assert out["touch_type"].tolist() == ["search"]
+    # equality with the batch derivation over the same events, in order:
+    ordered = _FakeState()
+    rows = [
+        (1, 10, 100, "click", 0),
+        (1, 20, 200, "view", 0),
+        (1, 30, 300, "search", 0),
+        (1, 40, 400, "purchase", 700),
+    ]
+    want = pd.concat(list(_attribute((1,), iter([_chunk(rows)]), ordered)))
+    assert out["touch_type"].tolist() == want["touch_type"].tolist()
+    assert state.get == ordered.get
+
+
+def test_attribute_kernel_within_batch_late_touch_does_not_regress():
+    """The within-batch face of the same guard: a batch containing only
+    older-than-carried touches plus a purchase credits the purchase to
+    the CARRIED touch (never the stale one) and leaves state alone."""
+    state = _FakeState((30_000_000, 300, "search"))
+    out = pd.concat(
+        list(
+            _attribute(
+                (1,),
+                iter(
+                    [
+                        _chunk(
+                            [(1, 5, 50, "click", 0), (1, 35, 350, "purchase", 900)]
+                        )
+                    ]
+                ),
+                state,
+            )
+        )
+    )
+    assert out["touch_type"].tolist() == ["search"]
+    assert state.get == (30_000_000, 300, "search")
+
+
 def test_stream_attribution_matches_batch(spark, sf_oracle):
     """Whole-fixture availableNow stream == the batch window derivation
     (the registered oracle gates both; this pins Spark-vs-Spark)."""
