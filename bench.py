@@ -245,26 +245,37 @@ SCALE_ITERATIONS_SUBSEC = 6
 X10_WALL_BUDGET_SEC = {
     "dedup_incremental": 1.5,
     "dedup_incremental_lsh": 1.5,
-    # graph-spine builds (round 11): the kNN build is O(n^1.5) by design
-    # (corpus-scaled sqrt(n) codebook -> ~22M exact candidate scorings
-    # at x10, measured 191 s on this host) — its ratio will read ~20-30
-    # and that IS the documented contract; the wall budget is the gate.
+    # graph-spine build (r12, VERDICT r11 #1): the two-level-routed,
+    # constant-cell build replaced the flat n^1.5 plan — measured
+    # base 6.9 s -> x10 38.9 s, ratio 5.6 (was 33.2 / 260 s in r11).
+    # The documented budget is BOTH a ratio <= 12 (asserted in
+    # bench_scale_probe via X10_RATIO_BUDGET) and this wall gate.
     # sim_pagerank's probe measures the ROUNDS over existing edges
     # (edge-list-linear; the downstream reset below), not a second
     # rebuild.
-    "sim_knn_graph": 300.0,
+    "sim_knn_graph": 80.0,
     "sim_pagerank": 180.0,
 }
 
-#: per-name iteration overrides: the graph builds are 200 s-scale
-#: measurements where min-of-2 buys nothing but bench wall time; the
-#: two 4x+-ratio rows get EXTRA iterations so their ratios are
-#: trustworthy (VERDICT r10 #6 — r10 read 4.52/3.44 at min-of-2)
+#: ratio budgets (r12): the scale contract for builds whose cost model
+#: predicts a specific sub-linear-in-ratio shape — recorded next to the
+#: measurement so a regression reads as a budget breach, not a shrug.
+X10_RATIO_BUDGET = {
+    "sim_knn_graph": 12.0,
+}
+
+#: per-name iteration overrides: the graph builds are 40 s-scale
+#: measurements where min-of-2 buys nothing but bench wall time; every
+#: probe that last read >= 2.5x gets >= 4 iterations so its ratio is
+#: trustworthy (VERDICT r11 #7 / r10 #6 precedent)
 SCALE_PROBE_ITERATIONS = {
-    "sim_knn_graph": 1,
-    "sim_pagerank": 1,
+    "sim_knn_graph": 2,
+    "sim_pagerank": 2,
     "sim_ivf_incremental_assign": 4,
-    "tpch_q9_product_profit": 4,
+    "tpch_q9_product_profit": 6,
+    "evt_range_join": 4,
+    "dedup_containment": 4,
+    "dedup_incremental_lsh": 6,
 }
 
 
@@ -276,7 +287,7 @@ def _reset_graph_spine(sf_dir: str) -> None:
 
     from bigbugdata_spark.operators import similarity_graph_core as G
 
-    fp = G._corpus_fingerprint(sf_dir, "embeddings.parquet")
+    fp = G.generation_fp(sf_dir)
     # scoped to THIS corpus: clearing the other scale's memo here would
     # skew the pagerank probe's base/x10 symmetry (downstream reset)
     for key in [k for k in G._MEMO if k[1] == fp]:
@@ -297,7 +308,7 @@ def _reset_graph_spine_downstream(sf_dir: str) -> None:
     pagerank rebuilds it too — correct either way, just slower.)"""
     from bigbugdata_spark.operators import similarity_graph_core as G
 
-    fp = G._corpus_fingerprint(sf_dir, "embeddings.parquet")
+    fp = G.generation_fp(sf_dir)
     for key in [k for k in G._MEMO if k[1] == fp and k[2] != "knn"]:
         del G._MEMO[key]
 
@@ -441,6 +452,10 @@ def bench_scale_probe(spark, specs) -> dict:
                 budget = X10_WALL_BUDGET_SEC[name]
                 entry["x10_budget_sec"] = budget
                 entry["x10_within_budget"] = entry["x10_sec"] <= budget
+            if name in X10_RATIO_BUDGET:
+                rb = X10_RATIO_BUDGET[name]
+                entry["ratio_budget"] = rb
+                entry["ratio_within_budget"] = entry["ratio"] <= rb
         except Exception as exc:  # noqa: BLE001 — record and continue
             entry["error"] = f"{type(exc).__name__}: {exc}"[:300]
         out["queries"][name] = entry
@@ -591,7 +606,14 @@ def bench_kraken_e2e(spark) -> dict[str, float]:
             # same host), so sampling it after the two extra r11 runs
             # would silently inflate *_adj by ~12% against every prior
             # round's number.
-            canary_at_calibration_point = _spark_canary(spark)
+            # guarded (ADVICE r11): a canary failure must not abort
+            # the kraken loop and discard completed pipeline runs —
+            # None here makes main() fall back to its own guarded
+            # post-hoc _spark_canary sample
+            try:
+                canary_at_calibration_point = _spark_canary(spark)
+            except Exception:  # noqa: BLE001
+                canary_at_calibration_point = None
     return {
         "first": round(times[0], 4),
         "min": round(min(times), 4),
@@ -658,6 +680,23 @@ def main() -> None:
             continue
         modern_timings[name] = round(min(runs), 4)
         medians[name] = round(statistics.median(runs), 4)
+
+    # cold spine build, first-class (r12, VERDICT r11 #6): the modern
+    # headline's sim_knn_graph/sim_pagerank rows time the memoized
+    # spine READ (~0.02 s) — the expensive build lives here, measured
+    # once with the memo and the persisted generation reset, so a build
+    # regression can never hide behind the memo hit.
+    spine_build_sec: float | None = None
+    try:
+        _reset_graph_spine(SF_DIR)
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        specs["sim_knn_graph"].fn(spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        spine_build_sec = round(time.perf_counter() - t0, 4)
+    except Exception as exc:  # noqa: BLE001 — record and continue
+        errors["spine_build"] = f"{type(exc).__name__}: {exc}"[:300]
 
     # Spark-side canary measured NOW, on the SAME session that ran the
     # query loop — it exists to normalize those numbers, so measuring it
@@ -748,6 +787,7 @@ def main() -> None:
         "ext_total": ext_total,
         "modern_queries": modern_timings,
         "modern_total": modern_total,
+        "spine_build_sec": spine_build_sec,
         "iterations": ITERATIONS,
         "agg": "min",
         "sf": sf_from_dir(SF_DIR),

@@ -192,6 +192,83 @@ def sql_scaled_n_probe(src: str) -> str:
         f" AS BIGINT))"
     )
 
+
+# --- hierarchical (two-level) coarse quantizer (r12, VERDICT r11 #1) -------
+#
+# The flat codebook scan was the scale-killer: assigning n vectors
+# against K = sqrt(n) cells is n^1.5 dot products (measured: 10x data ->
+# 33.2x build time).  The two-level structure routes every
+# vector-against-codebook ranking (assignment AND probe selection)
+# through SUP = ceil(sqrt(K)) SUPERCELLS — the first SUP cells of the
+# SAME deterministic sampling order (a prefix of the codebook, exactly
+# as the codebook is a prefix of the corpus sampling order — one
+# ordering definition everywhere):
+#
+#   1. each CELL maps to its SUP_ASSIGN nearest supercells (K x SUP
+#      dots — codebook-sized, negligible);
+#   2. a vector scores the SUP supercells, keeps its SUP_PROBE best,
+#      and ranks ONLY the cells mapped there (expected
+#      SUP_ASSIGN*SUP_PROBE*K/SUP ~ 4*sqrt(K) cells).
+#
+# Per-vector cost drops from K dots to ~(sqrt(K) + 4*sqrt(K)) — at
+# K=10^4 that is ~50x fewer; asymptotically n*sqrt(K) instead of n*K.
+# The price is approximation in the ASSIGNMENT itself (a vector whose
+# true nearest cell maps only to unprobed supercells mis-assigns) —
+# acceptable because IVF assignment is already approximate, the recall
+# floors are measured downstream at two scales, and every hash-gated
+# oracle re-derives the identical two-level math in SQL.
+
+SUP_ASSIGN = 2  # supercells each CELL registers under
+SUP_PROBE = 2  # supercells a vector/query routes through
+
+
+def sup_count(k: int) -> int:
+    """Number of supercells for a K-cell codebook: ceil(sqrt(K))."""
+    import math
+
+    return math.ceil(math.sqrt(k))
+
+
+def sql_sup_count(k_expr: str) -> str:
+    """DuckDB twin of sup_count over an integer SQL expression."""
+    return f"CAST(CEIL(SQRT({k_expr})) AS BIGINT)"
+
+
+# --- graph-build cell sizing (r12, VERDICT r11 #1b) ------------------------
+#
+# The kNN-GRAPH build makes every corpus vector a query, so per-query
+# candidate work must be BOUNDED, not sqrt(n)-sized: cells are sized to
+# a constant row target instead of the sqrt(n) rule — K = max(IVF_K,
+# ceil(n / GRAPH_CELL_ROWS)) keeps expected cell membership at
+# ~IVF_ASSIGN*GRAPH_CELL_ROWS vectors regardless of corpus size, so a
+# KNN_PROBE-cell probe scores a constant candidate set per query and
+# total build cost is ~n*(sqrt(K) routing + constant scoring).
+#
+# Documented budget (the dedup_incremental_lsh precedent): the 10x
+# scale probe must hold sim_knn_graph's build ratio <= 12 (vs 33.2
+# measured for the flat sqrt(n) build in r11).  The trade is the probe
+# FRACTION shrinking as the corpus grows (4/K of the cells) — recall at
+# the test scales is floor-tested (the floors bind at K=IVF_K there);
+# production tunes KNN_PROBE upward per the recall it needs, linearly
+# trading build time.
+
+GRAPH_CELL_ROWS = 128
+
+
+def graph_ivf_k(n: int) -> int:
+    """Codebook size for the kNN-graph build: constant-size cells."""
+    import math
+
+    return max(IVF_K, math.ceil(n / GRAPH_CELL_ROWS))
+
+
+def sql_graph_ivf_k(src: str) -> str:
+    """DuckDB twin of graph_ivf_k over the CTE/table named `src`."""
+    return (
+        f"GREATEST({IVF_K}, CAST(CEIL((SELECT COUNT(*) FROM {src})"
+        f" / {GRAPH_CELL_ROWS}.0) AS BIGINT))"
+    )
+
 # Codebook-sampling hash: portable affine hash mod P (NOT xxhash64) so
 # the whole IVF pipeline is ANSI-SQL-expressible and audit_ivf_recall
 # can re-derive the identical codebook in DuckDB. vec_id reduces mod P

@@ -45,8 +45,11 @@ from bigbugdata_spark.functions.fragments import (
     EMB_LSH_PLANES,
     IVF_ASSIGN,
     IVF_CODEBOOK_HASH_SQL,
+    SUP_ASSIGN,
+    SUP_PROBE,
     sql_scaled_ivf_k,
     sql_scaled_n_probe,
+    sql_sup_count,
     N_PROBE,
     N_QUERIES,
     TOP_K,
@@ -178,36 +181,72 @@ _SIM_CORPUS_SQL = f"""
 SIM_CORPUS_SQL = _SIM_CORPUS_SQL  # shared with operators/similarity_pq.py
 
 
-def ivf_stages_sql(q: str = "queries", n_probe: int | None = None) -> str:
-    """cents/assign/probes/cand: the IVF candidate-generation stages as
-    SQL, parameterized on the query-side CTE name and probe width —
+def _routed_pairs_sql(
+    src: str, src_id: str, src_emb: str, src_nrm: str
+) -> str:
+    """The two-level router as a SQL fragment: DISTINCT ({src_id},
+    cell_id) pairs reachable from `src` through its SUP_PROBE best
+    supercells.  Mirrors similarity._routed_cells steps 1-2."""
+    return f"""(
+            SELECT DISTINCT vs.{src_id}, cs.cell_id FROM (
+                SELECT {src_id}, sup_id FROM (
+                    SELECT v.{src_id}, s.sup_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY v.{src_id}
+                               ORDER BY {H.sql_dot(f'v.{src_emb}', 's.s_emb', EMB_DIM)}
+                                        / (v.{src_nrm} * s.s_nrm) DESC,
+                                        s.sup_id ASC
+                           ) AS vrn
+                    FROM {src} v CROSS JOIN supers s
+                ) WHERE vrn <= {SUP_PROBE}
+            ) vs JOIN cell_sup cs ON vs.sup_id = cs.sup_id
+        )"""
+
+
+def ivf_stages_sql(
+    q: str = "queries",
+    n_probe: int | None = None,
+    k_sql: str | None = None,
+    routed_probes: bool = False,
+) -> str:
+    """cents/supers/cell_sup/assign/probes/cand: the IVF
+    candidate-generation stages as SQL, parameterized on the query-side
+    CTE name, probe width, codebook-size rule, and probe routing —
     shared by this module's audit, similarity_pq.py's audit, and the
-    all-nodes kNN-graph oracle (similarity_knn.py, which probes fewer
-    cells and uses every corpus vector as a query).  n_probe None
-    mirrors the Spark default: the corpus-scaled width
-    (fragments.sql_scaled_n_probe), so both engines derive K AND the
-    probe width from the same COUNT(*)."""
+    all-nodes kNN-graph oracle (similarity_knn_core.py, which probes
+    fewer cells, uses every corpus vector as a query, sizes cells to a
+    constant row target, and routes its probes).  n_probe None mirrors
+    the Spark default (fragments.sql_scaled_n_probe); k_sql None
+    mirrors scaled_ivf_k, so both engines derive K AND the probe width
+    from the same COUNT(*).
+
+    Assignment is TWO-LEVEL routed (r12, VERDICT r11 #1a), mirroring
+    similarity._routed_cells exactly: supercells are the first
+    ceil(sqrt(K)) cells of the sampling order, each cell registers
+    under its SUP_ASSIGN nearest supercells, and a vector ranks only
+    the cells reachable through its SUP_PROBE best supercells."""
     probe_expr = (
         sql_scaled_n_probe("corpus") if n_probe is None else str(n_probe)
     )
-    return f"""
-    cents AS (
-        SELECT vec_id AS cell_id, embedding AS c_emb, nrm AS c_nrm
-        FROM corpus ORDER BY {IVF_CODEBOOK_HASH_SQL}, vec_id
-        LIMIT {sql_scaled_ivf_k('corpus')}
-    ),
-    assign AS (
-        SELECT vec_id, cell_id FROM (
-            SELECT c.vec_id, ct.cell_id,
+    k_expr = sql_scaled_ivf_k("corpus") if k_sql is None else k_sql
+    if routed_probes:
+        probes_sql = f"""
+    probes AS (
+        SELECT query_id, cell_id FROM (
+            SELECT r.query_id, r.cell_id,
                    ROW_NUMBER() OVER (
-                       PARTITION BY c.vec_id
-                       ORDER BY {H.sql_dot('c.embedding', 'ct.c_emb', EMB_DIM)}
-                                / (c.nrm * ct.c_nrm) DESC,
-                                ct.cell_id ASC
-                   ) AS arn
-            FROM corpus c CROSS JOIN cents ct
-        ) WHERE arn <= {IVF_ASSIGN}
-    ),
+                       PARTITION BY r.query_id
+                       ORDER BY {H.sql_dot('q2.q_emb', 'ct.c_emb', EMB_DIM)}
+                                / (q2.q_nrm * ct.c_nrm) DESC,
+                                r.cell_id ASC
+                   ) AS prn
+            FROM {_routed_pairs_sql(q, 'query_id', 'q_emb', 'q_nrm')} r
+            JOIN {q} q2 ON q2.query_id = r.query_id
+            JOIN cents ct ON ct.cell_id = r.cell_id
+        ) WHERE prn <= {probe_expr}
+    )"""
+    else:
+        probes_sql = f"""
     probes AS (
         SELECT query_id, cell_id FROM (
             SELECT q.query_id, ct.cell_id,
@@ -219,7 +258,46 @@ def ivf_stages_sql(q: str = "queries", n_probe: int | None = None) -> str:
                    ) AS prn
             FROM {q} q CROSS JOIN cents ct
         ) WHERE prn <= {probe_expr}
+    )"""
+    return f"""
+    cents AS MATERIALIZED (
+        SELECT vec_id AS cell_id, embedding AS c_emb, nrm AS c_nrm,
+               ROW_NUMBER() OVER (
+                   ORDER BY {IVF_CODEBOOK_HASH_SQL}, vec_id
+               ) AS cpos
+        FROM corpus ORDER BY {IVF_CODEBOOK_HASH_SQL}, vec_id
+        LIMIT {k_expr}
     ),
+    supers AS MATERIALIZED (
+        SELECT cell_id AS sup_id, c_emb AS s_emb, c_nrm AS s_nrm
+        FROM cents WHERE cpos <= {sql_sup_count(k_expr)}
+    ),
+    cell_sup AS MATERIALIZED (
+        SELECT cell_id, sup_id FROM (
+            SELECT c.cell_id, s.sup_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.cell_id
+                       ORDER BY {H.sql_dot('c.c_emb', 's.s_emb', EMB_DIM)}
+                                / (c.c_nrm * s.s_nrm) DESC,
+                                s.sup_id ASC
+                   ) AS srn
+            FROM cents c CROSS JOIN supers s
+        ) WHERE srn <= {SUP_ASSIGN}
+    ),
+    assign AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT r.vec_id, r.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY r.vec_id
+                       ORDER BY {H.sql_dot('c.embedding', 'ct.c_emb', EMB_DIM)}
+                                / (c.nrm * ct.c_nrm) DESC,
+                                r.cell_id ASC
+                   ) AS arn
+            FROM {_routed_pairs_sql('corpus', 'vec_id', 'embedding', 'nrm')} r
+            JOIN corpus c ON c.vec_id = r.vec_id
+            JOIN cents ct ON ct.cell_id = r.cell_id
+        ) WHERE arn <= {IVF_ASSIGN}
+    ),{probes_sql},
     cand AS (
         SELECT DISTINCT p.query_id, a.vec_id
         FROM probes p JOIN assign a ON p.cell_id = a.cell_id

@@ -40,7 +40,7 @@ from bigbugdata_spark.registry import register
 PURITY_T = 0.8
 
 _GUARD_SQL = f"""
-    WITH RECURSIVE knn AS ({_KNN_SQL}),
+    WITH RECURSIVE knn AS MATERIALIZED ({_KNN_SQL}),
     mutual AS (
         SELECT k1.src AS a, k1.dst AS b
         FROM knn k1 JOIN knn k2 ON k1.src = k2.dst AND k1.dst = k2.src

@@ -55,7 +55,9 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivf_cents(corpus: DataFrame, k: int | None = None) -> DataFrame:
-    """The k hash-sampled codebook vectors (cell_id, c_emb, c_nrm).
+    """The k hash-sampled codebook vectors (cell_id, c_emb, c_nrm, cpos
+    — the 1-based sampling rank, so the SUP-supercell prefix of the
+    two-level router is selectable without re-deriving the order).
 
     k=None (the default, round 9 — VERDICT r8 #6) sizes the codebook
     from the corpus: K = max(IVF_K, floor(sqrt(n))), the standard IVF
@@ -75,7 +77,7 @@ def ivf_cents(corpus: DataFrame, k: int | None = None) -> DataFrame:
 
     if k is None:
         k = scaled_ivf_k(corpus.count())
-    return (
+    picked = (
         corpus.orderBy(_codebook_hash(F.col("vec_id")), F.col("vec_id"))
         .limit(k)
         .select(
@@ -84,6 +86,10 @@ def ivf_cents(corpus: DataFrame, k: int | None = None) -> DataFrame:
             F.col("nrm").alias("c_nrm"),
         )
     )
+    # sampling rank over the K selected rows only (a K-row single
+    # partition window — codebook-sized, broadcastable by design)
+    w = Window.orderBy(_codebook_hash(F.col("cell_id")), F.col("cell_id"))
+    return picked.withColumn("cpos", F.row_number().over(w))
 
 
 def ivf_queries(corpus: DataFrame) -> DataFrame:
@@ -94,21 +100,127 @@ def ivf_queries(corpus: DataFrame) -> DataFrame:
     )
 
 
-def ivf_assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, cell_id) inverted file — top-IVF_ASSIGN cells/vector."""
-    cell_cos = corpus.join(F.broadcast(cents), F.lit(True)).select(
-        "vec_id",
-        "cell_id",
-        (
-            H.dot(F.col("embedding"), F.col("c_emb"))
-            / (F.col("nrm") * F.col("c_nrm"))
-        ).alias("c_cos"),
+def _cell_supers(cents: DataFrame, sup_n: int) -> DataFrame:
+    """(cell_id, sup_id): each codebook cell registered under its
+    SUP_ASSIGN nearest supercells (the first sup_n cells of the sampling
+    order).  K x SUP dots — codebook-sized, never corpus-sized."""
+    from bigbugdata_spark.functions.fragments import SUP_ASSIGN
+
+    supers = cents.filter(F.col("cpos") <= sup_n).select(
+        F.col("cell_id").alias("sup_id"),
+        F.col("c_emb").alias("s_emb"),
+        F.col("c_nrm").alias("s_nrm"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cell_id"))
+    scored = cents.join(F.broadcast(supers), F.lit(True)).select(
+        "cell_id",
+        "sup_id",
+        (
+            H.dot(F.col("c_emb"), F.col("s_emb"))
+            / (F.col("c_nrm") * F.col("s_nrm"))
+        ).alias("s_cos"),
+    )
+    w = Window.partitionBy("cell_id").orderBy(F.desc("s_cos"), F.asc("sup_id"))
     return (
-        cell_cos.withColumn("arn", F.row_number().over(w))
-        .filter(F.col("arn") <= IVF_ASSIGN)
-        .select("vec_id", "cell_id")
+        scored.withColumn("srn", F.row_number().over(w))
+        .filter(F.col("srn") <= SUP_ASSIGN)
+        .select("cell_id", "sup_id")
+    )
+
+
+def _routed_cells(
+    vectors: DataFrame,
+    cents: DataFrame,
+    k: int,
+    take: int,
+    id_col: str,
+    emb_col: str,
+    nrm_col: str,
+) -> DataFrame:
+    """(id, cell_id): each vector's `take` best cells by cosine, ranked
+    over ONLY the cells reachable through its SUP_PROBE best supercells
+    — the two-level router (r12, VERDICT r11 #1a).  Per-vector cost is
+    ~sqrt(K) supercell dots + ~SUP_ASSIGN*SUP_PROBE*sqrt(K) cell dots
+    instead of the flat K; no shuffle ever carries more than skinny
+    (id, cell) pairs plus one vectors-by-id exchange for the final
+    scoring join (which then feeds the per-id window co-partitioned)."""
+    from bigbugdata_spark.functions.fragments import SUP_PROBE, sup_count
+
+    sup_n = sup_count(k)
+    supers = cents.filter(F.col("cpos") <= sup_n).select(
+        F.col("cell_id").alias("sup_id"),
+        F.col("c_emb").alias("s_emb"),
+        F.col("c_nrm").alias("s_nrm"),
+    )
+    cell_sup = _cell_supers(cents, sup_n)
+    # 1. route: each vector's SUP_PROBE best supercells (skinny window)
+    v_sup = vectors.join(F.broadcast(supers), F.lit(True)).select(
+        id_col,
+        "sup_id",
+        (
+            H.dot(F.col(emb_col), F.col("s_emb"))
+            / (F.col(nrm_col) * F.col("s_nrm"))
+        ).alias("v_cos"),
+    )
+    wv = Window.partitionBy(id_col).orderBy(F.desc("v_cos"), F.asc("sup_id"))
+    v_sup = (
+        v_sup.withColumn("vrn", F.row_number().over(wv))
+        .filter(F.col("vrn") <= SUP_PROBE)
+        .select(id_col, "sup_id")
+    )
+    # 2. reachable cells (distinct — a cell may arrive via both routes)
+    reach = (
+        v_sup.join(F.broadcast(cell_sup), "sup_id")
+        .select(id_col, "cell_id")
+        .distinct()
+    )
+    # 3. exact rank within the reachable set only
+    scored = (
+        reach.join(vectors, id_col)
+        .join(F.broadcast(cents), "cell_id")
+        .select(
+            id_col,
+            "cell_id",
+            (
+                H.dot(F.col(emb_col), F.col("c_emb"))
+                / (F.col(nrm_col) * F.col("c_nrm"))
+            ).alias("c_cos"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("cell_id"))
+    return (
+        scored.withColumn("arn", F.row_number().over(w))
+        .filter(F.col("arn") <= take)
+        .select(id_col, "cell_id")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame, cents: DataFrame, k: int | None = None
+) -> DataFrame:
+    """(vec_id, cell_id) inverted file — top-IVF_ASSIGN cells/vector,
+    two-level routed (r12): the flat corpus x codebook cartesian was
+    n*K dots (n^1.5 under the sqrt(n) K rule — the r11 scale-killer);
+    routing through ceil(sqrt(K)) supercells makes it ~n*5*sqrt(K).
+    k=None counts the codebook (K rows — cheap; pass k when known)."""
+    if k is None:
+        k = cents.count()
+    return _routed_cells(
+        corpus, cents, k, IVF_ASSIGN, "vec_id", "embedding", "nrm"
+    )
+
+
+def ivf_probes_routed(
+    queries: DataFrame, cents: DataFrame, k: int, n_probe: int
+) -> DataFrame:
+    """(query_id, cell_id) — the graph-build probe path: every corpus
+    vector is a query, so probe selection must route like assignment
+    does (n_probe is narrow there — KNN_PROBE — well under the
+    ~4*sqrt(K) reachable cells).  The serving path (ivf_probes: few
+    queries, probe width a FRACTION of K) stays a flat codebook scan —
+    scoring half the codebook through a router that must reach half the
+    codebook saves nothing."""
+    return _routed_cells(
+        queries, cents, k, n_probe, "query_id", "q_emb", "q_nrm"
     )
 
 
@@ -251,11 +363,17 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-hash-verified through the oracle'd audit twin
     `audit_ivf_recall` (operators/audits.py), whose DuckDB side
     re-derives this whole pipeline from the portable codebook hash."""
+    from bigbugdata_spark.functions.fragments import (
+        scaled_ivf_k,
+        scaled_n_probe,
+    )
+
     corpus = _corpus(spark, sf_dir)
-    cents = ivf_cents(corpus)
-    assign = ivf_assign(corpus, cents)
+    k = scaled_ivf_k(corpus.count())
+    cents = ivf_cents(corpus, k=k)
+    assign = ivf_assign(corpus, cents, k=k)
     queries = ivf_queries(corpus)
-    probes = ivf_probes(queries, cents)
+    probes = ivf_probes(queries, cents, n_probe=scaled_n_probe(k))
     cand = ivf_candidates(probes, assign)
     scored = (
         cand.join(corpus, "vec_id")

@@ -59,14 +59,33 @@ TELEPORT_NUM = DAMP_DEN - DAMP_NUM
 
 _EDGES_PREFIX = "simknn_edges_"
 
+#: build-algorithm version, SUFFIXED to the persisted-generation
+#: fingerprint: the corpus fingerprint alone would ADOPT a stale edge
+#: table built by an older algorithm (same data, different math) —
+#: exactly what r12's two-level/constant-cell rebuild would have
+#: silently inherited.  A suffix (not a prefix) keeps the fingerprint's
+#: first-8-chars PATH component intact, which is what
+#: sweep_stale_generations scopes on — so older-algo generations of the
+#: same corpus are swept as ordinary stale fingerprints.  Bump whenever
+#: the build semantics change.
+_ALGO_V = "-a2"
+
 #: (applicationId, corpus fingerprint, kind) -> localCheckpointed frame
 _MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def generation_fp(sf_dir: str) -> str:
+    """The persisted-generation fingerprint for `sf_dir`'s embeddings:
+    corpus content fingerprint + build-algorithm version.  The ONE
+    definition bench reset hooks and tests must share — keying on the
+    raw corpus fingerprint would silently miss the memo/location."""
+    return _corpus_fingerprint(sf_dir, "embeddings.parquet") + _ALGO_V
 
 
 def _key(spark: SparkSession, sf_dir: str, kind: str) -> tuple[str, str, str]:
     return (
         spark.sparkContext.applicationId,
-        _corpus_fingerprint(sf_dir, "embeddings.parquet"),
+        generation_fp(sf_dir),
         kind,
     )
 
@@ -77,23 +96,29 @@ def _build_knn_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF-candidates by cosine, ties to the smaller dst id."""
     # lazy import: keeps operators.similarity's registrations out of
     # this module's import-time footprint (registry rotation order)
+    from bigbugdata_spark.functions.fragments import graph_ivf_k
     from bigbugdata_spark.operators.similarity import (
         _corpus,
         ivf_assign,
         ivf_candidates,
         ivf_cents,
-        ivf_probes,
+        ivf_probes_routed,
     )
 
     corpus = _corpus(spark, sf_dir)
-    cents = ivf_cents(corpus)
-    assign = ivf_assign(corpus, cents)
+    # constant-size cells (r12, VERDICT r11 #1b): every vector is a
+    # query in the graph build, so K = max(IVF_K, ceil(n/128)) bounds
+    # per-query candidate work; the count is index-build metadata (a
+    # parquet footer read)
+    k = graph_ivf_k(corpus.count())
+    cents = ivf_cents(corpus, k=k)
+    assign = ivf_assign(corpus, cents, k=k)
     allq = corpus.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    probes = ivf_probes(allq, cents, n_probe=KNN_PROBE)
+    probes = ivf_probes_routed(allq, cents, k, KNN_PROBE)
     cand = ivf_candidates(probes, assign)
     scored = (
         cand.join(corpus, "vec_id")
@@ -115,19 +140,49 @@ def _build_knn_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _evict_other_fingerprints(spark: SparkSession, fp: str) -> None:
+    """Unpersist and drop memo entries for OTHER corpora of this
+    application (ADVICE r11: the memo was never evicted, so a
+    long-lived session touching many corpora accumulated checkpoint
+    blocks indefinitely — bench only cleared its own fingerprints).
+    Keyed-by-fingerprint entries for the corpus being requested stay."""
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _MEMO if k[0] == app and k[1] != fp]:
+        try:
+            _MEMO[k].unpersist()
+        except Exception:
+            pass  # a dead SparkContext's blocks are already gone
+        del _MEMO[k]
+
+
 def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src, dst, rnk, cos_sim) — memo -> persisted generation -> build.
     A build writes the generation for future sessions before
-    checkpointing it for this one."""
+    checkpointing it for this one.
+
+    The generation write is ATOMIC-by-rename (ADVICE r11): the build
+    lands in a temporary sibling directory and moves into place only
+    once complete, so a reader racing a rebuild (or a second session)
+    never observes a half-written location — os.replace/rename on the
+    same filesystem is atomic; a leftover temp dir from a dead session
+    is harmlessly overwritten by the next build."""
     key = _key(spark, sf_dir, "knn")
     if key in _MEMO:
         return _MEMO[key]
     fp = key[1]
+    _evict_other_fingerprints(spark, fp)
     ensure_index_root()
     sweep_stale_generations(spark, (_EDGES_PREFIX,), fp)
     loc = Path(index_path(f"{_EDGES_PREFIX}{fp}"))
     if not (loc / "_SUCCESS").exists():
-        _build_knn_plan(spark, sf_dir).write.mode("overwrite").parquet(str(loc))
+        import os
+        import shutil
+
+        tmp = loc.with_name(loc.name + ".tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        _build_knn_plan(spark, sf_dir).write.mode("overwrite").parquet(str(tmp))
+        shutil.rmtree(loc, ignore_errors=True)
+        os.rename(tmp, loc)
     out = spark.read.parquet(str(loc)).localCheckpoint()
     _MEMO[key] = out
     return out

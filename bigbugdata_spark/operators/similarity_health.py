@@ -32,7 +32,7 @@ from bigbugdata_spark.operators.similarity_knn_core import KNN_SQL as _KNN_SQL
 from bigbugdata_spark.registry import register
 
 _HEALTH_SQL = f"""
-    WITH knn AS ({_KNN_SQL}),
+    WITH knn AS MATERIALIZED ({_KNN_SQL}),
     recip AS (
         SELECT k1.rnk,
                CAST(COUNT(*) AS BIGINT) AS n_recip

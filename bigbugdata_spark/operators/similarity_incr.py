@@ -33,7 +33,9 @@ from bigbugdata_spark.functions.fragments import (
     EMB_DIM as _DIM,
     IVF_ASSIGN,
     IVF_CODEBOOK_HASH_SQL,
+    SUP_ASSIGN,
     sql_scaled_ivf_k,
+    sql_sup_count,
 )
 from bigbugdata_spark.registry import register
 
@@ -52,25 +54,27 @@ def incoming_vec_col():
     )
 
 
-_ASSIGN_RANK_SQL = """
-        SELECT vec_id, cell_id FROM (
-            SELECT s.vec_id, ct.cell_id,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY s.vec_id
-                       ORDER BY {dot} / (s.nrm * ct.c_nrm) DESC,
-                                ct.cell_id ASC
-                   ) AS arn
-            FROM {src} s CROSS JOIN cents ct
-        ) WHERE arn <= {n_assign}
-"""
-
-
 def _assign_sql(src: str) -> str:
-    return _ASSIGN_RANK_SQL.format(
-        src=src,
-        dot=H.sql_dot("s.embedding", "ct.c_emb", _DIM),
-        n_assign=IVF_ASSIGN,
-    )
+    """Two-level routed assignment of `src` against the frozen codebook
+    (mirrors similarity._routed_cells / audits.ivf_stages_sql, r12):
+    rank only the cells reachable through the vector's SUP_PROBE best
+    supercells."""
+    from bigbugdata_spark.operators.audits import _routed_pairs_sql
+
+    return f"""
+        SELECT vec_id, cell_id FROM (
+            SELECT r.vec_id, r.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY r.vec_id
+                       ORDER BY {H.sql_dot('s.embedding', 'ct.c_emb', _DIM)}
+                                / (s.nrm * ct.c_nrm) DESC,
+                                r.cell_id ASC
+                   ) AS arn
+            FROM {_routed_pairs_sql(src, 'vec_id', 'embedding', 'nrm')} r
+            JOIN {src} s ON s.vec_id = r.vec_id
+            JOIN cents ct ON ct.cell_id = r.cell_id
+        ) WHERE arn <= {IVF_ASSIGN}
+"""
 
 
 @register(
@@ -83,10 +87,30 @@ def _assign_sql(src: str) -> str:
         ),
         existing AS (SELECT * FROM corpus WHERE NOT ({_VINC_PRED_SQL})),
         batch AS (SELECT * FROM corpus WHERE {_VINC_PRED_SQL}),
-        cents AS (
-            SELECT vec_id AS cell_id, embedding AS c_emb, nrm AS c_nrm
+        cents AS MATERIALIZED (
+            SELECT vec_id AS cell_id, embedding AS c_emb, nrm AS c_nrm,
+                   ROW_NUMBER() OVER (
+                       ORDER BY {IVF_CODEBOOK_HASH_SQL}, vec_id
+                   ) AS cpos
             FROM existing ORDER BY {IVF_CODEBOOK_HASH_SQL}, vec_id
             LIMIT {sql_scaled_ivf_k('existing')}
+        ),
+        supers AS MATERIALIZED (
+            SELECT cell_id AS sup_id, c_emb AS s_emb, c_nrm AS s_nrm
+            FROM cents
+            WHERE cpos <= {sql_sup_count(sql_scaled_ivf_k('existing'))}
+        ),
+        cell_sup AS MATERIALIZED (
+            SELECT cell_id, sup_id FROM (
+                SELECT c.cell_id, s.sup_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.cell_id
+                           ORDER BY {H.sql_dot('c.c_emb', 's.s_emb', _DIM)}
+                                    / (c.c_nrm * s.s_nrm) DESC,
+                                    s.sup_id ASC
+                       ) AS srn
+                FROM cents c CROSS JOIN supers s
+            ) WHERE srn <= {SUP_ASSIGN}
         ),
         a_old AS ({_assign_sql('existing')}),
         a_new AS ({_assign_sql('batch')}),
@@ -126,6 +150,7 @@ def sim_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored inverted file); this query recomputes n_before only to make
     the invariant oracle-checkable end to end."""
     from bigbugdata_spark.catalog import table
+    from bigbugdata_spark.functions.fragments import scaled_ivf_k
     from bigbugdata_spark.operators.similarity import ivf_assign, ivf_cents
 
     e = table(spark, sf_dir, "embeddings").select(
@@ -133,9 +158,10 @@ def sim_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     existing = e.filter(~incoming_vec_col())
     batch = e.filter(incoming_vec_col())
-    cents = ivf_cents(existing)
-    a_old = ivf_assign(existing, cents).withColumn("is_new", F.lit(0))
-    a_new = ivf_assign(batch, cents).withColumn("is_new", F.lit(1))
+    k = scaled_ivf_k(existing.count())
+    cents = ivf_cents(existing, k=k)
+    a_old = ivf_assign(existing, cents, k=k).withColumn("is_new", F.lit(0))
+    a_new = ivf_assign(batch, cents, k=k).withColumn("is_new", F.lit(1))
     return (
         a_old.unionByName(a_new)
         .groupBy("cell_id")

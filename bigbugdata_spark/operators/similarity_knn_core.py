@@ -12,19 +12,23 @@ No analog in the reference (SURVEY §2.1); similarity extension surface.
 from __future__ import annotations
 
 from bigbugdata_spark.functions import hashing as H
-from bigbugdata_spark.functions.fragments import EMB_DIM
+from bigbugdata_spark.functions.fragments import EMB_DIM, sql_graph_ivf_k
 from bigbugdata_spark.operators.audits import SIM_CORPUS_SQL, ivf_stages_sql
 
 KNN_K = 5
 KNN_PROBE = 4  # index-build probe width (< query-time N_PROBE)
 
+# The graph build sizes cells to a CONSTANT row target (sql_graph_ivf_k
+# — r12, VERDICT r11 #1b) and routes both assignment and probes through
+# the two-level supercell structure: every corpus vector is a query
+# here, so per-query work must be bounded, not sqrt(n)-sized.
 KNN_SQL = f"""
     WITH {SIM_CORPUS_SQL},
     allq AS (
         SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
         FROM corpus
     ),
-    {ivf_stages_sql("allq", KNN_PROBE)}
+    {ivf_stages_sql("allq", KNN_PROBE, k_sql=sql_graph_ivf_k("corpus"), routed_probes=True)}
     SELECT src, dst, rnk, cos_sim FROM (
         SELECT cd.query_id AS src, co.vec_id AS dst,
                ROW_NUMBER() OVER (

@@ -41,7 +41,7 @@ from bigbugdata_spark.registry import register
 ISOLATION_T_PPM = 260_000
 
 _OUTLIER_SQL = f"""
-    WITH knn AS ({_KNN_SQL}),
+    WITH knn AS MATERIALIZED ({_KNN_SQL}),
     per AS (
         SELECT src,
                CAST(COUNT(*) AS BIGINT) AS k_found,

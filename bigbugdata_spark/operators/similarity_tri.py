@@ -33,7 +33,7 @@ from bigbugdata_spark.operators.similarity_knn_core import KNN_SQL as _KNN_SQL
 from bigbugdata_spark.registry import register
 
 _TRI_SQL = f"""
-    WITH knn AS ({_KNN_SQL}),
+    WITH knn AS MATERIALIZED ({_KNN_SQL}),
     mutual AS (
         SELECT k1.src AS a, k1.dst AS b
         FROM knn k1 JOIN knn k2 ON k1.src = k2.dst AND k1.dst = k2.src

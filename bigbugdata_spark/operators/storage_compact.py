@@ -112,9 +112,28 @@ def store_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .parquet(frag_path)
             )
         before = _day_file_counts(frag_path)
-        if not before or any(n != FRAG_FILES for n in before.values()):
+        # per-day expectation = the day's count of NON-EMPTY residue
+        # classes (ADVICE r11: a sparse day with fewer events than
+        # FRAG_FILES residues legitimately writes fewer files — the
+        # old all-days-have-all-residues assertion hard-failed there)
+        expected = {
+            r["day"]: r["n_files"]
+            for r in ev.select(
+                "day", (F.col("event_id") % FRAG_FILES).alias("residue")
+            )
+            .distinct()
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_files"))
+            .collect()
+        }
+        expected = {str(d): n for d, n in expected.items()}
+        got = {str(d): n for d, n in before.items()}
+        if not got or got != expected or any(
+            n > FRAG_FILES for n in got.values()
+        ):
             raise AssertionError(
-                f"fragmented layout off-spec (want {FRAG_FILES}/day): {before}"
+                f"fragmented layout off-spec (want per-day non-empty "
+                f"residue counts {expected}): {got}"
             )
         # the compactor: co-locate each day in one task (hash
         # repartition on the partition column — AQE may merge several

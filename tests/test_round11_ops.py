@@ -452,7 +452,7 @@ def test_graph_spine_rebuilds_on_content_change(spark, tmp_path):
     shutil.copytree(src, str(dst)) if Path(src).is_dir() else shutil.copy(
         src, str(dst)
     )
-    fp1 = G._corpus_fingerprint(str(tmp_path), "embeddings.parquet")
+    fp1 = G.generation_fp(str(tmp_path))
     n1 = G.knn_edges(spark, str(tmp_path)).count()
     assert (Path(G.index_path(f"{G._EDGES_PREFIX}{fp1}")) / "_SUCCESS").exists()
 
@@ -467,7 +467,7 @@ def test_graph_spine_rebuilds_on_content_change(spark, tmp_path):
     ).is_dir() else Path(str(dst)).unlink()
     spark.createDataFrame(half).coalesce(1).write.parquet(str(dst))
 
-    fp2 = G._corpus_fingerprint(str(tmp_path), "embeddings.parquet")
+    fp2 = G.generation_fp(str(tmp_path))
     assert fp2 != fp1 and fp2[:8] == fp1[:8]  # same path, new content
     G._MEMO.clear()
     n2 = G.knn_edges(spark, str(tmp_path)).count()
