@@ -18,6 +18,23 @@ result-relation equality against dedup_incremental at test scale.
 
 Registered read query that materializes storage on first run — the
 corpus_version_diff / dedup_incremental precedent.
+
+Scaling rule (r12, VERDICT r11 #5 — the knob the IVF codebook's K rule
+is to that family): band count and rows-per-band do NOT scale with
+corpus size.  A band key is LSH_ROWS=4 concatenated 64-bit minhash
+values (~256 bits of key space), so RANDOM cross-pair collisions are
+~2^-256-vanishing at any realistic corpus size — candidate volume is
+collision-bound: expected candidates per batch doc =
+LSH_BANDS * sum over its truly-similar corpus docs of J^LSH_ROWS,
+which depends on near-dup DENSITY, not corpus size.  At constant
+density the probe cost is linear in |batch| (and the index append
+linear in |batch|), so the 10x probe's per-replica slope should be
+flat — measured at TWO replication points in bench_scale_probe
+(SCALE_SECOND_POINT) and pinned structurally by
+test_lsh_candidate_volume_linear.  The deployment knobs remain the
+standard S-curve pair: LSH_ROWS sets the similarity threshold
+(~(1/b)^(1/r)); LSH_BANDS buys recall linearly in probe cost.  Neither
+needs a corpus-size rule because neither cost term grows with n.
 """
 
 from __future__ import annotations

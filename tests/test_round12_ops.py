@@ -1,0 +1,164 @@
+"""Round-12 additions: the LSH band index's collision-bound scaling
+claim (VERDICT r11 #5) pinned structurally, and the two-level IVF
+router's small invariants beyond the oracle parity that already gates
+its results.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigbugdata_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def _tagged_replication(spark, src_dir: str, out_dir: Path, factor: int):
+    """bench._build_scale_dir's documents rule, in miniature: `factor`
+    doc replicas with key offsets and per-replica token tags so gram
+    spaces are disjoint and near-dup pairs stay within replicas."""
+    base = spark.read.parquet(f"{src_dir}/documents.parquet")
+    reps = []
+    for i in range(factor):
+        rep = base.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000_000))
+        if i > 0:
+            rep = rep.withColumn(
+                "text", F.regexp_replace(F.col("text"), r"(\S+)", f"r{i}$1")
+            )
+        reps.append(rep)
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    out.write.mode("overwrite").parquet(str(out_dir / "documents.parquet"))
+
+
+def _candidate_count(spark, sf_dir: str) -> int:
+    """The band-collision candidate relation's size for the incremental
+    batch slice — the stage BEFORE exact-Jaccard verification, i.e. the
+    quantity the collision-bound claim is about."""
+    from bigbugdata_spark.operators.dedup import _doc_shingles
+    from bigbugdata_spark.operators.dedup_incr_core import _incoming_col
+    from bigbugdata_spark.operators.dedup_incr_lsh import _band_frame
+
+    sh = _doc_shingles(spark, sf_dir)
+    bands = _band_frame(sh)
+    batch_bands = _band_frame(sh.filter(_incoming_col()))
+    return (
+        batch_bands.alias("n")
+        .join(bands.alias("c"), "bkey")
+        .where(F.col("n.doc_id") != F.col("c.doc_id"))
+        .select(F.col("n.doc_id"), F.col("c.doc_id"))
+        .distinct()
+        .count()
+    )
+
+
+def test_lsh_candidate_volume_linear(spark, tmp_path):
+    """The scaling rule's measurable core: with disjoint-gram replicas
+    (the honest stand-in for a bigger corpus), band-collision candidate
+    volume grows LINEARLY with the corpus — a 3x corpus yields ~3x the
+    candidates (each replica contributes its own collisions; random
+    cross-replica band collisions are ~2^-256), never the ~9x a
+    quadratic all-pairs plan would show."""
+    src = "/root/testdata/sf0.01"
+    c1 = _candidate_count(spark, src)
+    assert c1 > 0, "fixture produced no candidates — the test is vacuous"
+    rep_dir = tmp_path / "x3"
+    rep_dir.mkdir()
+    _tagged_replication(spark, src, rep_dir, 3)
+    c3 = _candidate_count(spark, str(rep_dir))
+    # exact-linear would be 3x if the batch slice hit each replica
+    # identically; the affine batch predicate over offset ids shifts
+    # per-replica batch membership, so allow a generous linear band
+    # while staying far below quadratic (9x)
+    assert c3 <= 4.5 * c1, f"super-linear candidate growth: {c1} -> {c3}"
+    assert c3 >= 1.5 * c1, f"candidates did not grow with the corpus: {c1} -> {c3}"
+
+
+def test_graph_ivf_k_constant_cells():
+    """The graph-build K rule bounds expected cell membership at
+    IVF_ASSIGN * GRAPH_CELL_ROWS for any corpus size (above the floor),
+    and the SQL twin computes the identical K."""
+    import duckdb
+
+    from bigbugdata_spark.functions.fragments import (
+        GRAPH_CELL_ROWS,
+        IVF_ASSIGN,
+        IVF_K,
+        graph_ivf_k,
+        sql_graph_ivf_k,
+    )
+
+    con = duckdb.connect()
+    for n in (100, 2_000, 20_000, 1_000_000, 123_456_789):
+        k = graph_ivf_k(n)
+        assert k >= IVF_K
+        if k > IVF_K:
+            # expected members per cell = n * IVF_ASSIGN / K <= bound
+            assert n * IVF_ASSIGN / k <= IVF_ASSIGN * GRAPH_CELL_ROWS
+        con.sql(f"CREATE OR REPLACE VIEW src AS SELECT * FROM range({n})")
+        (sql_k,) = con.sql(f"SELECT {sql_graph_ivf_k('src')}").fetchone()
+        assert sql_k == k, f"n={n}: SQL twin {sql_k} != python {k}"
+
+
+def test_sup_count_twin_and_router_reach():
+    """sup_count's SQL twin agrees, and the two-level router's expected
+    reach (SUP_ASSIGN * SUP_PROBE * K / SUP cells) always covers the
+    widest take the graph build requests (KNN_PROBE)."""
+    import duckdb
+
+    from bigbugdata_spark.functions.fragments import (
+        IVF_K,
+        SUP_ASSIGN,
+        SUP_PROBE,
+        sql_sup_count,
+        sup_count,
+    )
+    from bigbugdata_spark.operators.similarity_knn_core import KNN_PROBE
+
+    con = duckdb.connect()
+    for k in (IVF_K, 22, 44, 156, 1000, 31623):
+        s = sup_count(k)
+        (sql_s,) = con.sql(f"SELECT {sql_sup_count(str(k))}").fetchone()
+        assert sql_s == s
+        assert SUP_ASSIGN * SUP_PROBE * k / s >= KNN_PROBE
+
+
+def test_knn_edges_atomic_write_leaves_no_tmp(spark, sf_oracle):
+    """The generation write goes through a temp sibling + rename
+    (ADVICE r11): after a build, the final location exists with
+    _SUCCESS and no .tmp sibling remains."""
+    from bigbugdata_spark.operators import similarity_graph_core as G
+
+    G.knn_edges(spark, sf_oracle)
+    fp = G.generation_fp(sf_oracle)
+    loc = Path(G.index_path(f"{G._EDGES_PREFIX}{fp}"))
+    assert (loc / "_SUCCESS").exists()
+    assert not loc.with_name(loc.name + ".tmp").exists()
+
+
+def test_graph_memo_evicts_other_corpora(spark, sf_oracle, tmp_path):
+    """ADVICE r11: touching a second corpus evicts the first corpus's
+    memo entries (bounded checkpoint blocks in long-lived sessions)."""
+    from bigbugdata_spark.operators import similarity_graph_core as G
+
+    src = Path(sf_oracle) / "embeddings.parquet"
+    dst = tmp_path / "embeddings.parquet"
+    if src.is_dir():
+        shutil.copytree(str(src), str(dst))
+    else:
+        shutil.copy(str(src), str(dst))
+
+    G.knn_edges(spark, sf_oracle)
+    fp1 = G.generation_fp(sf_oracle)
+    assert any(k[1] == fp1 for k in G._MEMO)
+    G.knn_edges(spark, str(tmp_path))
+    fp2 = G.generation_fp(str(tmp_path))
+    assert any(k[1] == fp2 for k in G._MEMO)
+    assert not any(k[1] == fp1 for k in G._MEMO), (
+        "other-corpus memo entries must be evicted"
+    )
