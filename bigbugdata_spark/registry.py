@@ -176,14 +176,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Count verified this round: first 50 printed from REGISTRY order
 # after a fresh load_all() (tests/test_registry.py's cap check).
 #
-# Round-13 rotation queue (plan): no new no-verdict queries exist yet
-# at r12 commit time — fill the cap with 26 permanent + r13-new
-# queries + the stalest backfills (after r12 lands, the staleness
-# queue leads with the r5-era dedup module — 8 queries — then the r6
-# set: text, multimodal, similarity, profile, overlap, quantize,
-# pipeline).  dedup fits 8 slots whole; as always, count the actual
-# registrations, never rotate out a query whose newest fix lacks a
-# driver verdict, and re-check import drag if reordered.
+# Round-13 rotation queue (plan): 26 permanent + the 4 r12-new
+# queries (events_mta, profile_hist, storage_partition, text_sentence
+# — one registration each, registered at the tail of this tuple) = 30;
+# the remaining 20 slots backfill the stalest driver verdicts (after
+# r12 lands, the staleness queue leads with the r5-era dedup module —
+# 8 queries, fits whole — then the r6 set: text, multimodal,
+# similarity, profile, overlap, quantize, pipeline; count the actual
+# registrations per module before choosing).  As always: never rotate
+# out a query whose newest fix lacks a driver verdict, and re-check
+# import drag if reordered.
 _QUERY_MODULES = (
     # ---- permanent slots 1-26 ----
     "bigbugdata_spark.operators.relational",
@@ -309,6 +311,12 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.events",
     "bigbugdata_spark.operators.dedup",
     "bigbugdata_spark.operators.similarity_ext",
+    # r12-new queries (no driver verdict yet -> r13 rotation queue, in
+    # this registration order):
+    "bigbugdata_spark.operators.events_mta",
+    "bigbugdata_spark.operators.profile_hist",
+    "bigbugdata_spark.operators.storage_partition",
+    "bigbugdata_spark.operators.text_sentence",
 )
 
 
@@ -323,9 +331,13 @@ class QuerySpec:
     #: its sink, or runs a write/maintain/vacuum storage lifecycle) and
     #: returns only a post-hoc scan — the CLI refuses --explain on these
     #: (VERDICT r11 #8: a spec flag, not a name/tag list, so a new
-    #: lifecycle query can't dodge the guard by missing a tag; the lint
-    #: test cross-checks the flag against the streaming/storage tags).
-    side_effects: bool = False
+    #: lifecycle query can't dodge the guard by missing a tag).  None
+    #: means "not declared": the lint test requires every streaming- or
+    #: storage-tagged registration to declare it EXPLICITLY (True for
+    #: lifecycle queries, False for pure analyses like
+    #: store_partition_advisor), so forgetting the question is a test
+    #: failure, not a silent default.
+    side_effects: bool | None = None
     #: fn() persists an index as a side effect but the returned frame is
     #: a real (explainable) probe over it — --explain warns, not refuses.
     index_writer: bool = False
@@ -338,7 +350,7 @@ def register(
     name: str,
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
-    side_effects: bool = False,
+    side_effects: bool | None = None,
     index_writer: bool = False,
 ):
     def deco(fn: QueryFn) -> QueryFn:

@@ -101,18 +101,33 @@ def test_cli_query_explain_refuses_storage_lifecycle(capsys):
 
 
 def test_side_effects_flag_consistent_with_tags():
-    """The lint that keeps the spec flag honest both ways: every
-    streaming/storage-tagged query declares side_effects, and every
-    side_effects declaration is on a streaming/storage-tagged query —
-    so a new lifecycle query missing its tag fails here, and the CLI
-    guard itself never needs a name list."""
+    """The lint that keeps the spec flag honest: every streaming- or
+    storage-tagged registration must DECLARE side_effects explicitly
+    (True for lifecycle queries, False for pure analyses) — forgetting
+    the question is a failure, not a silent default — every
+    streaming-tagged query is a stream drive (always True), and a True
+    declaration only appears on streaming/storage-tagged queries."""
     from bigbugdata_spark.registry import load_all
 
     specs = load_all()
-    tagged = {
+    undeclared = {
         n
         for n, s in specs.items()
-        if "streaming" in s.tags or "storage" in s.tags
+        if ("streaming" in s.tags or "storage" in s.tags)
+        and s.side_effects is None
     }
-    flagged = {n for n, s in specs.items() if s.side_effects}
-    assert tagged == flagged, tagged ^ flagged
+    assert not undeclared, f"declare side_effects explicitly: {undeclared}"
+    non_stream_drives = {
+        n
+        for n, s in specs.items()
+        if "streaming" in s.tags and s.side_effects is not True
+    }
+    assert not non_stream_drives, non_stream_drives
+    stray = {
+        n
+        for n, s in specs.items()
+        if s.side_effects is True
+        and "streaming" not in s.tags
+        and "storage" not in s.tags
+    }
+    assert not stray, f"side_effects=True without a lifecycle tag: {stray}"

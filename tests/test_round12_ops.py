@@ -162,3 +162,83 @@ def test_graph_memo_evicts_other_corpora(spark, sf_oracle, tmp_path):
     assert not any(k[1] == fp1 for k in G._MEMO), (
         "other-corpus memo entries must be evicted"
     )
+
+
+# --- r12-new query semantics (oracle parity proves engine agreement;
+# these pin that the agreed-on answer is the RIGHT answer) -----------------
+
+
+def test_multi_touch_credit_conserves_cents(spark, sf_oracle):
+    """Linear attribution must conserve money exactly: total credited
+    cents equals total purchase cents (the floor-division remainders go
+    to each path's last touch), and matches last-touch attribution's
+    total (same purchases, different split)."""
+    mta = SPECS["evt_multi_touch_attribution"].fn(spark, sf_oracle).collect()
+    lta = SPECS["evt_purchase_attribution"].fn(spark, sf_oracle).collect()
+    assert sum(r["credited_cents"] for r in mta) == sum(
+        r["attributed_cents"] for r in lta
+    )
+    # organic purchases (no touch anywhere before them since the last
+    # purchase) are a subset of last-touch organic (no touch EVER
+    # before them), so linear organic count >= last-touch organic count
+    mta_org = next((r["n_credits"] for r in mta if r["touch_type"] == "organic"), 0)
+    lta_org = next(
+        (r["n_purchases"] for r in lta if r["touch_type"] == "organic"), 0
+    )
+    assert mta_org >= lta_org
+
+
+def test_numeric_histogram_conserves_and_bounds(spark, sf_oracle):
+    """Bucket counts conserve to the table sizes; bucket ids stay in
+    [0, HIST_BUCKETS); bucket_lo is monotone in bucket id per column."""
+    from bigbugdata_spark.operators.profile_hist import HIST_BUCKETS
+
+    rows = SPECS["prof_numeric_histogram"].fn(spark, sf_oracle).collect()
+    n_orders = spark.read.parquet(f"{sf_oracle}/orders.parquet").count()
+    n_events = spark.read.parquet(f"{sf_oracle}/events.parquet").count()
+    by_col = {}
+    for r in rows:
+        assert 0 <= r["bucket"] < HIST_BUCKETS
+        by_col.setdefault(r["col_name"], []).append(r)
+    assert sum(r["n_rows"] for r in by_col["orders.o_totalprice"]) == n_orders
+    assert sum(r["n_rows"] for r in by_col["events.value"]) == n_events
+    for col_rows in by_col.values():
+        s = sorted(col_rows, key=lambda r: r["bucket"])
+        los = [r["bucket_lo_cents"] for r in s]
+        assert los == sorted(los)
+
+
+def test_partition_advisor_picks_finest_clearing_granularity(spark, sf_oracle):
+    """total_rows is identical for all granularities (same events),
+    partition counts are monotone day >= week >= month, and exactly one
+    granularity is chosen whenever any clears the floor — the finest."""
+    rows = {r["gran"]: r for r in SPECS["store_partition_advisor"].fn(spark, sf_oracle).collect()}
+    assert set(rows) == {"day", "week", "month"}
+    totals = {r["total_rows"] for r in rows.values()}
+    assert len(totals) == 1
+    assert (
+        rows["day"]["n_partitions"]
+        >= rows["week"]["n_partitions"]
+        >= rows["month"]["n_partitions"]
+    )
+    clearing = [g for g in ("day", "week", "month") if rows[g]["meets_floor"] == 1]
+    chosen = [g for g, r in rows.items() if r["chosen"] == 1]
+    if clearing:
+        assert chosen == [clearing[0]]
+    else:
+        assert chosen == []
+
+
+def test_sentence_stats_docs_conserve(spark, sf_oracle):
+    """Per-language doc counts conserve to the documents table; a doc
+    with no sentence-ending punctuation still counts (its whole trimmed
+    text is one segment unless empty)."""
+    rows = SPECS["text_sentence_stats"].fn(spark, sf_oracle).collect()
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    want = {r["lang"]: r["cnt"] for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    got = {r["lang"]: r["n_docs"] for r in rows}
+    assert got == want
+    for r in rows:
+        assert r["long_sentences"] <= r["n_sentences"]
+        assert 0 <= r["long_sent_pm"] <= 1000
