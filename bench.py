@@ -153,12 +153,13 @@ SCALE_PROBE_QUERIES = (
     # window — the amortized nightly-job shape), so the measured run is
     # batch shingling + the index probe join: ratio dropped from the
     # r8 2.3-3.1 rebuild ceiling to ~1.3;
-    # incremental IVF assignment is row-wise against the codebook —
-    # rows x K with K = sqrt(n) since r9, so the FULL-corpus recompute
-    # this gate query does is O(n^1.5) by design (the standard index-
-    # build cost; a real cycle assigns only the batch, O(|batch|*K)).
-    # Expect its ratio near the top of the table (~2.5-3 clean); no
-    # pair expansion, verbatim replicas safe.
+    # incremental IVF assignment recomputes the FULL-corpus inverted
+    # file only to make the delta invariant oracle-checkable (a real
+    # cycle assigns only the batch); with the r12 two-level router its
+    # cost is ~n*sqrt(K) = n^1.25 under the sqrt(n) K rule, so expect
+    # its ratio near the top of the table (~10^1.25 = 17.8 asymptotic,
+    # ~7-8 measured with fixed overheads amortizing); no pair
+    # expansion, verbatim replicas safe.
     "text_rare_token_ratio",
     "dedup_incremental",
     "sim_ivf_incremental_assign",
