@@ -32,7 +32,7 @@ from bigbugdata_spark.catalog import table
 from bigbugdata_spark.functions.fragments import CENTS_SQL, cents_col
 from bigbugdata_spark.registry import register
 
-_MTA_ORACLE_SQL = f"""
+MTA_ORACLE_SQL = f"""
     WITH ordered AS (
         SELECT user_id, event_type, ts, event_id,
                {CENTS_SQL} AS cents,
@@ -81,7 +81,7 @@ _MTA_ORACLE_SQL = f"""
 
 @register(
     "evt_multi_touch_attribution",
-    oracle=_MTA_ORACLE_SQL,
+    oracle=MTA_ORACLE_SQL,
     tags=("events", "window", "agg", "join"),
 )
 def evt_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:

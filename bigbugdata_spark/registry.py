@@ -317,6 +317,11 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.profile_hist",
     "bigbugdata_spark.operators.storage_partition",
     "bigbugdata_spark.operators.text_sentence",
+    "bigbugdata_spark.operators.text_boiler",
+    # streaming.mta imports events_mta's oracle at module level —
+    # events_mta sits EARLIER in this tuple, so no registration drag;
+    # keep that order if these rotate into the cap (r13 queue)
+    "bigbugdata_spark.streaming.mta",
 )
 
 

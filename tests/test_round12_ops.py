@@ -242,3 +242,107 @@ def test_sentence_stats_docs_conserve(spark, sf_oracle):
     for r in rows:
         assert r["long_sentences"] <= r["n_sentences"]
         assert 0 <= r["long_sent_pm"] <= 1000
+
+
+def test_boilerplate_bounds_and_consistency(spark, sf_oracle):
+    """Boilerplate occurrences never exceed total sentences; the rate
+    is the integer-permille of exactly those columns; distinct
+    boilerplate sentences <= occurrences; totals agree with
+    text_sentence_stats' per-lang sentence counts (same segmenter)."""
+    rows = {r["lang"]: r for r in SPECS["text_boilerplate"].fn(spark, sf_oracle).collect()}
+    sent = {r["lang"]: r for r in SPECS["text_sentence_stats"].fn(spark, sf_oracle).collect()}
+    assert set(rows) == set(sent)
+    for lang, r in rows.items():
+        assert r["boiler_occurrences"] <= r["n_sentences"]
+        assert r["boiler_distinct"] <= r["boiler_occurrences"]
+        assert r["boiler_pm"] == r["boiler_occurrences"] * 1000 // r["n_sentences"]
+        assert r["n_sentences"] == sent[lang]["n_sentences"]
+
+
+def test_stream_mta_kernel_path_and_reset():
+    """The path-buffer kernel: touches accumulate in order across
+    chunks, a purchase credits cents-div-k with remainder to the LAST
+    touch and resets the path, an empty path credits organic."""
+    import pandas as pd
+
+    from bigbugdata_spark.streaming.mta import _credit_path
+
+    class _S:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    def chunk(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows], unit="s"),
+                "event_id": [r[2] for r in rows],
+                "event_type": [r[3] for r in rows],
+                "cents": [r[4] for r in rows],
+            }
+        )
+
+    s = _S()
+    # two touches then a 100-cent purchase: 50/50, remainder 0
+    out = pd.concat(
+        list(
+            _credit_path(
+                (1,),
+                iter(
+                    [
+                        chunk(
+                            [
+                                (1, 1, 10, "click", 0),
+                                (1, 2, 20, "view", 0),
+                                (1, 3, 30, "purchase", 100),
+                            ]
+                        )
+                    ]
+                ),
+                s,
+            )
+        )
+    )
+    assert list(zip(out["touch_type"], out["credit"])) == [("click", 50), ("view", 50)]
+    assert s.get == ("", 0)  # path reset after the purchase
+    # next purchase with no new touches -> organic; 3-way split with
+    # remainder to the LAST touch: 101 over [a,b,c] -> 33,33,35
+    out2 = pd.concat(
+        list(_credit_path((1,), iter([chunk([(1, 4, 40, "purchase", 77)])]), s))
+    )
+    assert list(zip(out2["touch_type"], out2["credit"])) == [("organic", 77)]
+    for r in [(1, 5, 50, "search", 0), (1, 6, 60, "click", 0), (1, 7, 70, "view", 0)]:
+        list(_credit_path((1,), iter([chunk([r])]), s))
+    out3 = pd.concat(
+        list(_credit_path((1,), iter([chunk([(1, 8, 80, "purchase", 101)])]), s))
+    )
+    assert list(zip(out3["touch_type"], out3["credit"])) == [
+        ("search", 33),
+        ("click", 33),
+        ("view", 35),
+    ]
+
+
+def test_stream_mta_matches_batch(spark, sf_oracle):
+    """Whole-fixture availableNow stream == the batch window derivation
+    (the registered oracle gates both; this pins Spark-vs-Spark)."""
+    streamed = {
+        tuple(r)
+        for r in SPECS["evt_stream_multi_touch"].fn(spark, sf_oracle).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in SPECS["evt_multi_touch_attribution"].fn(spark, sf_oracle).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
