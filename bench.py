@@ -163,6 +163,11 @@ SCALE_PROBE_QUERIES = (
     "text_rare_token_ratio",
     "dedup_incremental",
     "sim_ivf_incremental_assign",
+    # r12: the PRODUCTION cycle shape next to the full-recompute gate —
+    # batch-only routed assignment; expect ~data-linear (its contrast
+    # with sim_ivf_incremental_assign's ~7-8 is the measured proof the
+    # gate's cost is the oracle-checkability tax, not the design)
+    "sim_ivf_batch_assign",
     # round-8 batch-2 additions: the transition matrix is one lag window
     # + a 25-key agg (linear); BPE pair stats explode the WORD VOCAB
     # (per-replica token tags grow the vocab with the corpus, the

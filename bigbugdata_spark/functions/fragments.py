@@ -92,8 +92,11 @@ def sql_list(words: tuple[str, ...]) -> str:
 # sampler's threshold can never drift from the registered score; lives
 # here so the driver-cap split modules can build their oracles without
 # importing (and registering) the whole text family first.
-QUALITY_SQL = f"""
-        WITH base AS (
+#: the quality base CTE (per-doc integer counts) and the integer
+#: DECIPOINT rule sum, exported separately (r12) so the threshold curve
+#: derives the identical score definition instead of copying it;
+#: QUALITY_SQL is rebuilt from these byte-identically.
+QUALITY_BASE_SQL = f"""base AS (
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars_obs,
                    CAST(len({H.sql_tokens('text')}) AS BIGINT) AS n_tokens,
@@ -101,7 +104,14 @@ QUALITY_SQL = f"""
                    CAST(len(list_filter({H.sql_tokens('text')},
                         t -> list_contains({sql_list(STOPWORDS)}, t))) AS BIGINT) AS n_stop
             FROM documents
-        )
+        )"""
+
+QUALITY_DECI_SQL = """CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 4 ELSE 0 END
+                + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars_obs < 0.1 THEN 3 ELSE 0 END
+                + CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.01 THEN 3 ELSE 0 END"""
+
+QUALITY_SQL = f"""
+        WITH {QUALITY_BASE_SQL}
         SELECT doc_id, n_chars_obs, n_tokens,
                CAST(n_chars_obs AS DOUBLE) / n_tokens AS chars_per_token,
                CAST(n_punct AS DOUBLE) / n_chars_obs AS punct_ratio,
@@ -110,9 +120,7 @@ QUALITY_SQL = f"""
                -- across engines (DuckDB's decimal-literal sum was
                -- DECIMAL(4,1), the one non-BIGINT/DOUBLE/VARCHAR oracle
                -- type left after the r10 HUGEINT reds — registry.py:8-12)
-               CAST(CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 4 ELSE 0 END
-                + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars_obs < 0.1 THEN 3 ELSE 0 END
-                + CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.01 THEN 3 ELSE 0 END
+               CAST({QUALITY_DECI_SQL}
                 AS DOUBLE) / 10.0 AS quality
         FROM base
 """

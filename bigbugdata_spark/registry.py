@@ -322,6 +322,11 @@ _QUERY_MODULES = (
     # events_mta sits EARLIER in this tuple, so no registration drag;
     # keep that order if these rotate into the cap (r13 queue)
     "bigbugdata_spark.streaming.mta",
+    "bigbugdata_spark.operators.text_qcurve",
+    # similarity_incr_batch imports similarity_incr's SQL builders at
+    # module level — similarity_incr (r9-green) sits EARLIER in this
+    # tuple; keep that order if this rotates into the cap
+    "bigbugdata_spark.operators.similarity_incr_batch",
 )
 
 

@@ -346,3 +346,41 @@ def test_stream_mta_matches_batch(spark, sf_oracle):
         for r in SPECS["evt_multi_touch_attribution"].fn(spark, sf_oracle).collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_quality_curve_monotone_and_anchored(spark, sf_oracle):
+    """Retention is monotone non-increasing in the threshold; threshold
+    0 keeps everything; kept counts at each threshold equal a recount
+    from the registered quality scores (shared definition, no drift)."""
+    rows = {
+        r["threshold_deci"]: r
+        for r in SPECS["text_quality_threshold_curve"].fn(spark, sf_oracle).collect()
+    }
+    assert set(rows) == set(range(11))
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet").count()
+    assert rows[0]["docs_kept"] == docs
+    assert rows[0]["tokens_kept_pm"] == 1000
+    for t in range(1, 11):
+        for c in ("docs_kept", "tokens_kept", "chars_kept"):
+            assert rows[t][c] <= rows[t - 1][c]
+    # recount from the registered score (deci = quality * 10, exact)
+    q = SPECS["text_quality_score"].fn(spark, sf_oracle).collect()
+    for t in range(11):
+        want = sum(1 for r in q if round(r["quality"] * 10) >= t)
+        assert rows[t]["docs_kept"] == want, t
+
+
+def test_batch_assign_consistent_with_incremental_delta(spark, sf_oracle):
+    """The production-cycle query's per-cell additions equal the
+    delta-gate query's n_added column cell-for-cell (one assignment
+    definition, two registrations)."""
+    got = {
+        r["cell_id"]: r["n_added"]
+        for r in SPECS["sim_ivf_batch_assign"].fn(spark, sf_oracle).collect()
+    }
+    want = {
+        r["cell_id"]: r["n_added"]
+        for r in SPECS["sim_ivf_incremental_assign"].fn(spark, sf_oracle).collect()
+        if r["n_added"] > 0
+    }
+    assert got == want
