@@ -176,16 +176,23 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Count verified this round: first 50 printed from REGISTRY order
 # after a fresh load_all() (tests/test_registry.py's cap check).
 #
-# Round-13 rotation queue (plan): 26 permanent + the 4 r12-new
-# queries (events_mta, profile_hist, storage_partition, text_sentence
-# — one registration each, registered at the tail of this tuple) = 30;
-# the remaining 20 slots backfill the stalest driver verdicts (after
-# r12 lands, the staleness queue leads with the r5-era dedup module —
-# 8 queries, fits whole — then the r6 set: text, multimodal,
-# similarity, profile, overlap, quantize, pipeline; count the actual
-# registrations per module before choosing).  As always: never rotate
-# out a query whose newest fix lacks a driver verdict, and re-check
-# import drag if reordered.
+# Round-13 rotation queue (plan): 26 permanent + the 8 r12-new
+# queries (events_mta, profile_hist, storage_partition, text_sentence,
+# text_boiler, streaming.mta, text_qcurve, similarity_incr_batch — one
+# registration each, registered at the tail of this tuple in that
+# order) = 34; the remaining 16 slots backfill the stalest driver
+# verdicts (after r12 lands, the staleness queue leads with the r5-era
+# dedup module — 8 queries, fits whole — then the r6 set: text,
+# multimodal, similarity, profile, overlap, quantize, pipeline; count
+# the actual registrations per module before choosing).  Import-drag
+# watch for the r12-new set: streaming.mta imports operators.events_mta
+# and similarity_incr_batch imports operators.similarity_incr at module
+# level — keep events_mta before streaming.mta in the cap, and note
+# similarity_incr (r9-green, 1 reg) will be dragged in ahead of
+# similarity_incr_batch unless listed explicitly earlier (1 extra slot
+# either way; count it).  As always: never rotate out a query whose
+# newest fix lacks a driver verdict, and re-check import drag if
+# reordered.
 _QUERY_MODULES = (
     # ---- permanent slots 1-26 ----
     "bigbugdata_spark.operators.relational",
