@@ -384,3 +384,44 @@ def test_batch_assign_consistent_with_incremental_delta(spark, sf_oracle):
         if r["n_added"] > 0
     }
     assert got == want
+
+
+def test_bot_regularity_planted_fixture(spark, tmp_path):
+    """Both flag branches live (the events_mad standard: a monitor no
+    fixture can trip is untested code): a scripted user firing every
+    60 s exactly flags regular; a human with jittered gaps does not;
+    a user below MIN_EVENTS emits no row."""
+    import datetime as dt
+
+    from bigbugdata_spark.operators.events_bots import MIN_EVENTS
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # bot: 10 events, exactly 60s apart
+    for i in range(10):
+        eid += 1
+        rows.append((eid, base + dt.timedelta(seconds=60 * i), 1, "click", 0.0, "{}"))
+    # human: 10 events, erratic gaps (seconds: 5, 300, 17, 3600, ...)
+    t = base
+    for i, gap in enumerate((5, 300, 17, 3600, 42, 7200, 9, 900, 123)):
+        eid += 1
+        t = t + dt.timedelta(seconds=gap)
+        rows.append((eid, t, 2, "view", 0.0, "{}"))
+    rows.append((eid + 1, base, 2, "view", 0.0, "{}"))
+    # thin user: below MIN_EVENTS
+    for i in range(MIN_EVENTS - 1):
+        rows.append((eid + 2 + i, base + dt.timedelta(seconds=i), 3, "click", 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["user_id"]: r
+        for r in SPECS["evt_bot_regularity"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1]["regular_flag"] == 1 and got[1]["mad_gap_us"] == 0
+    assert got[1]["median_gap_us"] == 60_000_000
+    assert got[2]["regular_flag"] == 0
