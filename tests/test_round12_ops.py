@@ -425,3 +425,27 @@ def test_bot_regularity_planted_fixture(spark, tmp_path):
     assert got[1]["regular_flag"] == 1 and got[1]["mad_gap_us"] == 0
     assert got[1]["median_gap_us"] == 60_000_000
     assert got[2]["regular_flag"] == 0
+
+
+def test_temperature_mix_flattens_and_conserves(spark, sf_oracle):
+    """T=1/2 flattening: epochs_milli is non-increasing in n_tokens
+    across sources (small oversampled, large subsampled); allocations
+    conserve the one-corpus budget within per-source truncation; shares
+    sum to <= 1000 pm (truncating division)."""
+    rows = sorted(
+        SPECS["corpus_temperature_mix"].fn(spark, sf_oracle).collect(),
+        key=lambda r: r["n_tokens"],
+    )
+    assert len(rows) >= 2
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    total_alloc = sum(r["alloc_tokens"] for r in rows)
+    assert total_tokens - len(rows) < total_alloc <= total_tokens
+    assert sum(r["target_share_pm"] for r in rows) <= 1000
+    # flattening direction: same weight -> epochs ordered by size;
+    # globally the LARGEST source never oversamples more than the
+    # SMALLEST (strict when sizes differ enough to change the weight)
+    assert rows[0]["epochs_milli"] >= rows[-1]["epochs_milli"]
+    if rows[0]["weight"] != rows[-1]["weight"]:
+        assert rows[0]["epochs_milli"] > rows[-1]["epochs_milli"]
+    for r in rows:
+        assert r["weight"] == int(r["n_tokens"] ** 0.5)
