@@ -14,13 +14,15 @@ engines derive the identical segmentation from the same window.
 
 No analog in the reference (SURVEY §2.1); events extension surface.
 
-Scale posture: ONE hash shuffle on user_id feeds both windows (purchase
-sequence numbers and path ranks are per-user running counts over the
-same (ts, event_id) order — exchange reuse keeps it one shuffle), then
-touches join purchases on (user_id, seg): equi-join on the
-already-co-partitioned key, skinny rows (ids + type + cents), candidate
-volume = touch rows, never |history|^2.  The rollup is a five-key
-map-side agg.
+Scale posture: ONE events scan, no self-join (r12 plan audit: the
+first cut derived touches and purchases as separate branches of a CTE
+and paid FOUR scans).  Window-only derivation: the user_id-ordered
+window assigns segments and carries each row's NEXT purchase cents
+forward-looking (first purchase at-or-after); the (user_id, seg)
+window counts the segment's touches (k) and the running touch rank.
+Two skinny hash shuffles (user_id, then its (user_id, seg)
+refinement), per-user frames user-history-sized, never |history|^2.
+The rollup is a five-key map-side agg.
 """
 
 from __future__ import annotations
@@ -93,46 +95,48 @@ def evt_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id", cents_col().alias("cents")
     )
+    is_p = F.col("event_type") == "purchase"
     w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seg = (
-        F.count(F.when(F.col("event_type") == "purchase", 1)).over(
-            w_order.rowsBetween(Window.unboundedPreceding, -1)
-        )
-    ).alias("seg")
-    ordered = ev.select("user_id", "event_type", "cents", "ts", "event_id", seg)
-
+    rows = ev.select(
+        "user_id",
+        "event_type",
+        "cents",
+        "ts",
+        "event_id",
+        F.count(F.when(is_p, 1))
+        .over(w_order.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("seg"),
+        # each row's crediting purchase: the first purchase at-or-after
+        # (for a touch that is strictly the NEXT purchase; a trailing
+        # touch with no following purchase gets NULL and credits nothing)
+        F.first(F.when(is_p, F.col("cents")), ignorenulls=True)
+        .over(w_order.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        .alias("p_cents"),
+    )
     w_seg = Window.partitionBy("user_id", "seg")
-    touches = (
-        ordered.filter(F.col("event_type") != "purchase")
-        .withColumn("trn", F.row_number().over(w_seg.orderBy("ts", "event_id")))
-        .withColumn("k", F.count(F.lit(1)).over(w_seg))
-        .select("user_id", "seg", F.col("event_type").alias("touch_type"), "trn", "k")
+    w_seg_run = w_seg.orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    purchases = ordered.filter(F.col("event_type") == "purchase").select(
-        "user_id", "seg", "cents"
+    touch_one = F.when(~is_p, 1).otherwise(0)
+    rows = rows.withColumn("k", F.sum(touch_one).over(w_seg)).withColumn(
+        "trn", F.sum(touch_one).over(w_seg_run)
     )
-    credited = purchases.join(touches, ["user_id", "seg"]).select(
-        "touch_type",
-        (
-            F.expr("cents div k")
-            + F.when(F.col("trn") == F.col("k"), F.expr("cents % k")).otherwise(
+    credits = rows.filter(
+        (~is_p & F.col("p_cents").isNotNull()) | (is_p & (F.col("k") == 0))
+    ).select(
+        F.when(is_p, F.lit("organic")).otherwise(F.col("event_type")).alias(
+            "touch_type"
+        ),
+        F.when(is_p, F.col("cents"))
+        .otherwise(
+            F.expr("p_cents div k")
+            + F.when(F.col("trn") == F.col("k"), F.expr("p_cents % k")).otherwise(
                 F.lit(0)
             )
-        ).alias("credit"),
-    )
-    organic = (
-        purchases.join(
-            touches.select("user_id", "seg").distinct(),
-            ["user_id", "seg"],
-            "left_anti",
         )
-        .select(F.lit("organic").alias("touch_type"), F.col("cents").alias("credit"))
+        .alias("credit"),
     )
-    return (
-        credited.unionByName(organic)
-        .groupBy("touch_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_credits"),
-            F.sum("credit").cast("long").alias("credited_cents"),
-        )
+    return credits.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        F.sum("credit").cast("long").alias("credited_cents"),
     )

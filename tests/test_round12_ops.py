@@ -449,3 +449,14 @@ def test_temperature_mix_flattens_and_conserves(spark, sf_oracle):
         assert rows[0]["epochs_milli"] > rows[-1]["epochs_milli"]
     for r in rows:
         assert r["weight"] == int(r["n_tokens"] ** 0.5)
+
+
+def test_mta_single_scan_plan(spark, sf_oracle):
+    """The r12 plan-audit fix stays fixed: linear attribution reads
+    events ONCE (window-only derivation — the first cut's branch
+    structure paid four scans) with no unbounded global window."""
+    from bigbugdata_spark.plans import inspect as I
+
+    df = SPECS["evt_multi_touch_attribution"].fn(spark, sf_oracle)
+    assert len(I.scan_info(df)) == 1
+    assert I.unbounded_global_windows(df) == []
