@@ -460,3 +460,40 @@ def test_mta_single_scan_plan(spark, sf_oracle):
     df = SPECS["evt_multi_touch_attribution"].fn(spark, sf_oracle)
     assert len(I.scan_info(df)) == 1
     assert I.unbounded_global_windows(df) == []
+
+
+def test_funnel_steps_deadline_semantics(spark, tmp_path, sf_oracle):
+    """The per-step clock: a click INSIDE the signup window qualifies;
+    a purchase is timed from the QUALIFYING click (not the signup), so
+    a purchase 7h after signup but 5h after the click converts, while
+    a user whose only click lands past the 6h signup deadline never
+    reaches step 2 even with a prompt purchase."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, t_hours, typ):
+        return (eid, base + dt.timedelta(hours=t_hours), uid, typ, 0.0, "{}")
+
+    rows = [
+        # user 1: signup@0, click@2 (qualifies), purchase@7 (5h after click)
+        ev(1, 1, 0, "signup"), ev(2, 1, 2, "click"), ev(3, 1, 7, "purchase"),
+        # user 2: signup@0, click@8 (PAST deadline), purchase@9
+        ev(4, 2, 0, "signup"), ev(5, 2, 8, "click"), ev(6, 2, 9, "purchase"),
+        # user 3: signup@0, click@1, purchase@8 (7h after click: too late)
+        ev(7, 3, 0, "signup"), ev(8, 3, 1, "click"), ev(9, 3, 8, "purchase"),
+        # user 4: click/purchase but never signed up
+        ev(10, 4, 0, "click"), ev(11, 4, 1, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    (r,) = SPECS["evt_funnel_steps"].fn(spark, str(tmp_path)).collect()
+    assert (r["n_signup"], r["n_click_6h"], r["n_purchase_6h"]) == (3, 2, 1)
+    assert r["click_conv_pm"] == 2000 // 3
+    assert r["purchase_conv_pm"] == 500
+    # fixture liveness: every step populated on the real corpus too
+    (f,) = SPECS["evt_funnel_steps"].fn(spark, sf_oracle).collect()
+    assert f["n_signup"] > f["n_click_6h"] > f["n_purchase_6h"] > 0
