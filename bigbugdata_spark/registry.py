@@ -176,12 +176,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Count verified this round: first 50 printed from REGISTRY order
 # after a fresh load_all() (tests/test_registry.py's cap check).
 #
-# Round-13 rotation queue (plan): 26 permanent + the 11 r12-new
+# Round-13 rotation queue (plan): 26 permanent + the 12 r12-new
 # queries (events_mta, profile_hist, storage_partition, text_sentence,
 # text_boiler, streaming.mta, text_qcurve, similarity_incr_batch,
-# events_bots, corpus_temp, events_funnel_steps — one registration
-# each, registered at the tail of this tuple in that order) = 37; the
-# remaining 13 slots backfill the
+# events_bots, corpus_temp, events_funnel_steps, dq_recon — one
+# registration each, registered at the tail of this tuple in that
+# order) = 38; the remaining 12 slots backfill the
 # stalest driver verdicts (after r12 lands, the staleness queue leads with the r5-era
 # dedup module — 8 queries, fits whole — then the r6 set: text,
 # multimodal, similarity, profile, overlap, quantize, pipeline; count
@@ -338,6 +338,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.events_bots",
     "bigbugdata_spark.operators.corpus_temp",
     "bigbugdata_spark.operators.events_funnel_steps",
+    "bigbugdata_spark.operators.dq_recon",
 )
 
 
