@@ -1,7 +1,18 @@
-"""Round-12 additions: the LSH band index's collision-bound scaling
-claim (VERDICT r11 #5) pinned structurally, and the two-level IVF
-router's small invariants beyond the oracle parity that already gates
-its results.
+"""Round-12 additions.
+
+Scale-fix invariants: the LSH band index's collision-bound scaling
+claim (VERDICT r11 #5) pinned structurally, the two-level IVF router's
+constants/SQL twins, atomic edge-generation writes, and graph memo
+eviction (ADVICE r11).
+
+Semantic tests for the twelve r12-new queries (oracle parity proves
+engine agreement; these pin that the agreed-on answer is the RIGHT
+answer): multi-touch attribution (conservation + single-scan plan +
+the streaming path-buffer kernel), numeric histograms, the partition
+advisor, sentence/boilerplate stats, the quality-threshold curve,
+batch-only IVF assignment, bot regularity, temperature mixing, the
+step-deadline funnel, and header/detail reconciliation — with planted
+fixtures wherever the real corpus cannot trip a branch.
 """
 
 from __future__ import annotations
