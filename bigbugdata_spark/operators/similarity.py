@@ -322,7 +322,11 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ivf_topk", tags=("similarity", "window"))
+# Registered past the driver cap in operators/no_oracle_shims.py: this
+# query is rows-only by design (IVF shortlist composition is
+# engine-specific), so its cap slot belongs to the hash-green
+# audit_ivf_recall twin (VERDICT r12 #2: no-oracle specs never enter
+# the cap).
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the 100 TB serving path:
 

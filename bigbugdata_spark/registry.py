@@ -176,35 +176,91 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Count verified this round: first 50 printed from REGISTRY order
 # after a fresh load_all() (tests/test_registry.py's cap check).
 #
-# Round-13 rotation queue (plan): 26 permanent + the 12 r12-new
-# queries (events_mta, profile_hist, storage_partition, text_sentence,
-# text_boiler, streaming.mta, text_qcurve, similarity_incr_batch,
-# events_bots, corpus_temp, events_funnel_steps, dq_recon — one
-# registration each, registered at the tail of this tuple in that
-# order) = 38; the remaining 12 slots backfill the
-# stalest driver verdicts (after r12 lands, the staleness queue leads with the r5-era
-# dedup module — 8 queries, fits whole — then the r6 set: text,
-# multimodal, similarity, profile, overlap, quantize, pipeline; count
-# the actual registrations per module before choosing).  Import-drag
-# watch for the r12-new set: streaming.mta imports operators.events_mta
-# and similarity_incr_batch imports operators.similarity_incr at module
-# level — keep events_mta before streaming.mta in the cap, and note
-# similarity_incr (r9-green, 1 reg) will be dragged in ahead of
-# similarity_incr_batch unless listed explicitly earlier (1 extra slot
-# either way; count it).  As always: never rotate out a query whose
-# newest fix lacks a driver verdict, and re-check import drag if
-# reordered.
+# Round-13 rotation (VERDICT r12 #1, executed as queued with two
+# deliberate additions): 26 permanent (20 §2 ops in relational, the 5
+# oracle'd audit twins in audits, audit_pq_recall in similarity_pq) +
+# the 12 r12-new queries in their r12 registration order (events_mta,
+# profile_hist, storage_partition, text_sentence, text_boiler,
+# streaming.mta, text_qcurve, similarity_incr_batch, events_bots,
+# corpus_temp, events_funnel_steps, dq_recon — one registration each)
+# + similarity_incr listed EXPLICITLY between text_qcurve and
+# similarity_incr_batch (two reasons: (a) sim_ivf_incremental_assign
+# was re-scoped this round to batch-sized work — VERDICT r12 #2 — so
+# its fix needs a driver verdict; (b) similarity_incr_batch imports it
+# at module level anyway, so the slot was spent either way — better
+# spent deliberately) = 39; the remaining 11 slots backfill the stalest
+# driver verdicts: operators.dedup (7 oracle'd queries, r5 — its 8th,
+# dedup_emb_lsh, is rows-only and now registers past the cap, see
+# below) + pipeline (1, r6 — pipe_training_corpus, also the r12 bench
+# regression under investigation this round) + quantize (1, r6) +
+# overlap (2, r6) = 50 exactly.
+# NEW STANDING RULE (VERDICT r12 #2): rows-only (no-oracle) queries
+# NEVER enter the cap — they can only produce `err: "no_oracle"`, a
+# wasted slot (r12 burned one on evt_value_quantiles_approx).  All six
+# now register in the permanently-out-of-cap tail section below
+# (operators/no_oracle_shims.py + similarity_ext + similarity_pq_topk);
+# their verifiable surface is the six oracle'd audit twins, five of
+# which hold permanent cap slots.  The invariant is pinned by
+# tests/test_oracle_parity.py::test_cap_holds_no_rows_only_query.
+# Rotated OUT because their rows are freshly green in
+# CORRECTNESS_r12: storage_gc, events_attrib, storage_encoding,
+# text_langconf, streaming.attrib, similarity_health, text_tfidf,
+# text_bpe_apply, corpus_lineage, similarity_mmr, storage_compact,
+# corpus_epochs, dq_schema, text_cooc, events_forecast, profile_ndv,
+# streaming.quantiles, similarity_outlier, events_ext, events_quant.
+# All rotated-out queries remain continuously re-proven by the
+# identical local gate in tests/test_oracle_parity.py (and at a second
+# scale under SPARK_GRAFT_PARITY_SF2), with every oracle's result type
+# linted against the driver-safe set each run.
+# Count verified this round: first 50 printed from REGISTRY order
+# after a fresh load_all().
+#
+# Round-14 rotation queue (plan): 26 permanent + any r13-new or
+# r13-touched queries without a fresh verdict first, then the
+# staleness queue leads with operators.events (8 oracle'd queries, r5
+# — fits whole) and the rest of the r6 set: text (9), multimodal (5),
+# similarity (2 in-module oracle'd regs after the sim_ivf_topk split),
+# profile (2), similarity_ext/audit-twins are out-of-cap permanently.
+# Count the actual registrations per module before choosing, and
+# re-check import drag if reordered.
 _QUERY_MODULES = (
     # ---- permanent slots 1-26 ----
     "bigbugdata_spark.operators.relational",
     "bigbugdata_spark.operators.audits",
     "bigbugdata_spark.operators.similarity_pq",
-    # ---- the 4 deferred r10 registrations (slots 27-30) ----
+    # ---- the 12 r12-new queries + re-scoped similarity_incr
+    # (slots 27-39) ----
+    "bigbugdata_spark.operators.events_mta",
+    "bigbugdata_spark.operators.profile_hist",
+    "bigbugdata_spark.operators.storage_partition",
+    "bigbugdata_spark.operators.text_sentence",
+    "bigbugdata_spark.operators.text_boiler",
+    # streaming.mta imports events_mta's oracle at module level —
+    # events_mta sits EARLIER in this tuple, so no registration drag
+    "bigbugdata_spark.streaming.mta",
+    "bigbugdata_spark.operators.text_qcurve",
+    # similarity_incr re-enters deliberately (re-scoped this round;
+    # similarity_incr_batch imports it at module level, so it must
+    # precede similarity_incr_batch regardless)
+    "bigbugdata_spark.operators.similarity_incr",
+    "bigbugdata_spark.operators.similarity_incr_batch",
+    "bigbugdata_spark.operators.events_bots",
+    "bigbugdata_spark.operators.corpus_temp",
+    "bigbugdata_spark.operators.events_funnel_steps",
+    "bigbugdata_spark.operators.dq_recon",
+    # ---- stalest-verdict backfills (slots 40-50) ----
+    # dedup: 7 oracle'd registrations (r5); dedup_emb_lsh moved to the
+    # out-of-cap tail
+    "bigbugdata_spark.operators.dedup",
+    "bigbugdata_spark.operators.pipeline",
+    "bigbugdata_spark.operators.quantize",
+    "bigbugdata_spark.operators.overlap",
+    # ---- driver cap boundary (first 50 registrations end here) ----
+    # rotated out in r13 (fresh CORRECTNESS_r12 rows):
     "bigbugdata_spark.operators.storage_gc",
     "bigbugdata_spark.operators.events_attrib",
     "bigbugdata_spark.operators.storage_encoding",
     "bigbugdata_spark.operators.text_langconf",
-    # ---- the 14 r11-new queries (slots 31-44) ----
     "bigbugdata_spark.streaming.attrib",
     "bigbugdata_spark.operators.similarity_health",
     "bigbugdata_spark.operators.text_tfidf",
@@ -219,10 +275,8 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.profile_ndv",
     "bigbugdata_spark.streaming.quantiles",
     "bigbugdata_spark.operators.similarity_outlier",
-    # ---- stalest-verdict backfills (slots 45-50, all r5) ----
     "bigbugdata_spark.operators.events_ext",
     "bigbugdata_spark.operators.events_quant",
-    # ---- driver cap boundary (first 50 registrations end here) ----
     # rotated out (fresh CORRECTNESS_r11 rows):
     "bigbugdata_spark.operators.orders_conc",
     "bigbugdata_spark.operators.text_bpe_train",
@@ -267,7 +321,6 @@ _QUERY_MODULES = (
     "bigbugdata_spark.streaming.stateful",
     # rotated out in r10 (fresh CORRECTNESS_r09 rows then):
     "bigbugdata_spark.operators.storage_audit",
-    "bigbugdata_spark.operators.similarity_incr",
     "bigbugdata_spark.operators.events_trans",
     "bigbugdata_spark.operators.dq_drift",
     "bigbugdata_spark.operators.corpus_shard",
@@ -301,7 +354,6 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.tpch",
     "bigbugdata_spark.operators.tpch_ext",
     # rotated out in r8 (r4-r7 verdicts, locally re-proven each run):
-    "bigbugdata_spark.operators.similarity_pq_topk",
     "bigbugdata_spark.operators.kmeans",
     "bigbugdata_spark.operators.dq",
     "bigbugdata_spark.operators.retrieval",
@@ -309,36 +361,18 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.scd",
     "bigbugdata_spark.operators.tpch_full",
     "bigbugdata_spark.operators.text_ext",
-    "bigbugdata_spark.operators.overlap",
     "bigbugdata_spark.operators.text",
     "bigbugdata_spark.operators.multimodal",
     "bigbugdata_spark.operators.similarity",
-    "bigbugdata_spark.operators.pipeline",
     "bigbugdata_spark.operators.profile",
-    "bigbugdata_spark.operators.quantize",
     "bigbugdata_spark.operators.events",
-    "bigbugdata_spark.operators.dedup",
+    # ---- permanently out-of-cap: rows-only (no-oracle) registrations
+    # (VERDICT r12 #2).  Verified via their oracle'd audit twins; see
+    # operators/no_oracle_shims.py.  Order-safe: every defining module
+    # precedes this section.
     "bigbugdata_spark.operators.similarity_ext",
-    # r12-new queries (no driver verdict yet -> r13 rotation queue, in
-    # this registration order):
-    "bigbugdata_spark.operators.events_mta",
-    "bigbugdata_spark.operators.profile_hist",
-    "bigbugdata_spark.operators.storage_partition",
-    "bigbugdata_spark.operators.text_sentence",
-    "bigbugdata_spark.operators.text_boiler",
-    # streaming.mta imports events_mta's oracle at module level —
-    # events_mta sits EARLIER in this tuple, so no registration drag;
-    # keep that order if these rotate into the cap (r13 queue)
-    "bigbugdata_spark.streaming.mta",
-    "bigbugdata_spark.operators.text_qcurve",
-    # similarity_incr_batch imports similarity_incr's SQL builders at
-    # module level — similarity_incr (r9-green) sits EARLIER in this
-    # tuple; keep that order if this rotates into the cap
-    "bigbugdata_spark.operators.similarity_incr_batch",
-    "bigbugdata_spark.operators.events_bots",
-    "bigbugdata_spark.operators.corpus_temp",
-    "bigbugdata_spark.operators.events_funnel_steps",
-    "bigbugdata_spark.operators.dq_recon",
+    "bigbugdata_spark.operators.similarity_pq_topk",
+    "bigbugdata_spark.operators.no_oracle_shims",
 )
 
 
