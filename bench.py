@@ -153,20 +153,24 @@ SCALE_PROBE_QUERIES = (
     # window — the amortized nightly-job shape), so the measured run is
     # batch shingling + the index probe join: ratio dropped from the
     # r8 2.3-3.1 rebuild ceiling to ~1.3;
-    # incremental IVF assignment recomputes the FULL-corpus inverted
-    # file only to make the delta invariant oracle-checkable (a real
-    # cycle assigns only the batch); with the r12 two-level router its
-    # cost is ~n*sqrt(K) = n^1.25 under the sqrt(n) K rule, so expect
-    # its ratio near the top of the table (~10^1.25 = 17.8 asymptotic,
-    # ~7-8 measured with fixed overheads amortizing); no pair
-    # expansion, verbatim replicas safe.
+    # incremental IVF assignment (re-scoped r13, VERDICT r12 #2) reads
+    # the PERSISTED index generation — frozen codebook + per-cell
+    # counts, built once per corpus content like the gram index — and
+    # routes only the batch: O(|batch| x sqrt(K)) warm, so expect a
+    # dedup_incremental-class ratio (the x10 first iteration pays the
+    # one-time generation build; min-of-4 reads the warm cycle).  The
+    # full-corpus recompute that made this the r12 probe-worst (8.22)
+    # now lives only in the DuckDB oracle; the cold build is measured
+    # first-class as ivfgen_build_sec.
     "text_rare_token_ratio",
     "dedup_incremental",
     "sim_ivf_incremental_assign",
-    # r12: the PRODUCTION cycle shape next to the full-recompute gate —
-    # batch-only routed assignment; expect ~data-linear (its contrast
-    # with sim_ivf_incremental_assign's ~7-8 is the measured proof the
-    # gate's cost is the oracle-checkability tax, not the design)
+    # r12: the batch-only assignment that derives its codebook
+    # IN-QUERY (no persisted artifact — the oracle-checkable cost of a
+    # cycle that cannot adopt an index); since r13 it is the UPPER
+    # contrast for sim_ivf_incremental_assign's warm path: warm-index
+    # cycle <= derive-codebook cycle, both an order below the old
+    # full-recompute gate.
     "sim_ivf_batch_assign",
     # round-8 batch-2 additions: the transition matrix is one lag window
     # + a 25-key agg (linear); BPE pair stats explode the WORD VOCAB
@@ -221,7 +225,7 @@ SCALE_PROBE_QUERIES = (
     # measures the BUILD, the scale-sensitive artifact, not a memo hit.
     # Expected shape: the IVF kNN build is O(n^1.5) BY DESIGN (corpus-
     # scaled K = floor(sqrt(n)) codebook -> cell occupancy ~sqrt(n);
-    # same documented contract as sim_ivf_incremental_assign), so its
+    # the same contract the r13 ivfgen build amortizes), so its
     # clean ratio is ~10^1.5/10 above linear; the honest gates are the
     # absolute x10 wall budgets below. Embeddings replicas are
     # cycle-shifted (v2 rules) so cells fill like a real 10x corpus.
@@ -285,8 +289,11 @@ SCALE_SECOND_POINT = {"dedup_incremental_lsh"}
 SCALE_SECOND_REPLICATION = 3
 
 SCALE_PROBE_ITERATIONS = {
-    "sim_knn_graph": 2,
-    "sim_pagerank": 2,
+    # r13 (VERDICT r12 #4): the graph builds join the >=4-on->=2.5x
+    # discipline — the knn ratio budget (5.94 vs 12.0) is the headline
+    # scale claim and shouldn't rest on a min-of-2
+    "sim_knn_graph": 4,
+    "sim_pagerank": 4,
     "sim_ivf_incremental_assign": 4,
     "tpch_q9_product_profit": 6,
     "evt_range_join": 4,
@@ -330,11 +337,29 @@ def _reset_graph_spine_downstream(sf_dir: str) -> None:
 
 
 #: per-query pre-iteration hooks for probes whose steady state is a
-#: shared materialization — the probe measures the build
+#: shared materialization — the probe measures the build.
+#: sim_ivf_incremental_assign is deliberately NOT here: its registered
+#: cost IS the warm cycle (the amortized-index contract, like
+#: dedup_incremental); its cold build is measured once as
+#: ivfgen_build_sec.
 SCALE_PROBE_RESET = {
     "sim_knn_graph": _reset_graph_spine,
     "sim_pagerank": _reset_graph_spine_downstream,
 }
+
+
+def _reset_ivf_generation(sf_dir: str) -> None:
+    """Remove the persisted IVF index generation for `sf_dir` so the
+    next sim_ivf_incremental_assign call pays the full cold build —
+    fingerprint-scoped via the shared ivf_generation_fp definition."""
+    import shutil
+
+    from bigbugdata_spark.operators import similarity_incr as SI
+    from bigbugdata_spark.operators.dedup_incr_core import index_path
+
+    fp = SI.ivf_generation_fp(sf_dir)
+    shutil.rmtree(index_path(f"{SI._IVF_CB_PREFIX}{fp}"), ignore_errors=True)
+    shutil.rmtree(index_path(f"{SI._IVF_CNT_PREFIX}{fp}"), ignore_errors=True)
 
 
 def _source_fingerprint() -> str:
@@ -755,6 +780,25 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — record and continue
         errors["spine_build"] = f"{type(exc).__name__}: {exc}"[:300]
 
+    # cold IVF generation build, first-class (r13, VERDICT r12 #2): the
+    # headline sim_ivf_incremental_assign row times the WARM cycle (two
+    # K-row reads + batch routing) — the one-time O(corpus) codebook +
+    # inverted-file-counts build lives here, measured with the persisted
+    # generation reset, so a build regression can never hide behind
+    # generation adoption.
+    ivfgen_build_sec: float | None = None
+    try:
+        from bigbugdata_spark.operators.similarity_incr import (
+            ivf_index_generation,
+        )
+
+        _reset_ivf_generation(SF_DIR)
+        t0 = time.perf_counter()
+        ivf_index_generation(spark, SF_DIR)
+        ivfgen_build_sec = round(time.perf_counter() - t0, 4)
+    except Exception as exc:  # noqa: BLE001 — record and continue
+        errors["ivfgen_build"] = f"{type(exc).__name__}: {exc}"[:300]
+
     # Spark-side canary measured NOW, on the SAME session that ran the
     # query loop — it exists to normalize those numbers, so measuring it
     # on the restarted kraken session below would let a slow session 1 /
@@ -850,6 +894,7 @@ def main() -> None:
         "modern_queries": modern_timings,
         "modern_total": modern_total,
         "spine_build_sec": spine_build_sec,
+        "ivfgen_build_sec": ivfgen_build_sec,
         "sched_canary_sec": sched_canary,
         # r12 root-cause note (VERDICT r11 #3, the evt-family +33-86%
         # raw regression): NOT code (no evt-path diff r10->r11, judge-

@@ -8,12 +8,26 @@ drift exceeds threshold").
 
 Why the codebook is frozen: at 100 TB the coarse quantizer is trained
 once (or per rebuild window) and serves many ingest cycles — assignment
-of a daily batch is O(|batch| x k) with k constant, embarrassingly
-parallel, and requires NO corpus scan. Recomputing the codebook per
-batch would both cost a corpus scan and silently invalidate every
-stored assignment (cell ids shift), which is exactly the bug class the
-delta accounting would expose: n_after must equal n_before + n_added
-per cell, an invariant the oracle re-derives from scratch.
+of a daily batch is O(|batch| x sqrt(K)) with the two-level router,
+embarrassingly parallel, and requires NO corpus scan. Recomputing the
+codebook per batch would both cost a corpus scan and silently
+invalidate every stored assignment (cell ids shift), which is exactly
+the bug class the delta accounting would expose: n_after must equal
+n_before + n_added per cell, an invariant the oracle re-derives from
+scratch.
+
+Round 13 (VERDICT r12 #2): the registered query now does BATCH-SIZED
+work.  Through r12 it recomputed the full inverted file twice
+(before/after) to stay oracle-checkable — O(corpus) per ingest cycle,
+the round's probe-worst at 10x ratio 8.22.  The index generation
+machinery below (the dedup_incr.py precedent) persists the frozen
+codebook and the per-cell counts of the stored inverted file once per
+(corpus content, algorithm version); a warm cycle reads K codebook rows
++ K count rows, routes only the batch, and publishes the delta.  The
+full from-scratch recompute now lives ONLY in the DuckDB oracle — so a
+persisted generation that drifted from the corpus (stale codebook,
+dropped vector, shifted cell id) still shifts the integers and fails
+the hash compare.
 
 The batch slice is a deterministic ~10% affine-hash of vec_id (fresh
 constants — must not correlate with the codebook-sampling hash or any
@@ -51,6 +65,107 @@ def incoming_vec_col():
     return (
         (F.col("vec_id") * _VINC_A + _VINC_B) % _VINC_P % _VINC_MOD
         == _VINC_REM
+    )
+
+
+# --- persisted IVF index generation (round 13, VERDICT r12 #2) -------------
+
+_IVF_CB_PREFIX = "ivfgen_cb_"
+_IVF_CNT_PREFIX = "ivfgen_cnt_"
+
+#: build-algorithm version, suffixed to the generation fingerprint
+#: exactly as similarity_graph_core._ALGO_V: the corpus fingerprint
+#: alone would adopt a generation built by older assignment math (same
+#: data, different cells).  The suffix keeps the first-8-chars PATH
+#: component intact, which is what sweep_stale_generations scopes on.
+#: Bump whenever codebook sampling or routed assignment changes.
+_IVF_ALGO_V = "-a1"
+
+
+def ivf_generation_fp(sf_dir: str) -> str:
+    """Fingerprint of the persisted IVF generation for `sf_dir`'s
+    embeddings: corpus content fingerprint + build-algorithm version —
+    the ONE definition bench hooks and tests must share."""
+    from bigbugdata_spark.operators.dedup_incr_core import _corpus_fingerprint
+
+    return _corpus_fingerprint(sf_dir, "embeddings.parquet") + _IVF_ALGO_V
+
+
+def _existing_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigbugdata_spark.catalog import table
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", H.norm(F.col("embedding")).alias("nrm")
+    )
+    return e.filter(~incoming_vec_col())
+
+
+def ivf_index_generation(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(codebook, cell_counts) — the persisted IVF index generation:
+
+      ivfgen_cb_<fp>   (cell_id, c_emb, c_nrm, cpos)  the frozen
+                       codebook, K ~ sqrt(n) rows — what a serving
+                       deployment loads instead of re-deriving;
+      ivfgen_cnt_<fp>  (cell_id, n_before)            per-cell sizes of
+                       the stored inverted file (the existing slice's
+                       routed assignments), K rows of metadata a real
+                       index maintainer keeps next to the postings.
+
+    Built ONCE per (corpus content, _IVF_ALGO_V) — the one O(corpus)
+    pass — then adopted by every later session (dedup_incr.py's
+    amortized-nightly-build shape).  The write is tmp-dir + rename per
+    location, with adoption gated on BOTH _SUCCESS markers, so a reader
+    never observes a half-written generation (a partial crash leaves at
+    most one location renamed, which fails the gate and rebuilds).
+    Same-corpus stale generations (regenerated data or older algorithm
+    version) are swept at build time."""
+    from pathlib import Path
+
+    from bigbugdata_spark.operators.dedup_incr_core import (
+        ensure_index_root,
+        index_path,
+        sweep_stale_generations,
+    )
+
+    fp = ivf_generation_fp(sf_dir)
+    cb_loc = Path(index_path(f"{_IVF_CB_PREFIX}{fp}"))
+    cnt_loc = Path(index_path(f"{_IVF_CNT_PREFIX}{fp}"))
+    if not (
+        (cb_loc / "_SUCCESS").exists() and (cnt_loc / "_SUCCESS").exists()
+    ):
+        import os
+        import shutil
+
+        from bigbugdata_spark.functions.fragments import scaled_ivf_k
+        from bigbugdata_spark.operators.similarity import ivf_assign, ivf_cents
+
+        ensure_index_root()
+        sweep_stale_generations(spark, (_IVF_CB_PREFIX, _IVF_CNT_PREFIX), fp)
+        existing = _existing_corpus(spark, sf_dir)
+        k = scaled_ivf_k(existing.count())
+        cents = ivf_cents(existing, k=k)
+        cb_tmp = cb_loc.with_name(cb_loc.name + ".tmp")
+        shutil.rmtree(cb_tmp, ignore_errors=True)
+        cents.write.mode("overwrite").parquet(str(cb_tmp))
+        # counts derive from the WRITTEN codebook (the artifact is the
+        # truth the warm path will read, not the plan that produced it)
+        counts = (
+            ivf_assign(existing, spark.read.parquet(str(cb_tmp)), k=k)
+            .groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("n_before"))
+        )
+        cnt_tmp = cnt_loc.with_name(cnt_loc.name + ".tmp")
+        shutil.rmtree(cnt_tmp, ignore_errors=True)
+        counts.write.mode("overwrite").parquet(str(cnt_tmp))
+        shutil.rmtree(cnt_loc, ignore_errors=True)
+        os.rename(cnt_tmp, cnt_loc)
+        shutil.rmtree(cb_loc, ignore_errors=True)
+        os.rename(cb_tmp, cb_loc)
+    return (
+        spark.read.parquet(str(cb_loc)),
+        spark.read.parquet(str(cnt_loc)),
     )
 
 
@@ -129,45 +244,49 @@ def _assign_sql(src: str) -> str:
     index_writer=True,
 )
 def sim_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-cell assignment delta for one ingest cycle: the existing
-    corpus (~90%) trains the codebook and holds its stored assignments
-    (n_before); the batch (~10%) is assigned against that FROZEN
-    codebook (n_added); n_after is the maintained inverted file's new
-    size per cell. The oracle re-derives codebook and both assignment
-    sets from scratch (portable affine codebook hash, rank-over-cosine
-    assignment — the audit_ivf_recall machinery), so a codebook that
-    silently drifted, a batch vector dropped, or a cell id shift all
-    shift the integers and fail the hash compare.
+    """Per-cell assignment delta for one ingest cycle: n_before comes
+    from the PERSISTED index generation (the stored inverted file's
+    per-cell sizes — K rows, read not recomputed); the batch (~10%) is
+    assigned against the persisted FROZEN codebook (n_added); n_after
+    is the maintained inverted file's new size per cell.  The oracle
+    re-derives codebook and BOTH assignment sets from scratch (portable
+    affine codebook hash, two-level routed rank-over-cosine — the
+    audit_ivf_recall machinery), so a persisted generation that
+    silently drifted — stale codebook, dropped vector, shifted cell id
+    — shifts the integers and fails the hash compare.
 
-    Plan: ONE scan of embeddings feeds both slices (the batch predicate
-    is a row-level filter, not a second read); the codebook is a
-    distributed top-k that broadcasts (K = max(16, floor sqrt(n)) rows,
-    corpus-scaled per r9 — both engines derive K from the existing
-    slice's COUNT(*)); both assignments are
-    corpus x broadcast-codebook with a vec_id window — no shuffle ever
-    carries more than (rows x IVF_ASSIGN) skinny pairs. At 100 TB only
-    the BATCH assignment runs per cycle (existing assignments are the
-    stored inverted file); this query recomputes n_before only to make
-    the invariant oracle-checkable end to end."""
+    Plan (warm cycle, the registered cost — VERDICT r12 #2): two K-row
+    parquet reads (codebook + counts, both broadcastable) + ONE
+    filter-pushed scan of the batch slice + the O(|batch| x sqrt(K))
+    routed assignment + a full-outer join of two K-row frames.  No
+    corpus scan: the one O(corpus) pass is the generation build,
+    amortized across cycles/sessions exactly like dedup_incremental's
+    gram index (its probe measures the same warm shape).  At 100 TB the
+    generation is the index store a maintainer owns; the batch is the
+    day's arrivals."""
+    from bigbugdata_spark.caching import pin
     from bigbugdata_spark.catalog import table
-    from bigbugdata_spark.functions.fragments import scaled_ivf_k
-    from bigbugdata_spark.operators.similarity import ivf_assign, ivf_cents
+    from bigbugdata_spark.operators.similarity import ivf_assign
 
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", H.norm(F.col("embedding")).alias("nrm")
+    cb, cnt = ivf_index_generation(spark, sf_dir)
+    k = cb.count()  # K-row parquet — a footer read
+    # pinned: the routed assignment references the batch twice (router
+    # + exact rescore) — one filtered scan, not two (caching contract)
+    batch = pin(
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding", H.norm(F.col("embedding")).alias("nrm"))
+        .filter(incoming_vec_col())
     )
-    existing = e.filter(~incoming_vec_col())
-    batch = e.filter(incoming_vec_col())
-    k = scaled_ivf_k(existing.count())
-    cents = ivf_cents(existing, k=k)
-    a_old = ivf_assign(existing, cents, k=k).withColumn("is_new", F.lit(0))
-    a_new = ivf_assign(batch, cents, k=k).withColumn("is_new", F.lit(1))
-    return (
-        a_old.unionByName(a_new)
+    added = (
+        ivf_assign(batch, cb, k=k)
         .groupBy("cell_id")
-        .agg(
-            F.sum(1 - F.col("is_new")).alias("n_before"),
-            F.sum("is_new").alias("n_added"),
-            F.count(F.lit(1)).alias("n_after"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_added"))
+    )
+    return cnt.join(added, "cell_id", "full_outer").select(
+        "cell_id",
+        F.coalesce("n_before", F.lit(0)).cast("long").alias("n_before"),
+        F.coalesce("n_added", F.lit(0)).cast("long").alias("n_added"),
+        (F.coalesce("n_before", F.lit(0)) + F.coalesce("n_added", F.lit(0)))
+        .cast("long")
+        .alias("n_after"),
     )
