@@ -116,3 +116,107 @@ def test_incremental_assign_warm_plan_is_batch_sized(spark, sf_oracle):
     gen_scans = [p for p in locs if "ivfgen_" in p]
     assert len(emb_scans) == 1, locs
     assert len(gen_scans) >= 2, locs
+
+
+# --- bounded streaming MTA path buffer (VERDICT r12 #3) --------------------
+
+
+class _State:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+def _mta_chunk(rows):
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows], unit="s"),
+            "event_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "cents": [r[4] for r in rows],
+        }
+    )
+
+
+def _mta_run(state, rows):
+    import pandas as pd
+
+    from bigbugdata_spark.streaming.mta import _credit_path
+
+    out = list(_credit_path((1,), iter([_mta_chunk(rows)]), state))
+    return pd.concat(out) if out else None
+
+
+def test_stream_mta_at_cap_equals_uncapped_batch_math():
+    """Exactly MTA_PATH_CAP touches is still the UNDER-cap contract:
+    every touch credits, base/remainder math identical to the batch
+    derivation (the cap bounds state, it does not change any path a
+    real user produces — sf0.1's max run is 45, an order below)."""
+    from bigbugdata_spark.streaming.mta import MTA_PATH_CAP
+
+    s = _State()
+    cap = MTA_PATH_CAP
+    touches = [(1, i + 1, i + 1, f"t{i}", 0) for i in range(cap)]
+    _mta_run(s, touches)
+    assert s.get[1] == cap  # state holds the full path, none dropped
+    out = _mta_run(s, [(1, cap + 1, cap + 1, "purchase", 10 * cap + 3)])
+    assert len(out) == cap
+    assert list(out["touch_type"]) == [f"t{i}" for i in range(cap)]
+    base, rem = 10, 3  # (10*cap+3) div cap / mod cap
+    assert list(out["credit"]) == [base] * (cap - 1) + [base + rem]
+    assert s.get == ("", 0)
+
+
+def test_stream_mta_over_cap_credits_last_k_exactly():
+    """One touch past the cap drops the OLDEST: a cap+3-touch path
+    credits exactly the last MTA_PATH_CAP touches (deterministic
+    last-K degrade), state never exceeds the cap, and total credit
+    still conserves the purchase's cents."""
+    from bigbugdata_spark.streaming.mta import MTA_PATH_CAP
+
+    s = _State()
+    cap = MTA_PATH_CAP
+    touches = [(1, i + 1, i + 1, f"t{i}", 0) for i in range(cap + 3)]
+    # sliced across calls: the cap must hold across state round-trips
+    _mta_run(s, touches[: cap // 2])
+    _mta_run(s, touches[cap // 2 :])
+    assert s.get[1] == cap  # bounded state, oldest 3 gone
+    cents = 7 * cap + 5
+    out = _mta_run(s, [(1, cap + 4, cap + 4, "purchase", cents)])
+    assert len(out) == cap
+    assert list(out["touch_type"]) == [f"t{i}" for i in range(3, cap + 3)]
+    assert int(out["credit"].sum()) == cents  # conservation under degrade
+
+
+def test_stream_mta_negative_cents_truncating_division():
+    """A refund-style negative purchase splits with TRUNCATING div/rem
+    (ADVICE r12: Python divmod floors — -7 divmod 2 is (-4, 1) — but
+    Spark div/% and DuckDB /// % give (-3, -1); the kernel must match
+    the batch engines, keeping stream == batch for any sign)."""
+    s = _State()
+    out = _mta_run(
+        s,
+        [
+            (1, 1, 1, "click", 0),
+            (1, 2, 2, "view", 0),
+            (1, 3, 3, "purchase", -7),
+        ],
+    )
+    assert list(zip(out["touch_type"], out["credit"])) == [
+        ("click", -3),
+        ("view", -4),  # base -3 + remainder -1 to the last touch
+    ]
+    assert int(out["credit"].sum()) == -7
