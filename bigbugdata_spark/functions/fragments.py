@@ -106,9 +106,39 @@ QUALITY_BASE_SQL = f"""base AS (
             FROM documents
         )"""
 
-QUALITY_DECI_SQL = """CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 4 ELSE 0 END
-                + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars_obs < 0.1 THEN 3 ELSE 0 END
-                + CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.01 THEN 3 ELSE 0 END"""
+# The decipoint rule's knobs, hoisted (ADVICE r12): the SQL below AND
+# every Spark twin (quality_deci_col) build from these, so a threshold
+# change cannot leave one engine behind until a parity run reds.
+QUALITY_TOK_MIN, QUALITY_TOK_MAX = 10, 1000  # length band (tokens)
+QUALITY_PUNCT_MAX = 0.1  # punct chars per observed char, exclusive cap
+QUALITY_STOP_MIN = 0.01  # stopword tokens per token, inclusive floor
+QUALITY_W_LEN, QUALITY_W_PUNCT, QUALITY_W_STOP = 4, 3, 3  # decipoints
+
+QUALITY_DECI_SQL = f"""CASE WHEN n_tokens >= {QUALITY_TOK_MIN} AND n_tokens <= {QUALITY_TOK_MAX} THEN {QUALITY_W_LEN} ELSE 0 END
+                + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars_obs < {QUALITY_PUNCT_MAX} THEN {QUALITY_W_PUNCT} ELSE 0 END
+                + CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= {QUALITY_STOP_MIN} THEN {QUALITY_W_STOP} ELSE 0 END"""
+
+
+def quality_deci_col():
+    """The Spark twin of QUALITY_DECI_SQL over the base columns
+    (n_tokens, n_punct, n_chars_obs, n_stop) — the ONE expression both
+    text_quality_score and the threshold curve select from, built from
+    the same named knobs as the oracle SQL."""
+    from pyspark.sql import functions as F
+
+    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars_obs")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return (
+        F.when(
+            (F.col("n_tokens") >= QUALITY_TOK_MIN)
+            & (F.col("n_tokens") <= QUALITY_TOK_MAX),
+            F.lit(QUALITY_W_LEN),
+        ).otherwise(F.lit(0))
+        + F.when(punct_ratio < QUALITY_PUNCT_MAX, F.lit(QUALITY_W_PUNCT))
+        .otherwise(F.lit(0))
+        + F.when(stop_ratio >= QUALITY_STOP_MIN, F.lit(QUALITY_W_STOP))
+        .otherwise(F.lit(0))
+    )
 
 QUALITY_SQL = f"""
         WITH {QUALITY_BASE_SQL}

@@ -160,12 +160,16 @@ def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     A build writes the generation for future sessions before
     checkpointing it for this one.
 
-    The generation write is ATOMIC-by-rename (ADVICE r11): the build
-    lands in a temporary sibling directory and moves into place only
-    once complete, so a reader racing a rebuild (or a second session)
-    never observes a half-written location — os.replace/rename on the
-    same filesystem is atomic; a leftover temp dir from a dead session
-    is harmlessly overwritten by the next build."""
+    The generation write is tmp-dir + rename (ADVICE r11/r12): the
+    build lands in a temporary sibling directory and moves into place
+    only once complete, so a reader never observes a HALF-WRITTEN
+    generation (only the rename itself is atomic — the
+    rmtree-then-rename replacement is two steps, so a reader racing a
+    same-corpus REBUILD can transiently see the location missing and
+    fall into the rebuild branch itself; that re-build is wasteful but
+    correct, and rebuilds of an already-adopted generation don't occur
+    outside bench reset hooks).  A leftover temp dir from a dead
+    session is harmlessly overwritten by the next build."""
     key = _key(spark, sf_dir, "knn")
     if key in _MEMO:
         return _MEMO[key]

@@ -159,16 +159,15 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_stop"),
     )
+    from bigbugdata_spark.functions.fragments import quality_deci_col
+
     punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars_obs")
     stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
     # integer decipoints + one final IEEE division — mirrors QUALITY_SQL
     # exactly (0.4+0.3+0.3 in fp64 is 0.9999999999999999; 10/10.0 is 1.0,
-    # and both engines now compute the latter bit-identically)
-    quality = (
-        F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000), F.lit(4)).otherwise(F.lit(0))
-        + F.when(punct_ratio < 0.1, F.lit(3)).otherwise(F.lit(0))
-        + F.when(stop_ratio >= 0.01, F.lit(3)).otherwise(F.lit(0))
-    ).cast("double") / F.lit(10.0)
+    # and both engines now compute the latter bit-identically); the
+    # decipoint rule itself is the shared fragments builder (ADVICE r12)
+    quality = quality_deci_col().cast("double") / F.lit(10.0)
     return base.select(
         "doc_id",
         "n_chars_obs",

@@ -96,16 +96,12 @@ def text_quality_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_stop"),
     )
-    deci = (
-        F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000), 4)
-        .otherwise(0)
-        + F.when(
-            F.col("n_punct").cast("double") / F.col("n_chars_obs") < 0.1, 3
-        ).otherwise(0)
-        + F.when(
-            F.col("n_stop").cast("double") / F.col("n_tokens") >= 0.01, 3
-        ).otherwise(0)
-    )
+    # the shared decipoint rule (ADVICE r12: this was a third literal
+    # copy of the thresholds/weights next to QUALITY_DECI_SQL and
+    # text_quality_score — now all three build from fragments' knobs)
+    from bigbugdata_spark.functions.fragments import quality_deci_col
+
+    deci = quality_deci_col()
     scored = base.select(
         deci.cast("long").alias("deci"), "n_tokens", "n_chars_obs"
     )
