@@ -636,6 +636,22 @@ def _warm_engine_machinery(spark) -> None:
     flat.write.option("header", True).mode("overwrite").csv(str(tmp / "csvout"))
     w = Window.partitionBy("v").orderBy("id")
     j.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2).count()
+    # r13 (VERDICT r12 #6) — the remaining first-use classes the kraken
+    # plans load that the blocks above miss: aggregate windows
+    # (avg/stddev_pop — the z-score shape), regexp extraction, and the
+    # localCheckpoint machinery.  Measured ~0.7 s off a genuinely fresh
+    # JVM's first run for ~0.5 s of warm cost.  (In-bench the kraken
+    # session restart REUSES the query loop's JVM, so bench's
+    # first-vs-min gap is dominated by janino compile of the kraken
+    # plans themselves — per-plan generated source, not pre-warmable
+    # without running the measured plans; see the first_note field.)
+    wa = Window.partitionBy("k")
+    j.select(
+        ((F.col("id") - F.avg("id").over(wa)) / F.stddev_pop("id").over(wa)),
+        F.sum("id").over(wa),
+    ).count()
+    a.select(F.regexp_extract(F.col("k").cast("string"), r"(\d+)", 1)).count()
+    a.localCheckpoint().count()
     # first localCheckpoint of a session initializes the RDD checkpoint
     # machinery (block replication path + cleaner registration) — pay it
     # here, not inside the measured pipeline's rpm materialization
@@ -914,6 +930,49 @@ def main() -> None:
             "r11 evt swing attributed to stage-scheduling latency "
             "drift on the shared VM; excluded: code, ts layout, "
             "session confs, session aging, cpus. See bench.py comment."
+        ),
+        # r13 root-cause note (VERDICT r12 #5, the +24% raw
+        # pipe_training_corpus swing r11->r12): NOT code — git diff of
+        # the r11 bench commit vs r12 shows ZERO Spark-side changes in
+        # the query's whole composition (pipeline.py, text.py,
+        # dedup.py, hashing.py, graph.py, catalog.py, session.py all
+        # untouched; the r12 'shared quality fragments' refactor the
+        # verdict suspected moved ORACLE SQL strings only, rebuilt
+        # byte-identically — hash-checked).  With a plan change
+        # excluded, the swing is the r11 evt class: an additive
+        # ~0.1 s scheduling-latency delta on a short multi-stage plan
+        # (r12 median 0.68 vs min 0.59 shows that spread within one
+        # session), on a session whose sched_canary (0.0846) ran 35%
+        # above its r11-calibration — the throughput canary the
+        # 'faster VM' reading came from is blind to that cost class.
+        # r13 cold-start finding (VERDICT r12 #6): the kraken session
+        # restart reuses the bench process's JVM, so `first` - `min` is
+        # NOT JIT (already tiered by the query loop) but janino
+        # compilation of the kraken plans on first encounter —
+        # generated source is per-plan, so no warm-up short of running
+        # the measured plans can pre-pay it, and running them would
+        # make `first` no longer a cold-plan number.  Measured this
+        # round: generic extended warm bought ~0.7 s on a truly fresh
+        # JVM (shipped in _warm_engine_machinery) but cannot move the
+        # in-bench gap; codegen-off A/B improved first ~3 s but
+        # regressed the warm min ~0.7 s (rejected — min is the
+        # baseline-comparable headline); 1-key pivot regroup measured
+        # a wash.  `first` therefore carries an irreducible ~2-2.5 s
+        # plan-compile cost the reference's interpreted loop never
+        # pays — and still beats the reference's 13.7 s every-run cost.
+        "first_note": (
+            "kraken first-run gap over min is janino plan-compile "
+            "(JVM pre-warmed by the query loop); generic warm cannot "
+            "pre-pay per-plan generated source. See bench.py comment "
+            "for the three measured A/Bs."
+        ),
+        "pipe_regression_note": (
+            "r12 pipe_training_corpus +24% raw attributed to "
+            "stage-scheduling latency (same class as the r11 evt "
+            "swing); plan change excluded by git diff: no Spark-side "
+            "edit in its composition r11->r12 (the quality-fragments "
+            "refactor was oracle-SQL-only, byte-identical). See "
+            "bench.py comment."
         ),
         "iterations": ITERATIONS,
         "agg": "min",
