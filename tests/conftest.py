@@ -39,3 +39,38 @@ def sf_small():
 @pytest.fixture(scope="session")
 def sf_oracle():
     return SF_ORACLE
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """Record the opt-in second-scale parity sweep's result (VERDICT
+    r12 #7): when SPARK_GRAFT_PARITY_SF2 is set, write the
+    second-scale test counts to SF2_SWEEP.json at the repo root so
+    bench.py can embed them — the two-scale parity claim becomes a
+    per-round auditable artifact line instead of a skipped-marker
+    count."""
+    import json
+    import time
+
+    if not os.environ.get("SPARK_GRAFT_PARITY_SF2"):
+        return
+    tr = session.config.pluginmanager.get_plugin("terminalreporter")
+    if tr is None:
+        return
+
+    def _n(key):
+        return sum(
+            1
+            for rep in tr.stats.get(key, ())
+            if "second_scale" in getattr(rep, "nodeid", "")
+        )
+
+    out = {
+        "ts": time.time(),
+        "sf2_dir": "/root/testdata/sf0.001",
+        "passed": _n("passed"),
+        "failed": _n("failed"),
+        "errors": _n("error"),
+    }
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "SF2_SWEEP.json"), "w") as f:
+        json.dump(out, f)
