@@ -366,6 +366,12 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.similarity",
     "bigbugdata_spark.operators.profile",
     "bigbugdata_spark.operators.events",
+    # r13-new queries (no driver verdict yet -> they lead the r14
+    # rotation queue, ahead of the operators.events staleness backfill).
+    # streaming.funnel_steps imports events_funnel_steps' oracle at
+    # module level — events_funnel_steps sits EARLIER (in-cap), so no
+    # registration drag; keep that order if this rotates into the cap.
+    "bigbugdata_spark.streaming.funnel_steps",
     # ---- permanently out-of-cap: rows-only (no-oracle) registrations
     # (VERDICT r12 #2).  Verified via their oracle'd audit twins; see
     # operators/no_oracle_shims.py.  Order-safe: every defining module

@@ -201,6 +201,71 @@ def test_stream_mta_over_cap_credits_last_k_exactly():
     assert int(out["credit"].sum()) == cents  # conservation under degrade
 
 
+# --- streaming step-deadline funnel (r13-new, O(1) state) ------------------
+
+
+def _funnel_run(state, rows):
+    import pandas as pd
+
+    from bigbugdata_spark.streaming.funnel_steps import _advance_funnel
+
+    out = list(_advance_funnel((7,), iter([_mta_chunk(rows)]), state))
+    return list(pd.concat(out)["step"]) if out else []
+
+
+def test_stream_funnel_kernel_steps_and_deadlines():
+    """The step clock: signup starts it, a click qualifies only inside
+    (t1, t1+6h], the purchase only inside (t2, t2+6h]; each step emits
+    exactly once; pre-signup clicks and equal-timestamp boundaries
+    (strict >) are ignored — the batch query's exact semantics."""
+    from bigbugdata_spark.operators.events_funnel_steps import STEP_WINDOW_US
+
+    w_s = STEP_WINDOW_US // 1_000_000  # the 6h window in seconds
+    # full conversion, sliced across two calls (state round-trip)
+    s = _State()
+    assert _funnel_run(s, [
+        (7, 50, 1, "click", 0),       # pre-signup click: ignored
+        (7, 100, 2, "signup", 0),
+        (7, 100, 3, "click", 0),      # us == t1: strict >, ignored
+    ]) == [1]
+    assert _funnel_run(s, [
+        (7, 100 + w_s, 4, "click", 0),        # exactly t1+6h: qualifies
+        (7, 100 + w_s + 10, 5, "purchase", 0),
+    ]) == [2, 3]
+    assert _funnel_run(s, [(7, 100 + w_s + 20, 6, "purchase", 0)]) == []
+
+    # missed step-2 deadline: the funnel stalls at step 1 forever
+    s2 = _State()
+    assert _funnel_run(s2, [
+        (7, 100, 1, "signup", 0),
+        (7, 101 + w_s, 2, "click", 0),        # one second past t1+6h
+        (7, 102 + w_s, 3, "purchase", 0),
+    ]) == [1]
+    assert s2.get == (100_000_000, -1, False)
+
+    # step-3 clock anchors to the QUALIFYING click, not the signup
+    s3 = _State()
+    assert _funnel_run(s3, [
+        (7, 100, 1, "signup", 0),
+        (7, 100 + w_s, 2, "click", 0),
+        (7, 100 + 2 * w_s, 3, "purchase", 0),  # within t2+6h, past t1+6h
+    ]) == [1, 2, 3]
+
+
+def test_stream_funnel_matches_batch(spark, sf_oracle):
+    """Whole-fixture availableNow stream == the batch derivation (the
+    registered oracle gates both; this pins Spark-vs-Spark)."""
+    streamed = {
+        tuple(r)
+        for r in SPECS["evt_stream_funnel_steps"].fn(spark, sf_oracle).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in SPECS["evt_funnel_steps"].fn(spark, sf_oracle).collect()
+    }
+    assert streamed == batch and len(streamed) == 1
+
+
 def test_stream_mta_negative_cents_truncating_division():
     """A refund-style negative purchase splits with TRUNCATING div/rem
     (ADVICE r12: Python divmod floors — -7 divmod 2 is (-4, 1) — but
