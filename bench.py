@@ -255,6 +255,10 @@ SCALE_ITERATIONS_SUBSEC = 6
 X10_WALL_BUDGET_SEC = {
     "dedup_incremental": 1.5,
     "dedup_incremental_lsh": 1.5,
+    # r13: the re-scoped warm-index cycle (persisted generation + batch
+    # routing) — measured x10 wall 0.82 s / ratio 3.98 on the rebuild;
+    # the budget is the same ingest-class gate as the gram/LSH paths
+    "sim_ivf_incremental_assign": 1.5,
     # graph-spine build (r12, VERDICT r11 #1): the two-level-routed,
     # constant-cell build replaced the flat n^1.5 plan — measured
     # base 6.9 s -> x10 38.9 s, ratio 5.6 (was 33.2 / 260 s in r11).

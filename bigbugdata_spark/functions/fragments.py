@@ -119,6 +119,38 @@ QUALITY_DECI_SQL = f"""CASE WHEN n_tokens >= {QUALITY_TOK_MIN} AND n_tokens <= {
                 + CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= {QUALITY_STOP_MIN} THEN {QUALITY_W_STOP} ELSE 0 END"""
 
 
+def quality_base_frame(spark, sf_dir):
+    """The Spark twin of QUALITY_BASE_SQL: per-doc integer counts
+    (n_chars_obs, n_tokens, n_punct, n_stop — plus doc_id/lang) over
+    documents.  ONE definition (r13, extending the ADVICE r12 hoist
+    from the rule's knobs to the whole base): text_quality_score, the
+    threshold curve, and corpus_survivor_quality all select from this
+    frame, so the positive-class n_punct strip and the stopword filter
+    can never fork per consumer.  n_punct uses regexp_replace with the
+    KEEP class — identical integer to counting '[^a-z0-9 ]', ~12x
+    faster (the negated-class JVM regex slow path; r8 note in
+    operators/text.py, property-tested)."""
+    from pyspark.sql import functions as F
+
+    from bigbugdata_spark.catalog import table
+    from bigbugdata_spark.functions import hashing as H
+
+    toks = H.tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars_obs"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length(F.regexp_replace(F.col("text"), F.lit(r"[a-z0-9 ]"), F.lit("")))
+        .cast("long")
+        .alias("n_punct"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        .cast("long")
+        .alias("n_stop"),
+    )
+
+
 def quality_deci_col():
     """The Spark twin of QUALITY_DECI_SQL over the base columns
     (n_tokens, n_punct, n_chars_obs, n_stop) — the ONE expression both

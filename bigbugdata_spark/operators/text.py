@@ -136,30 +136,17 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document-quality scoring (length band, punctuation ratio,
     stopword presence — the C4/Gopher-style rule family as pure column
-    expressions). No shuffle; identical fp arithmetic to the oracle."""
-    toks = H.tokens(F.col("text"))
-    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
-    base = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.length("text").cast("long").alias("n_chars_obs"),
-        F.size(toks).cast("long").alias("n_tokens"),
-        # n_punct = count of chars outside [a-z0-9 ], computed as the
-        # length of the text with the KEEP class stripped: identical
-        # integer to regexp_count(text, '[^a-z0-9 ]') (property-tested
-        # incl. unicode/whitespace — tests/test_round8_ops.py::
-        # test_n_punct_replace_equals_count_property, with a Python
-        # recount as third witness), but ~12x faster at the 10x probe
-        # scale — the negated-class pattern hits a JVM regex slow path
-        # (~35us/row vs ~3us) that regexp_replace with the positive
-        # class avoids. Oracle unchanged (it counts the same chars).
-        F.length(F.regexp_replace(F.col("text"), F.lit(r"[a-z0-9 ]"), F.lit("")))
-        .cast("long")
-        .alias("n_punct"),
-        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-        .cast("long")
-        .alias("n_stop"),
+    expressions). No shuffle; identical fp arithmetic to the oracle.
+    Base counts and the decipoint rule are the shared fragments
+    builders (r13 — one definition across all quality consumers; the
+    positive-class n_punct strip's r8 rationale and property test live
+    on the shared builder's docstring)."""
+    from bigbugdata_spark.functions.fragments import (
+        quality_base_frame,
+        quality_deci_col,
     )
-    from bigbugdata_spark.functions.fragments import quality_deci_col
+
+    base = quality_base_frame(spark, sf_dir).drop("lang")
 
     punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars_obs")
     stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")

@@ -28,13 +28,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigbugdata_spark.catalog import table
-from bigbugdata_spark.functions import hashing as H
 from bigbugdata_spark.functions.fragments import (
     QUALITY_BASE_SQL,
     QUALITY_DECI_SQL,
-    STOPWORDS,
-    sql_list,
 )
 from bigbugdata_spark.registry import register
 
@@ -81,26 +77,15 @@ def text_quality_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens_kept_pm) for thresholds 0..10 decipoints — monotone
     non-increasing in the threshold (unit test), threshold 0 retains
     everything."""
-    toks = H.tokens(F.col("text"))
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-    base = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.length("text").cast("long").alias("n_chars_obs"),
-        F.size(toks).cast("long").alias("n_tokens"),
-        # the positive-class strip — identical integer to the negated
-        # regexp count, ~12x faster (text_quality_score's r8 note)
-        F.length(F.regexp_replace(F.col("text"), F.lit(r"[a-z0-9 ]"), F.lit("")))
-        .cast("long")
-        .alias("n_punct"),
-        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-        .cast("long")
-        .alias("n_stop"),
+    # the shared base counts + decipoint rule (ADVICE r12 / r13: these
+    # were literal copies next to QUALITY_BASE_SQL/QUALITY_DECI_SQL and
+    # text_quality_score — now every consumer builds from fragments)
+    from bigbugdata_spark.functions.fragments import (
+        quality_base_frame,
+        quality_deci_col,
     )
-    # the shared decipoint rule (ADVICE r12: this was a third literal
-    # copy of the thresholds/weights next to QUALITY_DECI_SQL and
-    # text_quality_score — now all three build from fragments' knobs)
-    from bigbugdata_spark.functions.fragments import quality_deci_col
 
+    base = quality_base_frame(spark, sf_dir)
     deci = quality_deci_col()
     scored = base.select(
         deci.cast("long").alias("deci"), "n_tokens", "n_chars_obs"

@@ -372,6 +372,9 @@ _QUERY_MODULES = (
     # module level — events_funnel_steps sits EARLIER (in-cap), so no
     # registration drag; keep that order if this rotates into the cap.
     "bigbugdata_spark.streaming.funnel_steps",
+    # corpus_survivors imports operators.dedup lazily (inside the query
+    # body) and only non-registering fragments at module level — no drag
+    "bigbugdata_spark.operators.corpus_survivors",
     # ---- permanently out-of-cap: rows-only (no-oracle) registrations
     # (VERDICT r12 #2).  Verified via their oracle'd audit twins; see
     # operators/no_oracle_shims.py.  Order-safe: every defining module

@@ -51,7 +51,13 @@ def pytest_sessionfinish(session, exitstatus):
     import json
     import time
 
-    if not os.environ.get("SPARK_GRAFT_PARITY_SF2"):
+    # "0"/"false" must read as OFF (a truthy-string check here once
+    # clobbered a real sweep record with 0/0/0 from a =0 run)
+    if os.environ.get("SPARK_GRAFT_PARITY_SF2", "").lower() in (
+        "",
+        "0",
+        "false",
+    ):
         return
     tr = session.config.pluginmanager.get_plugin("terminalreporter")
     if tr is None:
@@ -71,6 +77,14 @@ def pytest_sessionfinish(session, exitstatus):
         "failed": _n("failed"),
         "errors": _n("error"),
     }
+    # only a COMPLETE sweep is a record: a -k/-x/targeted run that
+    # selected a subset (or nothing) must not overwrite the real one
+    from bigbugdata_spark.registry import load_all
+
+    full = sum(1 for s in load_all().values() if s.oracle)
+    if out["passed"] + out["failed"] + out["errors"] < full:
+        return
+    out["total_oracles"] = full
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "SF2_SWEEP.json"), "w") as f:
         json.dump(out, f)

@@ -118,6 +118,50 @@ def test_incremental_assign_warm_plan_is_batch_sized(spark, sf_oracle):
     assert len(gen_scans) >= 2, locs
 
 
+# --- dedup survivorship-quality card (r13-new) -----------------------------
+
+
+def test_survivor_quality_conserves_and_matches_keep(spark, sf_oracle):
+    """Both cohorts live on the fixture; kept+removed doc/token/deci
+    totals equal the whole-corpus totals (conservation — the card
+    partitions the corpus exactly); the removed doc count equals
+    dedup_cluster_keep's keep=0 count (one decision, two
+    registrations)."""
+    from bigbugdata_spark.functions.fragments import (
+        quality_base_frame,
+        quality_deci_col,
+    )
+
+    rows = {
+        r["cohort"]: r
+        for r in SPECS["corpus_survivor_quality"].fn(spark, sf_oracle).collect()
+    }
+    assert set(rows) == {"kept", "removed"}
+    whole = (
+        quality_base_frame(spark, sf_oracle)
+        .select("n_tokens", quality_deci_col().alias("deci"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_tokens").alias("t"),
+            F.sum("deci").alias("d"),
+        )
+        .collect()[0]
+    )
+    assert rows["kept"]["n_docs"] + rows["removed"]["n_docs"] == whole["n"]
+    assert (
+        rows["kept"]["total_tokens"] + rows["removed"]["total_tokens"]
+        == whole["t"]
+    )
+    assert rows["kept"]["deci_sum"] + rows["removed"]["deci_sum"] == whole["d"]
+    n_removed = (
+        SPECS["dedup_cluster_keep"]
+        .fn(spark, sf_oracle)
+        .filter(F.col("keep") == 0)
+        .count()
+    )
+    assert rows["removed"]["n_docs"] == n_removed
+
+
 # --- bounded streaming MTA path buffer (VERDICT r12 #3) --------------------
 
 
