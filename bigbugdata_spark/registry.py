@@ -215,14 +215,20 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Count verified this round: first 50 printed from REGISTRY order
 # after a fresh load_all().
 #
-# Round-14 rotation queue (plan): 26 permanent + any r13-new or
-# r13-touched queries without a fresh verdict first, then the
-# staleness queue leads with operators.events (8 oracle'd queries, r5
-# — fits whole) and the rest of the r6 set: text (9), multimodal (5),
-# similarity (2 in-module oracle'd regs after the sim_ivf_topk split),
-# profile (2), similarity_ext/audit-twins are out-of-cap permanently.
-# Count the actual registrations per module before choosing, and
-# re-check import drag if reordered.
+# Round-14 rotation queue (plan): 26 permanent + the 2 r13-new queries
+# (streaming.funnel_steps, corpus_survivors — one registration each;
+# funnel_steps imports events_funnel_steps at module level, which holds
+# an r13 verdict and can sit in a rotated-out section, so list
+# events_funnel_steps BEFORE funnel_steps or accept the 1-slot drag) +
+# the stalest-verdict backfills: operators.events (8 oracle'd queries,
+# r5 — fits whole), then the r6 set: text (9) + multimodal (5) —
+# 26 + 2 + 8 + 9 + 5 = 50 exactly (counts verified against load_all
+# this round; text_vocab_approx/sim_ivf_topk/dedup_emb_lsh no longer
+# register in-module, so text_ext/similarity/dedup counts changed —
+# recount before reordering).  Still r6-stale after r14: similarity
+# (2 in-module oracle'd regs), profile (2), pipeline/quantize/overlap
+# refresh in r13.  As always: never rotate out a query whose newest
+# fix lacks a driver verdict, and re-check import drag if reordered.
 _QUERY_MODULES = (
     # ---- permanent slots 1-26 ----
     "bigbugdata_spark.operators.relational",
