@@ -497,6 +497,43 @@ TOP_FIELDS = [
 ]
 
 
+def _scale_matrix_frames(
+    result: "KrakenResult", samples: list[str]
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(wide, combined_wide, rrpm_wide) for the scale-mode matrix sinks:
+    ONE pivot shuffle feeds both sinks — combined (reads) and rrpm share
+    the same (taxID x sample) grid, so both value columns pivot
+    together, the O(taxa x samples) wide frame is pinned, and each sink
+    projects from the cache.
+
+    Two SCALAR aggs per sample, not one struct-valued agg (r13): the
+    r12 struct form halved the PivotFirst slot count, but a
+    struct-typed imperative aggregate forces SortAggregate (two full
+    sorts of the long fact) while 96 primitive slots keep
+    HashAggregate — measured 0.5-1.1 s faster end-to-end on the 48x20k
+    fixture, plan-asserted in tests/test_round13_ops.py.  Both firsts
+    read the same unique (taxon, sample) row, so pairing is
+    deterministic either way."""
+    from bigbugdata_spark.caching import pin
+
+    wide = pin(
+        result.rrpm.groupBy("taxID", "taxName", "total_reads")
+        .pivot("sample_id", samples)
+        .agg(F.first("reads").alias("r"), F.first("rrpm").alias("m"))
+        .withColumnRenamed("total_reads", "Total # of Reads")
+    )
+    base_cols = ["taxID", "taxName", "Total # of Reads"]
+    combined_wide = wide.select(
+        *base_cols,
+        *[F.coalesce(F.col(f"`{s}_r`"), F.lit(0)).alias(s) for s in samples],
+    )
+    rrpm_wide = wide.select(
+        *base_cols,
+        *[F.coalesce(F.col(f"`{s}_m`"), F.lit(0.0)).alias(s) for s in samples],
+    )
+    return wide, combined_wide, rrpm_wide
+
+
 def write_outputs(
     result: KrakenResult,
     results_dir: str,
@@ -516,36 +553,7 @@ def write_outputs(
     base = ["taxID", "taxName", "Total # of Reads"]
 
     if mode == "scale":
-        # ONE pivot shuffle feeds both matrix sinks: combined (reads) and
-        # rrpm share the same (taxID x sample) grid, so pivot both value
-        # columns together, pin the O(taxa x samples) wide frame, and
-        # write each projection from the cache
-        from bigbugdata_spark.caching import pin
-
-        # single struct-valued agg per sample (not two scalar aggs): the
-        # pivot runs 48 PivotFirst slots instead of 96 — half the agg
-        # columns to evaluate and code-generate for the same data
-        wide = pin(
-            result.rrpm.groupBy("taxID", "taxName", "total_reads")
-            .pivot("sample_id", samples)
-            .agg(F.first(F.struct(F.col("reads").alias("r"), F.col("rrpm").alias("m"))))
-            .withColumnRenamed("total_reads", "Total # of Reads")
-        )
-        base_cols = ["taxID", "taxName", "Total # of Reads"]
-        combined_wide = wide.select(
-            *base_cols,
-            *[
-                F.coalesce(F.col(f"`{s}`").getField("r"), F.lit(0)).alias(s)
-                for s in samples
-            ],
-        )
-        rrpm_wide = wide.select(
-            *base_cols,
-            *[
-                F.coalesce(F.col(f"`{s}`").getField("m"), F.lit(0.0)).alias(s)
-                for s in samples
-            ],
-        )
+        _, combined_wide, rrpm_wide = _scale_matrix_frames(result, samples)
         order_df = result.tophits.sparkSession.createDataFrame(
             [(s, i) for i, s in enumerate(samples)], "sampleName string, _ord int"
         )

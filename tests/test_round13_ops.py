@@ -118,6 +118,40 @@ def test_incremental_assign_warm_plan_is_batch_sized(spark, sf_oracle):
     assert len(gen_scans) >= 2, locs
 
 
+# --- kraken matrix-sink pivot stays HashAggregate (r13) --------------------
+
+
+def test_kraken_scale_pivot_is_hash_aggregate(spark, tmp_path):
+    """The scale-mode matrix pivot must HashAggregate: the r12
+    struct-valued PivotFirst silently fell to SortAggregate (two full
+    sorts of the long fact — measured 0.5-1.1 s on the bench fixture);
+    the r13 dual-scalar form keeps primitive slot buffers.  Pinned
+    here so a future 'tidy it into one struct agg' change is a red X,
+    not a silent regression."""
+    from bigbugdata_spark.operators.kraken import (
+        _scale_matrix_frames,
+        run_pipeline,
+    )
+
+    rows = [
+        "50.0\t100\t100\t0\t0\t0\t0\tunclassified\tunclassified",
+        "50.0\t100\t0\t10\t1.0\t0.5\t1\troot\t  root",
+        "1.0\t10\t0\t5\t1.5\t0.5\t1235\tspecies\t  Ok sp.",
+    ]
+    from tests.test_kraken_units import _write_report
+
+    paths = []
+    for s in ("A_report.txt", "B_report.txt"):
+        p = tmp_path / s
+        _write_report(p, rows)
+        paths.append(str(p))
+    result = run_pipeline(spark, paths)
+    wide, _, _ = _scale_matrix_frames(result, result.samples)
+    plan = wide._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
+
+
 # --- dedup survivorship-quality card (r13-new) -----------------------------
 
 
