@@ -118,6 +118,140 @@ def test_incremental_assign_warm_plan_is_batch_sized(spark, sf_oracle):
     assert len(gen_scans) >= 2, locs
 
 
+def test_stream_mta_over_cap_through_engine(spark, tmp_path):
+    """The cap degrade through the ACTUAL streaming engine, not just
+    the kernel: a planted user with MTA_PATH_CAP+5 touches then one
+    purchase must credit exactly the LAST cap touches (state survives
+    the state-store round-trip), alongside a normal under-cap user
+    whose credit matches the uncapped batch math."""
+    import datetime as dt
+
+    from bigbugdata_spark.streaming.mta import MTA_PATH_CAP
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    cap = MTA_PATH_CAP
+    # user 1: cap+5 clicks, then a 100.00 purchase -> last cap touches
+    # split 10000 cents: div = 19, rem = 10000 - 19*512 = 272 (cap 512)
+    for i in range(cap + 5):
+        eid += 1
+        rows.append(
+            (eid, base + dt.timedelta(seconds=i), 1, "click", 0.0, "{}")
+        )
+    eid += 1
+    rows.append(
+        (eid, base + dt.timedelta(seconds=cap + 6), 1, "purchase", 100.0, "{}")
+    )
+    # user 2: two touches then a 0.77 purchase (under-cap, batch math)
+    for i, t in enumerate(("view", "click")):
+        eid += 1
+        rows.append((eid, base + dt.timedelta(seconds=i), 2, t, 0.0, "{}"))
+    eid += 1
+    rows.append((eid, base + dt.timedelta(seconds=9), 2, "purchase", 0.77, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["touch_type"]: (r["n_credits"], r["credited_cents"])
+        for r in SPECS["evt_stream_multi_touch"].fn(spark, str(tmp_path)).collect()
+    }
+    base_credit, rem = divmod(10_000, cap)
+    # user 1: cap click-credits conserving 10000 cents exactly;
+    # user 2: view 38, click 39 (77 div 2 = 38, remainder to the last)
+    assert got["click"] == (cap + 1, base_credit * cap + rem + 39)
+    assert got["view"] == (1, 38)
+
+
+# --- slicing-invariance property tests for the stateful kernels ------------
+# The ordering contract both kernels state ("emissions equal the batch
+# derivation for ANY micro-batch slicing of a per-user in-order feed")
+# is checked here the strong way: hypothesis draws a random event
+# sequence and a random slicing, and every slicing must produce the
+# SAME emissions as the one-shot run.  Pure kernel calls — no Spark.
+
+
+def _random_events(draw, st):
+    n = draw(st.integers(min_value=1, max_value=40))
+    rows = []
+    ts = 0
+    for i in range(n):
+        ts += draw(st.integers(min_value=1, max_value=30_000))  # seconds
+        kind = draw(
+            st.sampled_from(["click", "view", "search", "purchase", "signup"])
+        )
+        cents = draw(st.integers(min_value=-500, max_value=50_000))
+        rows.append((7, ts, i + 1, kind, cents if kind == "purchase" else 0))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(min_value=1, max_value=max(1, n - 1)),
+                max_size=5,
+                unique=True,
+            )
+        )
+    ) if n > 1 else []
+    return rows, cuts
+
+
+def _slices(rows, cuts):
+    out, prev = [], 0
+    for c in [*cuts, len(rows)]:
+        if rows[prev:c]:
+            out.append(rows[prev:c])
+        prev = c
+    return out
+
+
+def test_mta_kernel_slicing_invariance():
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def run(data):
+        rows, cuts = _random_events(data.draw, st)
+        one = _State()
+        whole = _mta_run(one, rows)
+        whole_t = (
+            list(zip(whole["touch_type"], whole["credit"]))
+            if whole is not None
+            else []
+        )
+        sliced = _State()
+        got = []
+        for sl in _slices(rows, cuts):
+            out = _mta_run(sliced, sl)
+            if out is not None:
+                got.extend(zip(out["touch_type"], out["credit"]))
+        assert got == whole_t
+        assert sliced.get == one.get  # carried state converges too
+
+    run()
+
+
+def test_funnel_kernel_slicing_invariance():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def run(data):
+        rows, cuts = _random_events(data.draw, st)
+        one = _State()
+        whole = _funnel_run(one, rows)
+        sliced = _State()
+        got = []
+        for sl in _slices(rows, cuts):
+            got.extend(_funnel_run(sliced, sl))
+        assert got == whole
+        assert sliced.get == one.get
+
+    run()
+
+
 # --- kraken matrix-sink pivot stays HashAggregate (r13) --------------------
 
 
