@@ -643,15 +643,18 @@ def _warm_engine_machinery(spark) -> None:
     a = spark.range(100).select(F.col("id"), (F.col("id") % 3).alias("k"))
     b = spark.createDataFrame([(0, "x"), (1, "y"), (2, "z")], "k long, v string")
     j = a.join(F.broadcast(b), "k")
+    # dual-scalar pivot, matching the production sink's r13 shape (the
+    # struct form this block used to rehearse falls to SortAggregate —
+    # the plan class the real pipeline no longer runs)
     piv = (
         j.groupBy("v")
         .pivot("k", [0, 1, 2])
-        .agg(F.first(F.struct(F.col("id").alias("r"), F.col("v").alias("m"))))
+        .agg(F.first("id").alias("r"), F.first(F.col("id") * 2).alias("m"))
     )
     flat = piv.select(
         "v",
         *[
-            F.coalesce(F.col(f"`{c}`").getField("r"), F.lit(0)).alias(f"c{c}")
+            F.coalesce(F.col(f"`{c}_r`"), F.lit(0)).alias(f"c{c}")
             for c in (0, 1, 2)
         ],
     )

@@ -52,8 +52,11 @@ JACCARD_PAIRS_SQL = f"""
 # ground-truth oracle serves all of them. Lives here (not dedup.py) so the
 # driver-cap split module can build its oracle without importing — and
 # thereby registering — the whole dedup family first.
-CLUSTER_KEEP_SQL = f"""
-    WITH RECURSIVE pairs AS ({JACCARD_PAIRS_SQL}),
+#: the keep decision's CTE chain and final keep expression, exported
+#: separately (r13 review) so composing oracles (corpus_survivor_quality)
+#: derive the identical decision instead of copying it; CLUSTER_KEEP_SQL
+#: is rebuilt from these byte-identically (hash-checked on the hoist).
+CLUSTER_KEEP_CTES_SQL = f"""pairs AS ({JACCARD_PAIRS_SQL}),
     edges AS (
         SELECT d1 AS a, d2 AS b FROM pairs
         UNION
@@ -63,14 +66,19 @@ CLUSTER_KEEP_SQL = f"""
         SELECT a, b FROM edges
         UNION
         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-    )
-    SELECT doc_id,
+    )"""
+
+CLUSTER_KEEP_BODY_SQL = """SELECT doc_id,
            CAST(LEAST(doc_id, COALESCE(MIN(r.b), doc_id)) AS BIGINT)
                AS cluster_rep,
            CAST(doc_id = LEAST(doc_id, COALESCE(MIN(r.b), doc_id)) AS INT)
                AS keep
     FROM documents LEFT JOIN reach r ON doc_id = r.a
-    GROUP BY doc_id
+    GROUP BY doc_id"""
+
+CLUSTER_KEEP_SQL = f"""
+    WITH RECURSIVE {CLUSTER_KEEP_CTES_SQL}
+    {CLUSTER_KEEP_BODY_SQL}
 """
 
 # --- text family -----------------------------------------------------------

@@ -32,31 +32,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigbugdata_spark.functions.fragments import (
-    JACCARD_PAIRS_SQL,
+    CLUSTER_KEEP_BODY_SQL,
+    CLUSTER_KEEP_CTES_SQL,
     QUALITY_BASE_SQL,
     QUALITY_DECI_SQL,
 )
 from bigbugdata_spark.registry import register
 
+# keeps = the shared keep-decision fragments verbatim (r13 review: a
+# copied CTE chain would fork from dedup_cluster_keep's oracle the day
+# the shared rule changes)
 _SURVIVOR_ORACLE_SQL = f"""
-    WITH RECURSIVE pairs AS ({JACCARD_PAIRS_SQL}),
-    edges AS (
-        SELECT d1 AS a, d2 AS b FROM pairs
-        UNION
-        SELECT d2 AS a, d1 AS b FROM pairs
-    ),
-    reach(a, b) AS (
-        SELECT a, b FROM edges
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-    ),
-    keeps AS (
-        SELECT doc_id,
-               CAST(doc_id = LEAST(doc_id, COALESCE(MIN(r.b), doc_id))
-                    AS INT) AS keep
-        FROM documents LEFT JOIN reach r ON doc_id = r.a
-        GROUP BY doc_id
-    ),
+    WITH RECURSIVE {CLUSTER_KEEP_CTES_SQL},
+    keeps AS ({CLUSTER_KEEP_BODY_SQL}),
     {QUALITY_BASE_SQL},
     scored AS (
         SELECT doc_id, n_tokens, {QUALITY_DECI_SQL} AS deci FROM base

@@ -99,12 +99,24 @@ def evt_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("us") <= F.col("t2_us") + STEP_WINDOW_US)
         ).alias("s3"),
     )
+    # coalesce(0): SUM over an EMPTY events table is NULL while the
+    # oracle's scalar COUNT subqueries return zeros (r13 review
+    # finding — shared with the streaming twin's empty-emission case)
     return per_user.agg(
-        F.sum(F.when(F.col("s1"), 1).otherwise(0)).cast("long").alias("n_signup"),
-        F.sum(F.when(F.col("s1") & F.col("s2"), 1).otherwise(0))
+        F.coalesce(F.sum(F.when(F.col("s1"), 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_signup"),
+        F.coalesce(
+            F.sum(F.when(F.col("s1") & F.col("s2"), 1).otherwise(0)), F.lit(0)
+        )
         .cast("long")
         .alias("n_click_6h"),
-        F.sum(F.when(F.col("s1") & F.col("s2") & F.col("s3"), 1).otherwise(0))
+        F.coalesce(
+            F.sum(
+                F.when(F.col("s1") & F.col("s2") & F.col("s3"), 1).otherwise(0)
+            ),
+            F.lit(0),
+        )
         .cast("long")
         .alias("n_purchase_6h"),
     ).select(

@@ -268,8 +268,18 @@ def sim_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigbugdata_spark.catalog import table
     from bigbugdata_spark.operators.similarity import ivf_assign
 
+    from bigbugdata_spark.functions.fragments import IVF_K
+
     cb, cnt = ivf_index_generation(spark, sf_dir)
-    k = cb.count()  # K-row parquet — a footer read
+    # K for routing (sup_count): the build used scaled_ivf_k(n) =
+    # max(IVF_K, floor(sqrt(n))) but wrote min(K, n) codebook rows
+    # (ivf_cents' LIMIT on a corpus smaller than the floor).  max with
+    # the floor reconstructs the build's K EXACTLY for every n (n >=
+    # 256: rows = K >= 16; 16 <= n < 256: rows = 16 = K; n < 16:
+    # rows = n < 16, K = 16) — a bare cb.count() would shrink the
+    # supercell prefix on a tiny corpus and diverge from the oracle's
+    # routing (r13 review finding).
+    k = max(IVF_K, cb.count())  # K-row parquet — a footer read
     # pinned: the routed assignment references the batch twice (router
     # + exact rescore) — one filtered scan, not two (caching contract)
     batch = pin(

@@ -129,14 +129,17 @@ def evt_stream_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     emitted = _run_to_memory(attained, "append")
+    # coalesce(0): a feed with no signups emits nothing, and SUM over
+    # the empty memory table is NULL while the oracle counts zeros
+    # (r13 review finding)
     counts = emitted.agg(
-        F.sum(F.when(F.col("step") == 1, 1).otherwise(0))
+        F.coalesce(F.sum(F.when(F.col("step") == 1, 1).otherwise(0)), F.lit(0))
         .cast("long")
         .alias("n_signup"),
-        F.sum(F.when(F.col("step") == 2, 1).otherwise(0))
+        F.coalesce(F.sum(F.when(F.col("step") == 2, 1).otherwise(0)), F.lit(0))
         .cast("long")
         .alias("n_click_6h"),
-        F.sum(F.when(F.col("step") == 3, 1).otherwise(0))
+        F.coalesce(F.sum(F.when(F.col("step") == 3, 1).otherwise(0)), F.lit(0))
         .cast("long")
         .alias("n_purchase_6h"),
     )

@@ -51,13 +51,11 @@ def pytest_sessionfinish(session, exitstatus):
     import json
     import time
 
-    # "0"/"false" must read as OFF (a truthy-string check here once
-    # clobbered a real sweep record with 0/0/0 from a =0 run)
-    if os.environ.get("SPARK_GRAFT_PARITY_SF2", "").lower() in (
-        "",
-        "0",
-        "false",
-    ):
+    # shared opt-in parse (tests/parity.py): "0"/"false" read as OFF
+    # here AND in the skipif, so a =0 run neither runs nor records
+    from tests.parity import sf2_opted_in
+
+    if not sf2_opted_in():
         return
     tr = session.config.pluginmanager.get_plugin("terminalreporter")
     if tr is None:

@@ -17,6 +17,21 @@ import duckdb
 from bigbugdata_spark.catalog import TABLES
 
 
+def sf2_opted_in() -> bool:
+    """THE definition of the SPARK_GRAFT_PARITY_SF2 opt-in parse,
+    shared by the second-scale skipif (tests/test_oracle_parity.py)
+    and the sweep recorder (tests/conftest.py) — r13 review: the two
+    used to disagree on '=0', so a =0 run executed the whole sweep and
+    then discarded its record."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_PARITY_SF2", "").lower() not in (
+        "",
+        "0",
+        "false",
+    )
+
+
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:

@@ -84,12 +84,14 @@ def test_rows_only(spark, sf_oracle, name):
 # constants and empty-group edge cases the sf0.01 run can mask. It
 # doubles the parity suite's wall time, so it is opt-in:
 #     SPARK_GRAFT_PARITY_SF2=1 python -m pytest tests/test_oracle_parity.py
-# (Swept green for all oracles in rounds 8 and 9.)
-import os
+# (Swept green for all oracles every round since 8; the sweep recorder
+# in tests/conftest.py shares the SAME opt-in parse — see
+# parity.sf2_opted_in.)
+from tests.parity import sf2_opted_in
 
 _SF2 = "/root/testdata/sf0.001"
 _sf2_enabled = pytest.mark.skipif(
-    not os.environ.get("SPARK_GRAFT_PARITY_SF2"),
+    not sf2_opted_in(),
     reason="second-scale parity is opt-in (SPARK_GRAFT_PARITY_SF2=1)",
 )
 

@@ -97,6 +97,41 @@ def test_ivf_generation_partial_write_rebuilds(spark, sf_oracle):
     assert (cb_loc / "_SUCCESS").exists() and (cnt_loc / "_SUCCESS").exists()
 
 
+def test_incremental_assign_tiny_corpus_routing_k(spark, tmp_path):
+    """On a corpus whose existing slice is smaller than the IVF_K=16
+    codebook floor, the warm cycle must route with the BUILD's K (the
+    floor), not the codebook's row count — a bare cb.count() shrinks
+    the supercell prefix and diverges from the oracle's routing (r13
+    review finding).  Planted 40-vector corpus (existing slice < 16
+    after the batch predicate would need <18 total; 40 gives existing
+    36 — so plant 14): parity against the registered oracle on a
+    documents+embeddings-only tmp dir."""
+    import duckdb
+
+    from bigbugdata_spark.functions.fragments import EMB_DIM
+    from tests.parity import compare
+
+    # 14 vectors -> existing ~12-13 (< 16), batch the rest
+    rows = [
+        (int(i), [float((i * 7 + d) % 11) - 5.0 for d in range(EMB_DIM)])
+        for i in range(14)
+    ]
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "embeddings.parquet"))
+    spec = SPECS["sim_ivf_incremental_assign"]
+    df = spec.fn(spark, str(tmp_path))
+    con = duckdb.connect()
+    # Spark writes a directory; DuckDB needs the part-file glob
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+    ok, msg = compare(df, con, spec.oracle)
+    con.close()
+    assert ok, msg
+
+
 def test_incremental_assign_warm_plan_is_batch_sized(spark, sf_oracle):
     """Plan-level proof of the r13 re-scope (VERDICT r12 #2): with the
     generation warm, the registered query's plan reads the embeddings
@@ -462,6 +497,40 @@ def test_stream_funnel_kernel_steps_and_deadlines():
         (7, 100 + w_s, 2, "click", 0),
         (7, 100 + 2 * w_s, 3, "purchase", 0),  # within t2+6h, past t1+6h
     ]) == [1, 2, 3]
+
+
+def test_funnel_no_signup_feed_counts_zero(spark, tmp_path):
+    """A feed with clicks/purchases but NO signups must count zeros,
+    not NULLs: the streaming twin emits nothing (SUM over an empty
+    memory table is NULL without the coalesce) and the batch twin has
+    the same hole on an empty table — both pinned against the shared
+    oracle (r13 review finding)."""
+    import datetime as dt
+
+    import duckdb
+
+    from tests.parity import compare
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 9, "click", 0.0, "{}"),
+        (2, base + dt.timedelta(seconds=5), 9, "purchase", 3.5, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/events.parquet/*.parquet'"
+    )
+    for name in ("evt_funnel_steps", "evt_stream_funnel_steps"):
+        spec = SPECS[name]
+        ok, msg = compare(spec.fn(spark, str(tmp_path)), con, spec.oracle)
+        assert ok, f"{name}: {msg}"
+    con.close()
 
 
 def test_stream_funnel_matches_batch(spark, sf_oracle):
