@@ -19,6 +19,35 @@ from pyspark.sql import DataFrame, SparkSession
 _name_counter = itertools.count()
 
 
+class OutOfOrderFeedError(RuntimeError):
+    """A micro-batch delivered an event at or below the group's
+    high-water (ts_us, event_id) mark — the feed violates the per-user
+    in-order slicing contract the stateful kernels state, and
+    continuing would silently mis-credit (MTA) or mis-clock (funnel)
+    instead of merely reordering output.  Raised from inside the
+    applyInPandasWithState kernel, so it surfaces through the
+    StreamingQueryException chain with this message intact.
+
+    Replay safety: Spark's state store is transactional per
+    micro-batch — a checkpoint-recovery replay re-invokes the kernel
+    with the PRE-batch state version, so a replayed batch sits above
+    the rolled-back mark and does not trip this.  (The SCD2 sink needs
+    the extra covered-run check in scd_sink.py:~200 only because its
+    high-water mark lives in an external table that does NOT roll back
+    with the stream.)  The repair for a genuinely reordered feed is
+    the batch derivation, as both kernels document."""
+
+    def __init__(self, kind: str, key, offending, mark):
+        self.kind, self.key = kind, key
+        self.offending, self.mark = offending, mark
+        super().__init__(
+            f"out-of-order feed in {kind} kernel for key {key!r}: "
+            f"event (ts_us, event_id)={offending} at or below the "
+            f"group's high-water mark {mark}; this violates the "
+            f"in-order slicing contract — repair via the batch query"
+        )
+
+
 def ts_us(s: pd.Series) -> pd.Series:
     """Epoch microseconds from a timestamp series, independent of the
     datetime64 resolution Arrow delivered (ns under pandas' classic

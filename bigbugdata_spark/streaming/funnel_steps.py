@@ -17,9 +17,13 @@ batch derivation for any micro-batch SLICING of a per-user
 time-ordered feed (each batch walked in (ts, event_id) order, the step
 clock carried across batches).  A cross-batch REORDERED feed can
 change which signup/click is "first"; the repair is the batch
-derivation (stated, like the path buffer — there is no monotone
-shortcut for a funnel whose step-2 deadline anchors to the step-1
-time).
+derivation — there is no monotone shortcut for a funnel whose step-2
+deadline anchors to the step-1 time.  Since r14 the contract is
+ENFORCED, not just stated (VERDICT r13 #2): state carries the
+per-user high-water (ts_us, event_id) mark and a batch whose first
+sorted row sits at or below it raises OutOfOrderFeedError instead of
+silently mis-clocking.  Replay is safe — the state store rolls back
+with the batch (see the exception's docstring in streaming/core.py).
 
 Gated by the batch query's oracle VERBATIM (stream == batch is the
 claim).
@@ -45,7 +49,11 @@ from bigbugdata_spark.operators.events_funnel_steps import (
     STEP_WINDOW_US,
 )
 from bigbugdata_spark.registry import register
-from bigbugdata_spark.streaming.core import _run_to_memory, stream_events
+from bigbugdata_spark.streaming.core import (
+    OutOfOrderFeedError,
+    _run_to_memory,
+    stream_events,
+)
 from bigbugdata_spark.streaming.core import ts_us as _ts_us
 
 _OUTPUT_SCHEMA = T.StructType(
@@ -57,11 +65,15 @@ _OUTPUT_SCHEMA = T.StructType(
 
 #: the funnel clock: first-signup us, qualifying-click us (both -1 =
 #: not reached), purchase-attained flag — O(1) per user, no cap needed
+#: — plus the high-water (ts_us, event_id) mark of the last event
+#: walked (-1/-1 = none yet), the out-of-order detector (r14)
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("t1_us", T.LongType()),
         T.StructField("t2_us", T.LongType()),
         T.StructField("done", T.BooleanType()),
+        T.StructField("hw_us", T.LongType()),
+        T.StructField("hw_eid", T.LongType()),
     ]
 )
 
@@ -75,12 +87,24 @@ def _advance_funnel(
 ) -> Iterator[pd.DataFrame]:
     """Walk the user's rows in (ts, event_id) order, advancing the
     step clock; emit (user_id, step) once per newly-attained step."""
-    t1, t2, done = state.get if state.exists else (_UNSET, _UNSET, False)
+    t1, t2, done, hw_us, hw_eid = (
+        state.get if state.exists else (_UNSET, _UNSET, False, -1, -1)
+    )
     steps: list[int] = []
     chunks = [pdf for pdf in batches if len(pdf)]
     if chunks:
         pdf = pd.concat(chunks, ignore_index=True)
         pdf = pdf.assign(us=_ts_us(pdf["ts"])).sort_values(["us", "event_id"])
+        # out-of-order detector: the batch is sorted, so the whole
+        # batch sits above the mark iff its FIRST row does (the mark
+        # rolls back with the state store on replay — see
+        # OutOfOrderFeedError's docstring)
+        first = pdf.iloc[0]
+        lo = (int(first["us"]), int(first["event_id"]))
+        if lo <= (hw_us, hw_eid):
+            raise OutOfOrderFeedError("funnel", key, lo, (hw_us, hw_eid))
+        last = pdf.iloc[-1]
+        hw_us, hw_eid = int(last["us"]), int(last["event_id"])
         for r in pdf.itertuples(index=False):
             us = int(r.us)
             if t1 == _UNSET:
@@ -101,7 +125,7 @@ def _advance_funnel(
                 ):
                     done = True
                     steps.append(3)
-    state.update((t1, t2, done))
+    state.update((t1, t2, done, hw_us, hw_eid))
     if steps:
         yield pd.DataFrame({"user_id": [key[0]] * len(steps), "step": steps})
 

@@ -28,7 +28,13 @@ carried across batches).  Cross-batch reordering changes what "the
 path" meant at emission; the repair is the batch derivation.  Unlike
 last-touch there is no monotone shortcut for a reordered path — an
 out-of-order touch belongs in the MIDDLE of a path — so the contract
-stays prefix-only, stated, and tested by a multi-slice equality.
+stays prefix-only, and since r14 it is ENFORCED, not just stated
+(VERDICT r13 #2, the scd_sink.py pattern brought inside the kernel):
+state carries the per-user high-water (ts_us, event_id) mark, and a
+batch whose first sorted row sits at or below it raises
+OutOfOrderFeedError instead of silently mis-crediting.  Replay is
+safe — the state store rolls back with the batch (see the exception's
+docstring in streaming/core.py).
 
 Gated by the batch query's oracle VERBATIM (stream == batch is the
 claim).
@@ -52,7 +58,11 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from bigbugdata_spark.functions.fragments import cents_col
 from bigbugdata_spark.operators.events_mta import MTA_ORACLE_SQL
 from bigbugdata_spark.registry import register
-from bigbugdata_spark.streaming.core import _run_to_memory, stream_events
+from bigbugdata_spark.streaming.core import (
+    OutOfOrderFeedError,
+    _run_to_memory,
+    stream_events,
+)
 from bigbugdata_spark.streaming.core import ts_us as _ts_us
 
 _SEP = "\x1f"
@@ -72,11 +82,15 @@ _OUTPUT_SCHEMA = T.StructType(
 )
 
 #: the ordered touch-type path since the last purchase, \x1f-joined
-#: ('' = empty path), plus its length (avoids re-splitting to count)
+#: ('' = empty path), plus its length (avoids re-splitting to count),
+#: plus the high-water (ts_us, event_id) mark of the last event walked
+#: (-1/-1 = none yet) — the out-of-order detector (VERDICT r13 #2)
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType()),
         T.StructField("path_len", T.LongType()),
+        T.StructField("hw_us", T.LongType()),
+        T.StructField("hw_eid", T.LongType()),
     ]
 )
 
@@ -91,10 +105,10 @@ def _credit_path(
     from collections import deque
 
     if state.exists:
-        path_s, _n = state.get
+        path_s, _n, hw_us, hw_eid = state.get
         prior = path_s.split(_SEP) if path_s else []
     else:
-        prior = []
+        prior, hw_us, hw_eid = [], -1, -1
     # maxlen enforces the last-K-touch degrade as appends arrive
     path: deque[str] = deque(prior, maxlen=MTA_PATH_CAP)
     out_type: list[str] = []
@@ -107,6 +121,16 @@ def _credit_path(
         pdf = pdf.assign(ts_us=_ts_us(pdf["ts"])).sort_values(
             ["ts_us", "event_id"]
         )
+        # out-of-order detector: the batch is sorted, so the whole
+        # batch sits above the mark iff its FIRST row does (the mark
+        # rolls back with the state store on replay — see
+        # OutOfOrderFeedError's docstring)
+        first = pdf.iloc[0]
+        lo = (int(first["ts_us"]), int(first["event_id"]))
+        if lo <= (hw_us, hw_eid):
+            raise OutOfOrderFeedError("mta", key, lo, (hw_us, hw_eid))
+        last = pdf.iloc[-1]
+        hw_us, hw_eid = int(last["ts_us"]), int(last["event_id"])
         for r in pdf.itertuples(index=False):
             if r.event_type == "purchase":
                 cents = int(r.cents)
@@ -128,7 +152,7 @@ def _credit_path(
                 path.clear()
             else:
                 path.append(str(r.event_type))
-    state.update((_SEP.join(path), len(path)))
+    state.update((_SEP.join(path), len(path), hw_us, hw_eid))
     if out_type:
         yield pd.DataFrame({"touch_type": out_type, "credit": out_credit})
 

@@ -326,7 +326,8 @@ def test_stream_mta_kernel_path_and_reset():
         )
     )
     assert list(zip(out["touch_type"], out["credit"])) == [("click", 50), ("view", 50)]
-    assert s.get == ("", 0)  # path reset after the purchase
+    # path reset after the purchase; high-water mark at the last event
+    assert s.get == ("", 0, 3_000_000, 30)
     # next purchase with no new touches -> organic; 3-way split with
     # remainder to the LAST touch: 101 over [a,b,c] -> 33,33,35
     out2 = pd.concat(

@@ -424,7 +424,7 @@ def test_stream_mta_at_cap_equals_uncapped_batch_math():
     assert list(out["touch_type"]) == [f"t{i}" for i in range(cap)]
     base, rem = 10, 3  # (10*cap+3) div cap / mod cap
     assert list(out["credit"]) == [base] * (cap - 1) + [base + rem]
-    assert s.get == ("", 0)
+    assert s.get == ("", 0, (cap + 1) * 1_000_000, cap + 1)
 
 
 def test_stream_mta_over_cap_credits_last_k_exactly():
@@ -488,7 +488,7 @@ def test_stream_funnel_kernel_steps_and_deadlines():
         (7, 101 + w_s, 2, "click", 0),        # one second past t1+6h
         (7, 102 + w_s, 3, "purchase", 0),
     ]) == [1]
-    assert s2.get == (100_000_000, -1, False)
+    assert s2.get == (100_000_000, -1, False, (102 + w_s) * 1_000_000, 3)
 
     # step-3 clock anchors to the QUALIFYING click, not the signup
     s3 = _State()

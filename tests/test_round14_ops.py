@@ -1,0 +1,361 @@
+"""Round-14 invariants.
+
+The round's charter (VERDICT r13): enforce, don't just document, the
+ordering contract of the two newest stateful kernels.
+
+1. Out-of-order detection (VERDICT r13 #2): the MTA path buffer and
+   the funnel step clock carry a per-user high-water (ts_us, event_id)
+   mark in state; a batch delivering an event at or below it raises
+   OutOfOrderFeedError instead of silently mis-crediting /
+   mis-clocking.  Pinned at the kernel level (planted reorder raises,
+   replay with rolled-back state equals the first delivery) and
+   through the actual streaming engine (a two-file reordered feed
+   fails the query with the error's message intact).
+
+2. Engine-level slicing fuzz (VERDICT r13 #7a): random in-order
+   micro-batch slicings of a funnel feed driven through the REAL
+   engine (maxFilesPerTrigger=1, one file per slice) must reproduce
+   the one-shot result — the kernel-level hypothesis property of
+   commit 83dd063, now across the state-store round-trip.
+
+3. MTA fixture-liveness lint (ADVICE r13 #2): the stream==batch oracle
+   gate silently depends on every fixture user's inter-purchase run
+   staying under MTA_PATH_CAP — assert the fixture's max run sits
+   comfortably below the cap, so a future testdata regeneration with a
+   longer purchase-free run reads as a fixture problem, not a kernel
+   regression.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bigbugdata_spark.registry import load_all
+from bigbugdata_spark.streaming.core import OutOfOrderFeedError
+
+SPECS = load_all()
+
+
+class _State:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+def _chunk(rows):
+    return pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows], unit="s"),
+            "event_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "cents": [r[4] for r in rows],
+        }
+    )
+
+
+def _mta_run(state, rows):
+    from bigbugdata_spark.streaming.mta import _credit_path
+
+    out = list(_credit_path((1,), iter([_chunk(rows)]), state))
+    return pd.concat(out) if out else None
+
+
+def _funnel_run(state, rows):
+    from bigbugdata_spark.streaming.funnel_steps import _advance_funnel
+
+    out = list(_advance_funnel((7,), iter([_chunk(rows)]), state))
+    return list(pd.concat(out)["step"]) if out else []
+
+
+# --- kernel-level out-of-order detection (VERDICT r13 #2) -------------------
+
+
+def test_mta_kernel_raises_on_reordered_feed():
+    """A batch delivering an event strictly below the mark raises; so
+    does an event AT the mark (a same-(ts,eid) redelivery outside the
+    state store's transactional replay is a duplicate, not a replay)."""
+    s = _State()
+    _mta_run(s, [(1, 10, 1, "click", 0), (1, 20, 2, "view", 0)])
+    with pytest.raises(OutOfOrderFeedError, match="out-of-order feed in mta"):
+        _mta_run(s, [(1, 15, 3, "click", 0)])  # strictly below the mark
+    s2 = _State()
+    _mta_run(s2, [(1, 10, 1, "click", 0), (1, 20, 2, "view", 0)])
+    with pytest.raises(OutOfOrderFeedError):
+        _mta_run(s2, [(1, 20, 2, "view", 0)])  # at the mark exactly
+    # same ts as the mark but a HIGHER event_id is in-order (ties break
+    # on event_id, the kernels' sort key)
+    s3 = _State()
+    _mta_run(s3, [(1, 10, 1, "click", 0), (1, 20, 2, "view", 0)])
+    _mta_run(s3, [(1, 20, 3, "click", 0)])
+    assert s3.get[1] == 3  # all three touches buffered, no raise
+
+
+def test_funnel_kernel_raises_on_reordered_feed():
+    s = _State()
+    assert _funnel_run(s, [(7, 100, 1, "signup", 0)]) == [1]
+    with pytest.raises(
+        OutOfOrderFeedError, match="out-of-order feed in funnel"
+    ):
+        _funnel_run(s, [(7, 99, 2, "click", 0)])  # below the mark
+    s2 = _State()
+    assert _funnel_run(s2, [(7, 100, 1, "signup", 0)]) == [1]
+    with pytest.raises(OutOfOrderFeedError):
+        _funnel_run(s2, [(7, 100, 1, "signup", 0)])  # at the mark
+
+
+def test_kernels_replay_with_rolled_back_state_equals_first_delivery():
+    """Spark's state store is transactional per micro-batch: a
+    checkpoint-recovery replay re-invokes the kernel with the
+    PRE-batch state version.  Model exactly that — snapshot the fake
+    state, run a batch, roll back, run the same batch again — and the
+    emissions and post-state must be identical, with no raise."""
+    s = _State()
+    _mta_run(s, [(1, 10, 1, "click", 0), (1, 20, 2, "view", 0)])
+    snap = s.get
+    batch = [(1, 30, 3, "search", 0), (1, 40, 4, "purchase", 100)]
+    first = _mta_run(s, batch)
+    after = s.get
+    s._v = snap  # the rollback
+    replay = _mta_run(s, batch)
+    assert list(map(tuple, first.itertuples(index=False))) == list(
+        map(tuple, replay.itertuples(index=False))
+    )
+    assert s.get == after
+
+    f = _State()
+    _funnel_run(f, [(7, 100, 1, "signup", 0)])
+    snap = f.get
+    batch = [(7, 200, 2, "click", 0), (7, 300, 3, "purchase", 0)]
+    first = _funnel_run(f, batch)
+    after = f.get
+    f._v = snap
+    assert _funnel_run(f, batch) == first
+    assert f.get == after
+
+
+# --- engine-level: the raise propagates, in-order slicing reproduces -------
+
+
+def _write_slice_files(tmp_path, slices):
+    """One parquet file per slice under events.parquet/, mtimes
+    strictly increasing so the file stream (latestFirst=false, oldest
+    first) delivers them in slice order, one per micro-batch."""
+    import os
+    import shutil
+
+    root = tmp_path / "events.parquet"
+    if root.exists():
+        shutil.rmtree(root)
+    root.mkdir(parents=True)
+    base = dt.datetime(2024, 1, 1)
+    paths = []
+    for i, sl in enumerate(slices):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [r[2] for r in sl],
+                "ts": [base + dt.timedelta(seconds=r[1]) for r in sl],
+                "user_id": [r[0] for r in sl],
+                "event_type": [r[3] for r in sl],
+                "value": [float(r[4]) / 100.0 for r in sl],
+                "props": ["{}"] * len(sl),
+            }
+        )
+        p = root / f"slice_{i:03d}.parquet"
+        pdf.to_parquet(p)
+        t = 1_700_000_000 + i * 10
+        os.utime(p, (t, t))
+        paths.append(p)
+    return paths
+
+
+def _one_file_per_batch_run(spark, tmp_path, build):
+    """Run `build(ev_stream)` to a memory sink with one slice file per
+    micro-batch; returns the materialized table."""
+    from bigbugdata_spark.catalog import (
+        _events_session_confs,
+        normalize_events_ts,
+    )
+    from bigbugdata_spark.streaming.core import _run_to_memory
+
+    _events_session_confs(spark)
+    raw_schema = spark.read.parquet(str(tmp_path / "events.parquet")).schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "events.parque[t]"))
+    )
+    return _run_to_memory(build(normalize_events_ts(raw)), "append")
+
+
+def test_stream_mta_reordered_feed_fails_through_engine(spark, tmp_path):
+    """Two files, the LATER events in the older file: the second
+    micro-batch arrives below user 1's high-water mark and the query
+    must fail with the kernel's out-of-order message — not commit a
+    silently mis-credited path."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from bigbugdata_spark.functions.fragments import cents_col
+    from bigbugdata_spark.streaming.mta import (
+        _OUTPUT_SCHEMA,
+        _STATE_SCHEMA,
+        _credit_path,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    slices = [
+        [(1, 100, 1, "click", 0), (1, 200, 2, "view", 0)],
+        [(1, 150, 3, "click", 0)],  # below the mark set by batch 1
+    ]
+    _write_slice_files(tmp_path, slices)
+
+    def build(ev):
+        return (
+            ev.select(
+                "user_id",
+                "ts",
+                "event_id",
+                "event_type",
+                cents_col().alias("cents"),
+            )
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _credit_path,
+                outputStructType=_OUTPUT_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+
+    with pytest.raises(StreamingQueryException, match="out-of-order feed"):
+        _one_file_per_batch_run(spark, tmp_path, build)
+
+
+def test_stream_funnel_engine_slicing_fuzz(spark, tmp_path, sf_oracle):
+    """Random in-order slicings through the REAL engine (VERDICT r13
+    #7a): a seeded funnel feed cut at random boundaries into one file
+    per micro-batch must reproduce the one-shot batch result — the
+    83dd063 kernel property, now across the state-store round-trip."""
+    import random
+
+    rng = random.Random(1406)
+    rows = []
+    ts = 0
+    eid = 0
+    kinds = ["click", "view", "signup", "purchase", "search"]
+    for _ in range(120):
+        ts += rng.randint(1, 9000)
+        eid += 1
+        rows.append((rng.randint(1, 6), ts, eid, rng.choice(kinds), 0))
+    # the batch twin's answer on the same feed, via one-slice streaming
+    # is itself under test — derive the expectation from the registered
+    # BATCH query over the same parquet
+    _write_slice_files(tmp_path, [rows])
+    want = [
+        tuple(r)
+        for r in SPECS["evt_funnel_steps"].fn(spark, str(tmp_path)).collect()
+    ]
+    from bigbugdata_spark.streaming.funnel_steps import (
+        evt_stream_funnel_steps,
+    )
+
+    for trial in range(2):
+        cuts = sorted(rng.sample(range(1, len(rows)), rng.randint(2, 5)))
+        slices, prev = [], 0
+        for c in [*cuts, len(rows)]:
+            if rows[prev:c]:
+                slices.append(rows[prev:c])
+            prev = c
+        _write_slice_files(tmp_path, slices)
+        # the registered streaming query reads the same directory; the
+        # default file stream delivers every available file in ONE
+        # availableNow batch, so force one-file-per-batch via the
+        # harness to make the slicing real
+        from bigbugdata_spark.functions.fragments import cents_col  # noqa: F401
+        from bigbugdata_spark.streaming.funnel_steps import (
+            _OUTPUT_SCHEMA,
+            _STATE_SCHEMA,
+            _advance_funnel,
+        )
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        def build(ev):
+            return (
+                ev.select("user_id", "ts", "event_id", "event_type")
+                .groupBy("user_id")
+                .applyInPandasWithState(
+                    _advance_funnel,
+                    outputStructType=_OUTPUT_SCHEMA,
+                    stateStructType=_STATE_SCHEMA,
+                    outputMode="append",
+                    timeoutConf=GroupStateTimeout.NoTimeout,
+                )
+            )
+
+        emitted = _one_file_per_batch_run(spark, tmp_path, build)
+        got_steps = sorted(
+            (r["user_id"], r["step"]) for r in emitted.collect()
+        )
+        # fold the emissions through the same rollup the registered
+        # query applies, via the batch twin's expectation
+        n1 = sum(1 for _, s in got_steps if s == 1)
+        n2 = sum(1 for _, s in got_steps if s == 2)
+        n3 = sum(1 for _, s in got_steps if s == 3)
+        w = want[0]
+        assert (n1, n2, n3) == (w[0], w[1], w[2]), f"trial {trial}: {cuts}"
+
+
+# --- MTA fixture-liveness lint (ADVICE r13 #2) ------------------------------
+
+
+def test_mta_fixture_runs_sit_far_below_path_cap(spark, sf_oracle):
+    """The stream==batch claim for evt_stream_multi_touch is verbatim
+    only below MTA_PATH_CAP; assert the oracle fixture's longest
+    inter-purchase run (per user, trailing run included) stays under a
+    quarter of the cap, so fixture drift fails HERE with a pointer to
+    the cap rather than as an inscrutable parity mismatch."""
+    from pyspark.sql import Window
+
+    from bigbugdata_spark.catalog import table
+    from bigbugdata_spark.streaming.mta import MTA_PATH_CAP
+
+    ev = table(spark, sf_oracle, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = ev.withColumn(
+        "seg",
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).over(w),
+    )
+    max_run = (
+        seg.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "seg")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_run is not None and max_run * 4 < MTA_PATH_CAP, (
+        f"fixture max inter-purchase run {max_run} is within 4x of "
+        f"MTA_PATH_CAP={MTA_PATH_CAP}: the stream==batch oracle gate "
+        f"would degrade-by-design, not by bug — regenerate the fixture "
+        f"or raise the cap"
+    )
