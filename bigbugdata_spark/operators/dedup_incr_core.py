@@ -176,6 +176,30 @@ def sweep_stale_generations(
                     shutil.rmtree(d, ignore_errors=True)
 
 
+def publish_generation(tmp, loc) -> None:
+    """Move a COMPLETED tmp build into its generation location,
+    surviving the two-publisher rename race (ADVICE r13 #1): the
+    rmtree-then-rename replacement is two steps, so a loser's rename
+    can land on the winner's just-renamed non-empty directory and fail
+    with ENOTEMPTY.  Generation builds are deterministic per
+    fingerprint (content + algo version), so any winner's completed
+    artifact is byte-equivalent — on rename failure, verify the target
+    carries _SUCCESS and adopt it, discarding our copy; anything else
+    (a half-written target) re-raises, which is the rebuild path."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    tmp, loc = Path(tmp), Path(loc)
+    shutil.rmtree(loc, ignore_errors=True)
+    try:
+        os.rename(tmp, loc)
+    except OSError:
+        if not (loc / "_SUCCESS").exists():
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def remove_incomplete_locations(names: tuple[str, ...]) -> None:
     """An INCOMPLETE directory may survive from a dead session
     (external-table location conflict) — stale by definition, remove

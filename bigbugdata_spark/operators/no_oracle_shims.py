@@ -32,7 +32,19 @@ from bigbugdata_spark.operators.dedup import dedup_emb_lsh
 from bigbugdata_spark.operators.events_ext import evt_value_quantiles_approx
 from bigbugdata_spark.operators.similarity import sim_ivf_topk
 from bigbugdata_spark.operators.text_ext import text_vocab_approx
-from bigbugdata_spark.registry import register
+from bigbugdata_spark.registry import REGISTRY, register
+
+# The ordering contract made LOUD (ADVICE r13 #3): this module's four
+# registrations must land PAST the driver's 50-slot cap, which holds
+# only if every cap module precedes it in registry._QUERY_MODULES.
+# The comment there can silently go stale under a reordering (the
+# imports above would still succeed); this can't.
+assert len(REGISTRY) >= 50, (
+    f"no_oracle_shims imported after only {len(REGISTRY)} registrations "
+    f"— its rows-only queries would land INSIDE the driver's 50-slot "
+    f"cap and burn slots on err:no_oracle rows (VERDICT r12 #2); move "
+    f"this module to the tail of registry._QUERY_MODULES"
+)
 
 register("dedup_emb_lsh", tags=("dedup", "join"))(dedup_emb_lsh)
 register("sim_ivf_topk", tags=("similarity", "window"))(sim_ivf_topk)

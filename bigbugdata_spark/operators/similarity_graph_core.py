@@ -179,14 +179,18 @@ def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep_stale_generations(spark, (_EDGES_PREFIX,), fp)
     loc = Path(index_path(f"{_EDGES_PREFIX}{fp}"))
     if not (loc / "_SUCCESS").exists():
-        import os
         import shutil
+
+        from bigbugdata_spark.operators.dedup_incr_core import (
+            publish_generation,
+        )
 
         tmp = loc.with_name(loc.name + ".tmp")
         shutil.rmtree(tmp, ignore_errors=True)
         _build_knn_plan(spark, sf_dir).write.mode("overwrite").parquet(str(tmp))
-        shutil.rmtree(loc, ignore_errors=True)
-        os.rename(tmp, loc)
+        # race-safe publish (ADVICE r13 #1): a concurrent same-
+        # fingerprint winner's artifact is adopted, not collided with
+        publish_generation(tmp, loc)
     out = spark.read.parquet(str(loc)).localCheckpoint()
     _MEMO[key] = out
     return out

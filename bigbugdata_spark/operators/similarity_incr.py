@@ -126,6 +126,7 @@ def ivf_index_generation(
     from bigbugdata_spark.operators.dedup_incr_core import (
         ensure_index_root,
         index_path,
+        publish_generation,
         sweep_stale_generations,
     )
 
@@ -135,7 +136,6 @@ def ivf_index_generation(
     if not (
         (cb_loc / "_SUCCESS").exists() and (cnt_loc / "_SUCCESS").exists()
     ):
-        import os
         import shutil
 
         from bigbugdata_spark.functions.fragments import scaled_ivf_k
@@ -159,10 +159,10 @@ def ivf_index_generation(
         cnt_tmp = cnt_loc.with_name(cnt_loc.name + ".tmp")
         shutil.rmtree(cnt_tmp, ignore_errors=True)
         counts.write.mode("overwrite").parquet(str(cnt_tmp))
-        shutil.rmtree(cnt_loc, ignore_errors=True)
-        os.rename(cnt_tmp, cnt_loc)
-        shutil.rmtree(cb_loc, ignore_errors=True)
-        os.rename(cb_tmp, cb_loc)
+        # race-safe publish (ADVICE r13 #1): a concurrent same-
+        # fingerprint winner's artifact is adopted, not collided with
+        publish_generation(cnt_tmp, cnt_loc)
+        publish_generation(cb_tmp, cb_loc)
     return (
         spark.read.parquet(str(cb_loc)),
         spark.read.parquet(str(cnt_loc)),

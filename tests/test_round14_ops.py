@@ -320,6 +320,72 @@ def test_stream_funnel_engine_slicing_fuzz(spark, tmp_path, sf_oracle):
         assert (n1, n2, n3) == (w[0], w[1], w[2]), f"trial {trial}: {cuts}"
 
 
+# --- generation publish race (ADVICE r13 #1) --------------------------------
+
+
+def test_publish_generation_adopts_concurrent_winner(tmp_path, monkeypatch):
+    """Two sessions building the same fingerprint: the loser's rename
+    lands on the winner's just-renamed non-empty directory and fails
+    with ENOTEMPTY.  The deterministic build makes any COMPLETED
+    winner artifact equivalent — the loser must adopt it (tmp
+    discarded, target untouched); a rename failure onto a target
+    WITHOUT _SUCCESS must still raise (that's a half-written dir, and
+    rebuilding is the correct response)."""
+    import errno
+    import os
+
+    from bigbugdata_spark.operators.dedup_incr_core import (
+        publish_generation,
+    )
+
+    def _racing_rename(winner_success):
+        def fake(src, dst):
+            # the winner publishes between our rmtree and our rename
+            os.makedirs(dst)
+            if winner_success:
+                (tmp_path / os.path.basename(dst) / "_SUCCESS").touch()
+            raise OSError(errno.ENOTEMPTY, "Directory not empty", dst)
+
+        return fake
+
+    # adopt path: winner completed -> our tmp is discarded, loc stands
+    tmp = tmp_path / "gen_abc.tmp"
+    loc = tmp_path / "gen_abc"
+    tmp.mkdir()
+    (tmp / "part-0.parquet").touch()
+    monkeypatch.setattr(os, "rename", _racing_rename(winner_success=True))
+    publish_generation(tmp, loc)
+    assert (loc / "_SUCCESS").exists() and not tmp.exists()
+
+    # re-raise path: the colliding target is half-written (no _SUCCESS)
+    tmp2 = tmp_path / "gen_def.tmp"
+    loc2 = tmp_path / "gen_def"
+    tmp2.mkdir()
+    monkeypatch.setattr(os, "rename", _racing_rename(winner_success=False))
+    with pytest.raises(OSError):
+        publish_generation(tmp2, loc2)
+    assert tmp2.exists()  # our build survives for the retry/rebuild
+
+
+def test_publish_generation_normal_path(tmp_path):
+    """No race: tmp moves into place wholesale, replacing any stale
+    prior generation directory."""
+    from bigbugdata_spark.operators.dedup_incr_core import (
+        publish_generation,
+    )
+
+    tmp = tmp_path / "gen_x.tmp"
+    loc = tmp_path / "gen_x"
+    tmp.mkdir()
+    (tmp / "_SUCCESS").touch()
+    loc.mkdir()
+    (loc / "stale").touch()
+    publish_generation(tmp, loc)
+    assert (loc / "_SUCCESS").exists()
+    assert not (loc / "stale").exists()
+    assert not tmp.exists()
+
+
 # --- MTA fixture-liveness lint (ADVICE r13 #2) ------------------------------
 
 
