@@ -77,6 +77,19 @@ MODERN_HEADLINE = (
 # ±20-60% swings on unchanged code at iterations=2 as unadjudicable).
 ITERATIONS = 4
 
+#: per-name headline iteration overrides (r14, VERDICT r13 #3): the
+#: two queries whose r13 swings exceeded the drift envelope get min-of-8
+#: — a focused min-of-8 re-measurement this round read tpch_q8's runs
+#: as a still-declining JIT tail at iteration 4 (1.93, 1.51, 1.14,
+#: 1.03, 1.01, 0.92, 0.89, 0.90) and dedup_incremental's min at 0.784,
+#: BELOW both prior rounds; min-of-4 truncates that tail on a drifted
+#: session, which is the whole observed swing (no code change on
+#: either path r12->r13, git-verified — see tpch_regression_note).
+HEADLINE_ITERATIONS = {
+    "tpch_q8_market_share": 8,
+    "dedup_incremental": 8,
+}
+
 # BASELINE.md "large" fixture + measured reference numbers (single
 # thread, this machine): wall 13.7 s, peak RSS 875 MB.
 KRAKEN_SAMPLES = 48
@@ -259,6 +272,11 @@ X10_WALL_BUDGET_SEC = {
     # routing) — measured x10 wall 0.82 s / ratio 3.98 on the rebuild;
     # the budget is the same ingest-class gate as the gram/LSH paths
     "sim_ivf_incremental_assign": 1.5,
+    # r14 (VERDICT r13 #4): the batch-assign twin is the same
+    # ingest-class cycle (batch rows routed via supercells against the
+    # frozen codebook — batch-sized work by construction) and gets the
+    # sibling's gate verbatim; measured x10 wall 0.84 s / ratio 3.14
+    "sim_ivf_batch_assign": 1.5,
     # graph-spine build (r12, VERDICT r11 #1): the two-level-routed,
     # constant-cell build replaced the flat n^1.5 plan — measured
     # base 6.9 s -> x10 38.9 s, ratio 5.6 (was 33.2 / 260 s in r11).
@@ -276,6 +294,20 @@ X10_WALL_BUDGET_SEC = {
 #: measurement so a regression reads as a budget breach, not a shrug.
 X10_RATIO_BUDGET = {
     "sim_knn_graph": 12.0,
+    # r14 (VERDICT r13 #4): every >=2.5x probe carries a declared cost
+    # model, not a shrug.
+    # tpch_q9: the join tree is LINEAR in fact rows (part filter drives
+    # broadcast-side pruning; one shuffle agg) — linear at fixed cores
+    # is ratio 10; the observed 3.43 means the 0.26 s base is
+    # scheduler-overhead-dominated, so the gate is set at 6.0: far
+    # under linear, comfortable over measurement noise.
+    "tpch_q9_product_profit": 6.0,
+    # dedup_containment: inverted-gram candidate volume is
+    # collision-bound — linear in corpus growth at constant near-dup
+    # density (same model as the LSH band index; stop-gram cap bounds
+    # the skew tail) — so ratio 10 is the linear wall; observed 2.71,
+    # gate 6.0.
+    "dedup_containment": 6.0,
 }
 
 #: per-name iteration overrides: the graph builds are 40 s-scale
@@ -773,7 +805,7 @@ def main() -> None:
         spark.catalog.clearCache()
         runs = []
         try:
-            for _ in range(ITERATIONS):
+            for _ in range(HEADLINE_ITERATIONS.get(name, ITERATIONS)):
                 df = specs[name].fn(spark, SF_DIR)
                 t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
@@ -793,7 +825,7 @@ def main() -> None:
         spark.catalog.clearCache()
         runs = []
         try:
-            for _ in range(ITERATIONS):
+            for _ in range(HEADLINE_ITERATIONS.get(name, ITERATIONS)):
                 t0 = time.perf_counter()
                 df = specs[name].fn(spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
@@ -990,11 +1022,24 @@ def main() -> None:
         # a SPARK_GRAFT_PARITY_SF2=1 pytest run; embedding it (with
         # its age) makes the two-scale claim auditable per round.
         "sf2_sweep": _read_sf2_sweep(),
+        # r14 closing A/B (VERDICT r13 #5, the last first<=9s attempt):
+        # two plan-count-reduction variants measured in fresh processes,
+        # interleaved order, fixture page-cache pre-warmed, 3 e2e runs
+        # each x2 trials: (B) fuse the matrix sinks' coalesce+sort into
+        # the pinned pivot so both sinks are projection-only writes —
+        # firsts 11.16/11.60 vs HEAD 12.39/10.19; (C) whole-stage
+        # codegen OFF scoped to the sink section — firsts 12.59/10.58.
+        # No variant beats HEAD's best by >=0.7 s; the spread between
+        # identical-variant trials (~1.5-2 s) exceeds any between-
+        # variant delta.  The note below is FINAL: first-run cost is
+        # per-plan janino on the big shared plans (parse/rpm/z/pivot),
+        # which every variant still compiles.
         "first_note": (
             "kraken first-run gap over min is janino plan-compile "
             "(JVM pre-warmed by the query loop); generic warm cannot "
-            "pre-pay per-plan generated source. See bench.py comment "
-            "for the three measured A/Bs."
+            "pre-pay per-plan generated source. FINAL per the r14 "
+            "fused-sinks and scoped-codegen-off A/Bs (no >=0.7 s win; "
+            "see bench.py comment); three earlier A/Bs in r13."
         ),
         "pipe_regression_note": (
             "r12 pipe_training_corpus +24% raw attributed to "
@@ -1004,7 +1049,25 @@ def main() -> None:
             "refactor was oracle-SQL-only, byte-identical). See "
             "bench.py comment."
         ),
+        # r14 root-cause note (VERDICT r13 #1/#2 watch items): the r13
+        # +32% tpch_q8 / +23% dedup_incremental raw swings.  NOT code —
+        # git log shows zero changes on either query's composition
+        # r12->r13 (tpch_full.py, catalog.py, session.py, dedup_incr*.py
+        # all untouched between the two bench commits).  A min-of-8
+        # re-measurement this round read dedup_incremental at 0.784 s,
+        # BELOW both rounds' numbers, and q8's per-iteration series as a
+        # monotone-declining JIT tail still falling at iteration 4 —
+        # min-of-4 truncated that tail on a session whose canary drifted
+        # 1.14x.  Both queries now run min-of-8 (HEADLINE_ITERATIONS) so
+        # the tail is paid outside the min.
+        "tpch_regression_note": (
+            "r13 tpch_q8 +32% / dedup_incremental +23% raw attributed "
+            "to JIT-tail truncation at min-of-4 under canary drift; "
+            "code change excluded by git log on both paths; both now "
+            "min-of-8 via HEADLINE_ITERATIONS. See bench.py comment."
+        ),
         "iterations": ITERATIONS,
+        "iterations_overrides": HEADLINE_ITERATIONS,
         "agg": "min",
         "sf": sf_from_dir(SF_DIR),
         # fixed pure-CPU workload timed alongside the queries: this
