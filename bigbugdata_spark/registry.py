@@ -235,6 +235,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # packing (1), scd (1), tpch_full (11), text_ext (3) — all r4-r7-era.
 # As always: never rotate out a query whose newest fix lacks a driver
 # verdict, and re-check import drag if reordered.
+#
+# Round-15 rotation queue (plan): r14 added ZERO new registrations
+# (consolidation round), so the full 24 backfill slots go to the
+# stalest r4-r7-era verdicts: 26 permanent + multimodal (5) +
+# similarity (2) + profile (2) + dq (4) + tpch_full (11) = 50 exactly
+# (counts from this round's load_all; recount before reordering).
+# Still stale after r15: retrieval (1), packing (1), scd (1),
+# text_ext (3), kmeans/text/events refresh in r14.  Usual caveats:
+# any query CHANGED in r15 must stay in-cap, and re-check module-level
+# import drag on every module moved in.
 _QUERY_MODULES = (
     # ---- permanent slots 1-26 ----
     "bigbugdata_spark.operators.relational",
