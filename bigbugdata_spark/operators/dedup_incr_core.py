@@ -178,19 +178,28 @@ def sweep_stale_generations(
 
 def publish_generation(tmp, loc) -> None:
     """Move a COMPLETED tmp build into its generation location,
-    surviving the two-publisher rename race (ADVICE r13 #1): the
-    rmtree-then-rename replacement is two steps, so a loser's rename
-    can land on the winner's just-renamed non-empty directory and fail
-    with ENOTEMPTY.  Generation builds are deterministic per
-    fingerprint (content + algo version), so any winner's completed
-    artifact is byte-equivalent — on rename failure, verify the target
-    carries _SUCCESS and adopt it, discarding our copy; anything else
-    (a half-written target) re-raises, which is the rebuild path."""
+    surviving the two-publisher race (ADVICE r13 #1): generation builds
+    are deterministic per fingerprint (content + algo version), so any
+    winner's completed artifact is byte-equivalent.
+
+    NEVER delete a complete target (r14 self-review): a winner that
+    published while we were building may already be READING its
+    artifact, so a loser that rmtree'd it before renaming would fail
+    the winner mid-read and open an absent-artifact window for third
+    sessions.  Adoption is checked BEFORE touching the target; the
+    try/except then covers the remaining interleaving (winner's rename
+    lands between our check and our rename -> ENOTEMPTY): verify the
+    target carries _SUCCESS and adopt, discarding our copy.  A rename
+    failure onto a target without _SUCCESS (half-written) re-raises,
+    which is the rebuild path; our tmp survives for it."""
     import os
     import shutil
     from pathlib import Path
 
     tmp, loc = Path(tmp), Path(loc)
+    if (loc / "_SUCCESS").exists():
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
     shutil.rmtree(loc, ignore_errors=True)
     try:
         os.rename(tmp, loc)

@@ -38,13 +38,18 @@ from bigbugdata_spark.registry import REGISTRY, register
 # registrations must land PAST the driver's 50-slot cap, which holds
 # only if every cap module precedes it in registry._QUERY_MODULES.
 # The comment there can silently go stale under a reordering (the
-# imports above would still succeed); this can't.
-assert len(REGISTRY) >= 50, (
-    f"no_oracle_shims imported after only {len(REGISTRY)} registrations "
-    f"— its rows-only queries would land INSIDE the driver's 50-slot "
-    f"cap and burn slots on err:no_oracle rows (VERDICT r12 #2); move "
-    f"this module to the tail of registry._QUERY_MODULES"
-)
+# imports above would still succeed); this can't.  An explicit raise,
+# not `assert` — asserts are stripped under python -O, which would
+# silently restore the exact failure mode this guards against (r14
+# self-review).
+if len(REGISTRY) < 50:
+    raise RuntimeError(
+        f"no_oracle_shims imported after only {len(REGISTRY)} "
+        f"registrations — its rows-only queries would land INSIDE the "
+        f"driver's 50-slot cap and burn slots on err:no_oracle rows "
+        f"(VERDICT r12 #2); move this module to the tail of "
+        f"registry._QUERY_MODULES"
+    )
 
 register("dedup_emb_lsh", tags=("dedup", "join"))(dedup_emb_lsh)
 register("sim_ivf_topk", tags=("similarity", "window"))(sim_ivf_topk)

@@ -226,10 +226,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # rule says a changed query can't sit outside the cap without a fresh
 # driver verdict, so both stay in: events_mta (1, dragged by
 # streaming.mta's module-level import) + streaming.mta (1) +
-# similarity_incr (1) = 32.  The remaining 18 slots backfill the
-# stalest driver verdicts: operators.events (8 oracle'd queries, r5)
-# + text (9, r6) + kmeans (1, r7-era) = 50 exactly (counts verified
-# against a fresh load_all this round by tests/test_registry.py).
+# similarity_incr (1) = 32.  The remaining 18 slots: stalest-verdict
+# backfills operators.events (8 oracle'd queries, r5) + text (9, r6),
+# plus similarity_knn (1 — the kNN spine's publish path changed this
+# round and all spine consumers sit past the cap, so the changed-query
+# rule applies; found in the r14 self-review, displacing the kmeans
+# staleness pick) = 50 exactly (composition pinned by
+# tests/test_registry.py against CAP_BOUNDARY_MODULE below).
 # Pushed to the r15 queue by the deviation: multimodal (5, r6),
 # similarity (2, r6), profile (2, r6), dq (4), retrieval (1),
 # packing (1), scd (1), tpch_full (11), text_ext (3) — all r4-r7-era.
@@ -242,9 +245,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # similarity (2) + profile (2) + dq (4) + tpch_full (11) = 50 exactly
 # (counts from this round's load_all; recount before reordering).
 # Still stale after r15: retrieval (1), packing (1), scd (1),
-# text_ext (3), kmeans/text/events refresh in r14.  Usual caveats:
-# any query CHANGED in r15 must stay in-cap, and re-check module-level
-# import drag on every module moved in.
+# text_ext (3), kmeans (1 — displaced from the r14 cap by the
+# similarity_knn changed-path swap); text/events/similarity_knn
+# refresh in r14.  Usual caveats: any query CHANGED in r15 must stay
+# in-cap, and re-check module-level import drag on every module moved
+# in.  Keep CAP_BOUNDARY_MODULE below in sync with the boundary.
 _QUERY_MODULES = (
     # ---- permanent slots 1-26 ----
     "bigbugdata_spark.operators.relational",
@@ -269,10 +274,16 @@ _QUERY_MODULES = (
     # (ADVICE r13 #1); similarity_incr_batch imports it at module
     # level and now sits in the rotated-out tail (order preserved)
     "bigbugdata_spark.operators.similarity_incr",
-    # ---- stalest-verdict backfills (slots 33-50) ----
+    # ---- stalest-verdict backfills + changed-path coverage
+    # (slots 33-50) ----
     "bigbugdata_spark.operators.events",
     "bigbugdata_spark.operators.text",
-    "bigbugdata_spark.operators.kmeans",
+    # similarity_knn (1 reg, sim_knn_graph): the kNN spine's publish
+    # path changed this round (publish_generation, ADVICE r13 #1) and
+    # every spine consumer registers past the cap — the standing
+    # changed-query rule pulls the spine's own query in (r14
+    # self-review finding; kmeans returns to the r15 staleness queue)
+    "bigbugdata_spark.operators.similarity_knn",
     # ---- driver cap boundary (first 50 registrations end here) ----
     # rotated out in r14 (fresh CORRECTNESS_r13 rows):
     "bigbugdata_spark.operators.profile_hist",
@@ -375,8 +386,11 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.text_prefix",
     "bigbugdata_spark.operators.events_burst",
     "bigbugdata_spark.operators.corpus_budget",
-    "bigbugdata_spark.operators.similarity_knn",
+    # similarity_knn re-entered the cap in r14 (spine publish changed)
     "bigbugdata_spark.operators.similarity_cluster",
+    # kmeans left the r14 cap for similarity_knn (self-review swap);
+    # still r4-r7-stale — in the r15 queue
+    "bigbugdata_spark.operators.kmeans",
     # rotated out in r9 (fresh CORRECTNESS_r08 rows then):
     "bigbugdata_spark.operators.dq_ext",
     "bigbugdata_spark.operators.events_state",
@@ -407,6 +421,15 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.similarity_pq_topk",
     "bigbugdata_spark.operators.no_oracle_shims",
 )
+
+#: the module whose registrations END the driver's 50-slot cap — the
+#: "driver cap boundary" comment above, made machine-checkable (r14
+#: self-review: the boundary was comment-only; a drag/miscount that
+#: pushed an intended query out of the cap would have passed CI).
+#: tests/test_registry.py asserts the 50th registration comes from this
+#: module and the 51st from a later one.
+CAP_BOUNDARY_MODULE = "bigbugdata_spark.operators.similarity_knn"
+DRIVER_CAP = 50
 
 
 @dataclass

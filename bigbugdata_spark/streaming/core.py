@@ -37,14 +37,15 @@ class OutOfOrderFeedError(RuntimeError):
     with the stream.)  The repair for a genuinely reordered feed is
     the batch derivation, as both kernels document."""
 
-    def __init__(self, kind: str, key, offending, mark):
+    def __init__(self, kind: str, key, offending, mark, reason=None):
         self.kind, self.key = kind, key
         self.offending, self.mark = offending, mark
         super().__init__(
             f"out-of-order feed in {kind} kernel for key {key!r}: "
-            f"event (ts_us, event_id)={offending} at or below the "
-            f"group's high-water mark {mark}; this violates the "
-            f"in-order slicing contract — repair via the batch query"
+            f"event (ts_us, event_id)={offending} "
+            f"{reason or f'at or below the group high-water mark {mark}'}"
+            f"; this violates the in-order slicing contract — repair "
+            f"via the batch query"
         )
 
 

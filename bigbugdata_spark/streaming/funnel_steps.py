@@ -103,6 +103,19 @@ def _advance_funnel(
         lo = (int(first["us"]), int(first["event_id"]))
         if lo <= (hw_us, hw_eid):
             raise OutOfOrderFeedError("funnel", key, lo, (hw_us, hw_eid))
+        # and WITHIN the batch: event_id is unique in the feed
+        # contract, so an equal (us, event_id) pair is a duplicate
+        # redelivery the cross-batch mark can't see (r14 self-review)
+        dup = pdf.duplicated(subset=["us", "event_id"])
+        if dup.any():
+            d = pdf[dup].iloc[0]
+            raise OutOfOrderFeedError(
+                "funnel",
+                key,
+                (int(d["us"]), int(d["event_id"])),
+                (hw_us, hw_eid),
+                reason="duplicated within one micro-batch",
+            )
         last = pdf.iloc[-1]
         hw_us, hw_eid = int(last["us"]), int(last["event_id"])
         for r in pdf.itertuples(index=False):

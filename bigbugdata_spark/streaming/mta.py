@@ -129,6 +129,19 @@ def _credit_path(
         lo = (int(first["ts_us"]), int(first["event_id"]))
         if lo <= (hw_us, hw_eid):
             raise OutOfOrderFeedError("mta", key, lo, (hw_us, hw_eid))
+        # and WITHIN the batch: event_id is unique in the feed
+        # contract, so an equal (ts_us, event_id) pair is a duplicate
+        # redelivery the cross-batch mark can't see (r14 self-review)
+        dup = pdf.duplicated(subset=["ts_us", "event_id"])
+        if dup.any():
+            d = pdf[dup].iloc[0]
+            raise OutOfOrderFeedError(
+                "mta",
+                key,
+                (int(d["ts_us"]), int(d["event_id"])),
+                (hw_us, hw_eid),
+                reason="duplicated within one micro-batch",
+            )
         last = pdf.iloc[-1]
         hw_us, hw_eid = int(last["ts_us"]), int(last["event_id"])
         for r in pdf.itertuples(index=False):

@@ -105,6 +105,28 @@ def test_mta_kernel_raises_on_reordered_feed():
     assert s3.get[1] == 3  # all three touches buffered, no raise
 
 
+def test_kernels_raise_on_intra_batch_duplicate():
+    """A duplicate (ts_us, event_id) delivered twice WITHIN one
+    micro-batch sits above the cross-batch mark and would silently
+    process twice (a phantom touch / a double step candidate) — both
+    kernels must catch it in the sorted batch itself (r14
+    self-review)."""
+    with pytest.raises(OutOfOrderFeedError, match="duplicated within"):
+        _mta_run(
+            _State(),
+            [(1, 10, 1, "click", 0), (1, 10, 1, "click", 0)],
+        )
+    with pytest.raises(OutOfOrderFeedError, match="duplicated within"):
+        _funnel_run(
+            _State(),
+            [(7, 100, 1, "signup", 0), (7, 100, 1, "signup", 0)],
+        )
+    # same ts with DISTINCT event_ids is two real events, not a dup
+    s = _State()
+    _mta_run(s, [(1, 10, 1, "click", 0), (1, 10, 2, "view", 0)])
+    assert s.get[1] == 2
+
+
 def test_funnel_kernel_raises_on_reordered_feed():
     s = _State()
     assert _funnel_run(s, [(7, 100, 1, "signup", 0)]) == [1]
@@ -365,6 +387,30 @@ def test_publish_generation_adopts_concurrent_winner(tmp_path, monkeypatch):
     with pytest.raises(OSError):
         publish_generation(tmp2, loc2)
     assert tmp2.exists()  # our build survives for the retry/rebuild
+
+
+def test_publish_generation_never_deletes_a_complete_target(tmp_path):
+    """A winner that completed while we were building may already be
+    READING its artifact: the loser must adopt it WITHOUT the
+    rmtree-then-rename window (r14 self-review — the first fix only
+    covered the interleaving where the winner renamed between our
+    rmtree and our rename)."""
+    from bigbugdata_spark.operators.dedup_incr_core import (
+        publish_generation,
+    )
+
+    tmp = tmp_path / "gen_w.tmp"
+    loc = tmp_path / "gen_w"
+    tmp.mkdir()
+    (tmp / "part-9.parquet").touch()
+    loc.mkdir()
+    (loc / "_SUCCESS").touch()
+    (loc / "part-0.parquet").write_text("winner")
+    publish_generation(tmp, loc)
+    # the winner's artifact is byte-untouched; our copy is discarded
+    assert (loc / "part-0.parquet").read_text() == "winner"
+    assert not (loc / "part-9.parquet").exists()
+    assert not tmp.exists()
 
 
 def test_publish_generation_normal_path(tmp_path):
