@@ -342,6 +342,38 @@ def test_stream_funnel_engine_slicing_fuzz(spark, tmp_path, sf_oracle):
         assert (n1, n2, n3) == (w[0], w[1], w[2]), f"trial {trial}: {cuts}"
 
 
+def test_kernels_raise_on_any_injected_violation_property():
+    """Hypothesis extension of the 83dd063 slicing properties: take a
+    random in-order feed and a random slicing, then INJECT a violation
+    — either duplicate a random event into a later (or the same) slice
+    or move it there wholesale (a below-mark arrival) — and both
+    kernels must raise OutOfOrderFeedError at the violating slice, not
+    emit silently."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.data())
+    def run(data):
+        n = data.draw(st.integers(min_value=3, max_value=20))
+        rows, ts = [], 0
+        for i in range(n):
+            ts += data.draw(st.integers(min_value=1, max_value=1000))
+            kind = data.draw(
+                st.sampled_from(["click", "view", "purchase", "signup"])
+            )
+            rows.append((7, ts, i + 1, kind, 100 if kind == "purchase" else 0))
+        cut = data.draw(st.integers(min_value=1, max_value=n - 1))
+        victim = data.draw(st.integers(min_value=0, max_value=cut - 1))
+        slices = [rows[:cut], [rows[victim], *rows[cut:]]]
+        for runner in (_mta_run, _funnel_run):
+            s = _State()
+            runner(s, slices[0])
+            with pytest.raises(OutOfOrderFeedError):
+                runner(s, slices[1])
+
+    run()
+
+
 # --- generation publish race (ADVICE r13 #1) --------------------------------
 
 
