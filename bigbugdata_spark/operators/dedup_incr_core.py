@@ -182,31 +182,38 @@ def publish_generation(tmp, loc) -> None:
     are deterministic per fingerprint (content + algo version), so any
     winner's completed artifact is byte-equivalent.
 
-    NEVER delete a complete target (r14 self-review): a winner that
-    published while we were building may already be READING its
-    artifact, so a loser that rmtree'd it before renaming would fail
-    the winner mid-read and open an absent-artifact window for third
-    sessions.  Adoption is checked BEFORE touching the target; the
-    try/except then covers the remaining interleaving (winner's rename
-    lands between our check and our rename -> ENOTEMPTY): verify the
-    target carries _SUCCESS and adopt, discarding our copy.  A rename
-    failure onto a target without _SUCCESS (half-written) re-raises,
-    which is the rebuild path; our tmp survives for it."""
+    NEVER delete a complete target (r14 self-review, twice): rename
+    FIRST — a complete target can only come into being via another
+    publisher's whole-directory rename, and rename(2) refuses to land
+    on a non-empty directory, so the only loc this function ever
+    rmtree's is one it just observed to be non-empty WITHOUT _SUCCESS
+    (dead-session debris), a state no concurrent winner can upgrade
+    while the debris blocks its own rename.  On rename failure: a
+    _SUCCESS target is the winner's — adopt it, discarding our copy;
+    otherwise clear the debris and retry once; a second failure
+    without _SUCCESS re-raises (the rebuild path; our tmp survives
+    for it)."""
     import os
     import shutil
     from pathlib import Path
 
     tmp, loc = Path(tmp), Path(loc)
-    if (loc / "_SUCCESS").exists():
-        shutil.rmtree(tmp, ignore_errors=True)
-        return
-    shutil.rmtree(loc, ignore_errors=True)
-    try:
-        os.rename(tmp, loc)
-    except OSError:
-        if not (loc / "_SUCCESS").exists():
-            raise
-        shutil.rmtree(tmp, ignore_errors=True)
+    for attempt in (0, 1):
+        if (loc / "_SUCCESS").exists():
+            shutil.rmtree(tmp, ignore_errors=True)
+            return
+        try:
+            os.rename(tmp, loc)
+            return
+        except OSError:
+            if (loc / "_SUCCESS").exists():
+                shutil.rmtree(tmp, ignore_errors=True)
+                return
+            if attempt:
+                raise
+            # verified-incomplete debris from a dead session; a winner
+            # cannot complete loc while the debris blocks its rename
+            shutil.rmtree(loc, ignore_errors=True)
 
 
 def remove_incomplete_locations(names: tuple[str, ...]) -> None:

@@ -32,7 +32,7 @@ from bigbugdata_spark.operators.dedup import dedup_emb_lsh
 from bigbugdata_spark.operators.events_ext import evt_value_quantiles_approx
 from bigbugdata_spark.operators.similarity import sim_ivf_topk
 from bigbugdata_spark.operators.text_ext import text_vocab_approx
-from bigbugdata_spark.registry import REGISTRY, register
+from bigbugdata_spark.registry import DRIVER_CAP, REGISTRY, register
 
 # The ordering contract made LOUD (ADVICE r13 #3): this module's four
 # registrations must land PAST the driver's 50-slot cap, which holds
@@ -42,13 +42,13 @@ from bigbugdata_spark.registry import REGISTRY, register
 # not `assert` — asserts are stripped under python -O, which would
 # silently restore the exact failure mode this guards against (r14
 # self-review).
-if len(REGISTRY) < 50:
+if len(REGISTRY) < DRIVER_CAP:
     raise RuntimeError(
         f"no_oracle_shims imported after only {len(REGISTRY)} "
         f"registrations — its rows-only queries would land INSIDE the "
-        f"driver's 50-slot cap and burn slots on err:no_oracle rows "
-        f"(VERDICT r12 #2); move this module to the tail of "
-        f"registry._QUERY_MODULES"
+        f"driver's {DRIVER_CAP}-slot cap and burn slots on "
+        f"err:no_oracle rows (VERDICT r12 #2); move this module to "
+        f"the tail of registry._QUERY_MODULES"
     )
 
 register("dedup_emb_lsh", tags=("dedup", "join"))(dedup_emb_lsh)

@@ -6,39 +6,67 @@ boundary" in registry._QUERY_MODULES) plus a rows-only lint — a
 registration drag or module miscount that silently pushed an intended
 query out of the cap would have passed CI.  These tests make the
 boundary machine-checked against registry.CAP_BOUNDARY_MODULE.
+
+The order is computed in a FRESH SUBPROCESS, not this interpreter: any
+registering module imported before load_all() (e.g. a roundN test
+module's top-level import collected first, or pytest-xdist/-randomly
+orderings) perturbs in-process REGISTRY insertion order, while the
+driver always sees a fresh interpreter — the subprocess reproduces
+exactly that (second r14 self-review pass; the in-process form failed
+spuriously under `pytest tests/test_round11_ops.py tests/test_registry.py`).
 """
 
 from __future__ import annotations
 
+import json
+import subprocess
+import sys
+
+import pytest
+
 from bigbugdata_spark.registry import (
     CAP_BOUNDARY_MODULE,
     DRIVER_CAP,
-    REGISTRY,
     _QUERY_MODULES,
-    load_all,
 )
 
+_SNIPPET = """
+import json
+from bigbugdata_spark.registry import REGISTRY, load_all
 load_all()
-_NAMES = list(REGISTRY)
+print(json.dumps([
+    {"name": n, "module": s.fn.__module__, "rows_only": s.oracle is None}
+    for n, s in REGISTRY.items()
+]))
+"""
 
 
-def _mod(name: str) -> str:
-    return REGISTRY[name].fn.__module__
+@pytest.fixture(scope="module")
+def fresh_order():
+    out = subprocess.run(
+        [sys.executable, "-c", _SNIPPET],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        check=True,
+        timeout=300,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def test_cap_boundary_lands_exactly_on_declared_module():
+def test_cap_boundary_lands_exactly_on_declared_module(fresh_order):
     """The 50th registration must come from CAP_BOUNDARY_MODULE and the
     51st from a different module — the boundary sits on a module edge,
     exactly where the rotation comment says it does."""
-    assert len(_NAMES) > DRIVER_CAP
-    assert _mod(_NAMES[DRIVER_CAP - 1]) == CAP_BOUNDARY_MODULE
-    assert _mod(_NAMES[DRIVER_CAP]) != CAP_BOUNDARY_MODULE
+    assert len(fresh_order) > DRIVER_CAP
+    assert fresh_order[DRIVER_CAP - 1]["module"] == CAP_BOUNDARY_MODULE
+    assert fresh_order[DRIVER_CAP]["module"] != CAP_BOUNDARY_MODULE
     # and nothing from the boundary module leaks past the cap
-    after = {_mod(n) for n in _NAMES[DRIVER_CAP:]}
+    after = {e["module"] for e in fresh_order[DRIVER_CAP:]}
     assert CAP_BOUNDARY_MODULE not in after
 
 
-def test_cap_modules_equal_declared_prefix():
+def test_cap_modules_equal_declared_prefix(fresh_order):
     """The set of modules defining the first 50 registrations equals
     the _QUERY_MODULES prefix up to and including the boundary — a
     module-level import that DRAGS another registering module into the
@@ -54,7 +82,7 @@ def test_cap_modules_equal_declared_prefix():
             f"{CAP_BOUNDARY_MODULE} not in _QUERY_MODULES — update "
             f"CAP_BOUNDARY_MODULE alongside the rotation"
         )
-    got = {_mod(n) for n in _NAMES[:DRIVER_CAP]}
+    got = {e["module"] for e in fresh_order[:DRIVER_CAP]}
     assert got == set(prefix), (
         f"cap composition drifted from the declared prefix: "
         f"unexpected={sorted(got - set(prefix))}, "
@@ -62,11 +90,14 @@ def test_cap_modules_equal_declared_prefix():
     )
 
 
-def test_shim_module_registers_past_the_cap():
-    """The rows-only shim queries (no_oracle_shims + the two tail
-    modules) must all sit past the cap (VERDICT r12 #2); the shim's own
+def test_rows_only_registrations_sit_past_the_cap(fresh_order):
+    """The rows-only queries (no_oracle_shims + the two tail modules)
+    must all sit past the cap (VERDICT r12 #2); the shim's own
     import-time guard raises under a gross reordering, this pins the
-    exact slot positions."""
-    rows_only = [n for n in _NAMES if REGISTRY[n].oracle is None]
-    positions = {n: _NAMES.index(n) for n in rows_only}
-    assert all(p >= DRIVER_CAP for p in positions.values()), positions
+    exact slot positions in driver order."""
+    positions = {
+        e["name"]: i for i, e in enumerate(fresh_order) if e["rows_only"]
+    }
+    assert positions and all(
+        p >= DRIVER_CAP for p in positions.values()
+    ), positions

@@ -345,13 +345,16 @@ def test_stream_funnel_engine_slicing_fuzz(spark, tmp_path, sf_oracle):
 def test_kernels_raise_on_any_injected_violation_property():
     """Hypothesis extension of the 83dd063 slicing properties: take a
     random in-order feed and a random slicing, then INJECT a violation
-    — either duplicate a random event into a later (or the same) slice
-    or move it there wholesale (a below-mark arrival) — and both
+    in a drawn mode — a below-mark cross-batch arrival (an earlier
+    event re-sent in the second slice) or an intra-batch duplicate (a
+    second-slice event sent twice in that same slice) — and both
     kernels must raise OutOfOrderFeedError at the violating slice, not
-    emit silently."""
+    emit silently.  The mode draw guarantees BOTH detector branches
+    run (second r14 self-review pass: the first form only ever tripped
+    the cross-batch mark)."""
     from hypothesis import given, settings, strategies as st
 
-    @settings(max_examples=25, deadline=None)
+    @settings(max_examples=30, deadline=None)
     @given(st.data())
     def run(data):
         n = data.draw(st.integers(min_value=3, max_value=20))
@@ -363,13 +366,20 @@ def test_kernels_raise_on_any_injected_violation_property():
             )
             rows.append((7, ts, i + 1, kind, 100 if kind == "purchase" else 0))
         cut = data.draw(st.integers(min_value=1, max_value=n - 1))
-        victim = data.draw(st.integers(min_value=0, max_value=cut - 1))
-        slices = [rows[:cut], [rows[victim], *rows[cut:]]]
+        mode = data.draw(st.sampled_from(["below_mark", "intra_batch_dup"]))
+        if mode == "below_mark":
+            victim = data.draw(st.integers(min_value=0, max_value=cut - 1))
+            second = [rows[victim], *rows[cut:]]
+        else:
+            victim = data.draw(st.integers(min_value=cut, max_value=n - 1))
+            second = [*rows[cut:], rows[victim]]
         for runner in (_mta_run, _funnel_run):
             s = _State()
-            runner(s, slices[0])
-            with pytest.raises(OutOfOrderFeedError):
-                runner(s, slices[1])
+            runner(s, rows[:cut])
+            with pytest.raises(OutOfOrderFeedError) as exc:
+                runner(s, second)
+            if mode == "intra_batch_dup":
+                assert "duplicated within" in str(exc.value)
 
     run()
 
