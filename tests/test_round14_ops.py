@@ -24,6 +24,14 @@ ordering contract of the two newest stateful kernels.
    comfortably below the cap, so a future testdata regeneration with a
    longer purchase-free run reads as a fixture problem, not a kernel
    regression.
+
+4. Restart recovery (second r14 pass): a stopped query resumed on the
+   SAME checkpoint by a NEW query instance must decode the previous
+   instance's state rows — the MTA path buffer (order included), the
+   funnel step clock, and the high-water mark itself all have to
+   survive the store's cross-instance round-trip, which neither the
+   in-process rollback test nor the memory-sink harness exercises.
+   Driven through a parquet file sink + persistent checkpointLocation.
 """
 
 from __future__ import annotations
@@ -173,20 +181,24 @@ def test_kernels_replay_with_rolled_back_state_equals_first_delivery():
 # --- engine-level: the raise propagates, in-order slicing reproduces -------
 
 
-def _write_slice_files(tmp_path, slices):
+def _write_slice_files(tmp_path, slices, start=0):
     """One parquet file per slice under events.parquet/, mtimes
     strictly increasing so the file stream (latestFirst=false, oldest
-    first) delivers them in slice order, one per micro-batch."""
+    first) delivers them in slice order, one per micro-batch.  With
+    start>0, APPENDS the slices as files start.. without touching the
+    existing ones — phase-2 arrivals for the restart-recovery tests."""
     import os
     import shutil
 
     root = tmp_path / "events.parquet"
-    if root.exists():
-        shutil.rmtree(root)
-    root.mkdir(parents=True)
+    if start == 0:
+        if root.exists():
+            shutil.rmtree(root)
+        root.mkdir(parents=True)
     base = dt.datetime(2024, 1, 1)
     paths = []
-    for i, sl in enumerate(slices):
+    for j, sl in enumerate(slices):
+        i = start + j
         pdf = pd.DataFrame(
             {
                 "event_id": [r[2] for r in sl],
@@ -513,3 +525,177 @@ def test_mta_fixture_runs_sit_far_below_path_cap(spark, sf_oracle):
         f"would degrade-by-design, not by bug — regenerate the fixture "
         f"or raise the cap"
     )
+
+
+# --- engine-level: state survives a query RESTART on one checkpoint ---------
+
+
+def _file_sink_restartable_run(spark, tmp_path, build, out, ckpt):
+    """Drive build(ev_stream) into a parquet FILE sink with a
+    persistent checkpoint.  Unlike _one_file_per_batch_run's memory
+    sink, both the emissions and the state store survive the query
+    instance — a second call with the same (out, ckpt) is a genuine
+    checkpoint RECOVERY: only unseen source files are processed, and
+    per-group state is DECODED from the store the previous instance
+    wrote, across the JVM-side state-schema round-trip the in-process
+    rollback test (test_kernels_replay_with_rolled_back_state...)
+    cannot exercise."""
+    from bigbugdata_spark.catalog import (
+        _events_session_confs,
+        normalize_events_ts,
+    )
+
+    _events_session_confs(spark)
+    raw_schema = spark.read.parquet(str(tmp_path / "events.parquet")).schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "events.parque[t]"))
+    )
+    q = (
+        build(normalize_events_ts(raw))
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _mta_stream_build(ev):
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from bigbugdata_spark.functions.fragments import cents_col
+    from bigbugdata_spark.streaming.mta import (
+        _OUTPUT_SCHEMA,
+        _STATE_SCHEMA,
+        _credit_path,
+    )
+
+    return (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            cents_col().alias("cents"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _credit_path,
+            outputStructType=_OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def _funnel_stream_build(ev):
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from bigbugdata_spark.streaming.funnel_steps import (
+        _OUTPUT_SCHEMA,
+        _STATE_SCHEMA,
+        _advance_funnel,
+    )
+
+    return (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _advance_funnel,
+            outputStructType=_OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def test_mta_state_survives_query_restart(spark, tmp_path):
+    """Stop-and-restart on ONE checkpoint: instance 1 buffers user 1's
+    two touches (emitting nothing) and terminates; a NEW query
+    instance over the same checkpoint must decode that path buffer
+    from the state store and split the phase-2 purchase across the
+    recovered touches, in recovered order.  If recovery silently lost
+    state the purchase would emit a single 'organic' credit — a wrong
+    ANSWER, not a crash — which is exactly the failure mode a restart
+    regression would take in production."""
+    out, ckpt = tmp_path / "mta_out", tmp_path / "mta_ckpt"
+    phase1 = [[(1, 100, 1, "click", 0)], [(1, 200, 2, "view", 0)]]
+    _write_slice_files(tmp_path, phase1)
+    _file_sink_restartable_run(spark, tmp_path, _mta_stream_build, out, ckpt)
+    # instance 1 emitted nothing but MUST have committed state — prove
+    # the restart recovers a non-empty store, not a trivial fresh one
+    state_files = [
+        p
+        for p in (ckpt / "state").rglob("*")
+        if p.is_file() and p.stat().st_size > 0
+    ]
+    assert state_files, "instance 1 left no state-store files to recover"
+    _write_slice_files(tmp_path, [[(1, 300, 3, "purchase", 101)]], start=2)
+    _file_sink_restartable_run(spark, tmp_path, _mta_stream_build, out, ckpt)
+    got = sorted(
+        (r["touch_type"], r["credit"])
+        for r in spark.read.parquet(str(out)).collect()
+    )
+    # 101 cents over the recovered [click, view] path: trunc-div base
+    # 50 each, remainder 1 to the LAST touch — the value pins both the
+    # buffer's survival and its recovered ordering
+    assert got == [("click", 50), ("view", 51)]
+
+
+def test_funnel_step_clock_survives_query_restart(spark, tmp_path):
+    """Same restart shape for the funnel: the signup (step 1) lands in
+    instance 1; the qualifying click and the purchase land in instance
+    2, whose step-2/step-3 attainment depends entirely on the t1/t2
+    clocks recovered from the store (lost state => no signup on
+    record => steps 2 and 3 silently never emit)."""
+    out, ckpt = tmp_path / "fun_out", tmp_path / "fun_ckpt"
+    _write_slice_files(tmp_path, [[(7, 100, 1, "signup", 0)]])
+    _file_sink_restartable_run(
+        spark, tmp_path, _funnel_stream_build, out, ckpt
+    )
+    after1 = sorted(
+        (r["user_id"], r["step"])
+        for r in spark.read.parquet(str(out)).collect()
+    )
+    assert after1 == [(7, 1)]
+    _write_slice_files(
+        tmp_path,
+        [[(7, 200, 2, "click", 0)], [(7, 300, 3, "purchase", 0)]],
+        start=1,
+    )
+    _file_sink_restartable_run(
+        spark, tmp_path, _funnel_stream_build, out, ckpt
+    )
+    got = sorted(
+        (r["user_id"], r["step"])
+        for r in spark.read.parquet(str(out)).collect()
+    )
+    assert got == [(7, 1), (7, 2), (7, 3)]
+
+
+def test_high_water_mark_survives_query_restart(spark, tmp_path):
+    """The out-of-order detector is only as durable as its mark: an
+    event below instance 1's high-water mark delivered to instance 2
+    must still raise — the mark has to survive the restart inside the
+    state row, or the enforcement of VERDICT r13 #2 would silently
+    lapse at every deploy."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    out, ckpt = tmp_path / "hw_out", tmp_path / "hw_ckpt"
+    _write_slice_files(tmp_path, [[(7, 100, 1, "signup", 0)]])
+    _file_sink_restartable_run(
+        spark, tmp_path, _funnel_stream_build, out, ckpt
+    )
+    _write_slice_files(tmp_path, [[(7, 50, 2, "click", 0)]], start=1)
+    with pytest.raises(
+        StreamingQueryException, match="out-of-order feed in funnel"
+    ):
+        _file_sink_restartable_run(
+            spark, tmp_path, _funnel_stream_build, out, ckpt
+        )
