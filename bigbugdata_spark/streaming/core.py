@@ -10,6 +10,7 @@ driver's capped correctness report depends on (registry._QUERY_MODULES).
 
 from __future__ import annotations
 
+import contextlib
 import itertools
 
 import pandas as pd
@@ -102,3 +103,55 @@ def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
     )
     q.awaitTermination()
     return result.sparkSession.table(name)
+
+
+#: The scale-grade state store.  The default HDFSBackedStateStoreProvider
+#: keeps every store's full key-value map ON-HEAP in each executor and
+#: snapshots it whole per checkpoint — fine for the O(1)-per-user clocks
+#: at test scale, but a 100 TB feed's state (hundreds of GB across
+#: stores) must live off-heap and checkpoint incrementally.  RocksDB
+#: gives both: native-memory stores with SST compaction, and changelog
+#: checkpointing uploads only the batch's delta instead of a full
+#: snapshot zip.  All five stateful kernels are provider-agnostic by
+#: construction (state crosses as plain Arrow rows either way) —
+#: pinned by the restart-recovery test that reruns the funnel on
+#: RocksDB (tests/test_round14_ops.py).
+#:
+#: Deploy-time: pass to the session factory,
+#: ``get_spark(extra_conf=ROCKSDB_STATE_STORE_CONF)``.  The provider is
+#: baked into a checkpoint's lineage at first start; restarting an
+#: HDFS-backed checkpoint under RocksDB (or vice versa) fails fast in
+#: Spark's state-store validation, so flip it only alongside a fresh
+#: checkpoint.
+ROCKSDB_STATE_STORE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb."
+    "changelogCheckpointing.enabled": "true",
+}
+
+
+@contextlib.contextmanager
+def rocksdb_state_store(spark: SparkSession):
+    """Scope the RocksDB state store to a ``with`` block (the provider
+    conf is read at query START, so runtime-setting it is enough).
+    Restores each conf to its prior value — including unset — on exit,
+    so a shared test session never leaks the provider into unrelated
+    streams whose checkpoints began HDFS-backed."""
+    prior: dict[str, str | None] = {}
+    for k, v in ROCKSDB_STATE_STORE_CONF.items():
+        try:
+            prior[k] = spark.conf.get(k)
+        except Exception:
+            prior[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, old in prior.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)

@@ -32,6 +32,10 @@ ordering contract of the two newest stateful kernels.
    survive the store's cross-instance round-trip, which neither the
    in-process rollback test nor the memory-sink harness exercises.
    Driven through a parquet file sink + persistent checkpointLocation.
+   The funnel recovery additionally reruns on the scale-grade
+   RocksDBStateStoreProvider (changelog checkpointing on) — the
+   kernels' state schemas must be provider-agnostic for the 100 TB
+   posture documented on streaming.core.ROCKSDB_STATE_STORE_CONF.
 """
 
 from __future__ import annotations
@@ -699,3 +703,57 @@ def test_high_water_mark_survives_query_restart(spark, tmp_path):
         _file_sink_restartable_run(
             spark, tmp_path, _funnel_stream_build, out, ckpt
         )
+
+
+def test_funnel_restart_recovery_on_rocksdb_state_store(spark, tmp_path):
+    """The same restart recovery on the SCALE-grade store: under
+    rocksdb_state_store both query instances run on the
+    RocksDBStateStoreProvider (changelog checkpointing on), instance 2
+    decodes instance 1's step clock, and the checkpoint's SST files
+    prove the provider actually engaged rather than silently falling
+    back — the kernels' state schema must be provider-agnostic or the
+    100 TB deployment posture documented on ROCKSDB_STATE_STORE_CONF
+    is fiction."""
+    from bigbugdata_spark.streaming.core import (
+        ROCKSDB_STATE_STORE_CONF,
+        rocksdb_state_store,
+    )
+
+    out, ckpt = tmp_path / "rdb_out", tmp_path / "rdb_ckpt"
+    with rocksdb_state_store(spark):
+        for k, v in ROCKSDB_STATE_STORE_CONF.items():
+            assert spark.conf.get(k) == v
+        _write_slice_files(tmp_path, [[(7, 100, 1, "signup", 0)]])
+        _file_sink_restartable_run(
+            spark, tmp_path, _funnel_stream_build, out, ckpt
+        )
+        _write_slice_files(
+            tmp_path,
+            [[(7, 200, 2, "click", 0)], [(7, 300, 3, "purchase", 0)]],
+            start=1,
+        )
+        _file_sink_restartable_run(
+            spark, tmp_path, _funnel_stream_build, out, ckpt
+        )
+    got = sorted(
+        (r["user_id"], r["step"])
+        for r in spark.read.parquet(str(out)).collect()
+    )
+    assert got == [(7, 1), (7, 2), (7, 3)]
+    # with changelog checkpointing on, per-batch commits upload
+    # *.changelog deltas (snapshot zips/SSTs only land on periodic
+    # maintenance); the HDFS-backed provider writes *.delta/*.snapshot
+    # instead, so any of these three proves RocksDB actually engaged
+    rocksdb_artifacts = [
+        p
+        for pat in ("*.changelog", "*.zip", "*.sst")
+        for p in (ckpt / "state").rglob(pat)
+    ]
+    assert rocksdb_artifacts, (
+        "no RocksDB artifacts (changelogs / snapshot zips / SSTs) under "
+        "the checkpoint's state dir — the provider conf did not engage"
+    )
+    # and the scoping restored the session's default provider
+    assert "RocksDB" not in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    )
