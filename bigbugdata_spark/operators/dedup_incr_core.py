@@ -162,7 +162,16 @@ def sweep_stale_generations(
 
     def _stale(name: str, prefix: str) -> bool:
         tail = name[len(prefix):]
-        return tail.startswith(path_fp) and tail != fp
+        # a live same-fp BUILD ('{fp}.tmp-{uuid}', build_tmp_path) is
+        # not stale — sweeping it from a concurrent session would kill
+        # an in-progress write (r14 review); dead same-fp tmps leak
+        # until the corpus regenerates, when the fp rotates and they
+        # match here like any other stale dir
+        return (
+            tail.startswith(path_fp)
+            and tail != fp
+            and not tail.startswith(f"{fp}.tmp")
+        )
 
     for t in spark.catalog.listTables():
         for prefix in prefixes:
@@ -176,26 +185,47 @@ def sweep_stale_generations(
                     shutil.rmtree(d, ignore_errors=True)
 
 
+def build_tmp_path(loc):
+    """A UNIQUE tmp sibling for a generation build.  Concurrent
+    same-fingerprint builders must never share a literal '.tmp'
+    directory — each would rmtree/overwrite the other's in-progress
+    Spark write mid-build, the exact race the publish retry cannot
+    reach back and fix (r14 review; the uuid-suffix precedent is
+    sources/versioned.py's staging dir).  The '{fp}.tmp-' shape also
+    lets sweep_stale_generations recognize a live same-fp build and
+    leave it alone."""
+    from pathlib import Path
+    from uuid import uuid4
+
+    loc = Path(loc)
+    return loc.with_name(f"{loc.name}.tmp-{uuid4().hex}")
+
+
 def publish_generation(tmp, loc) -> None:
     """Move a COMPLETED tmp build into its generation location,
     surviving the two-publisher race (ADVICE r13 #1): generation builds
     are deterministic per fingerprint (content + algo version), so any
     winner's completed artifact is byte-equivalent.
 
-    NEVER delete a complete target (r14 self-review, twice): rename
-    FIRST — a complete target can only come into being via another
-    publisher's whole-directory rename, and rename(2) refuses to land
-    on a non-empty directory, so the only loc this function ever
-    rmtree's is one it just observed to be non-empty WITHOUT _SUCCESS
-    (dead-session debris), a state no concurrent winner can upgrade
-    while the debris blocks its own rename.  On rename failure: a
-    _SUCCESS target is the winner's — adopt it, discarding our copy;
-    otherwise clear the debris and retry once; a second failure
-    without _SUCCESS re-raises (the rebuild path; our tmp survives
-    for it)."""
+    NEVER delete a complete target (r14 self-review, twice; hardened
+    again by the r14 review): rename FIRST — a complete target can
+    only come into being via another publisher's whole-directory
+    rename, and rename(2) refuses to land on a non-empty directory.
+    On rename failure: a _SUCCESS target is the winner's — adopt it,
+    discarding our copy.  Otherwise loc is dead-session debris — but
+    between that check and any delete, a concurrent winner may clear
+    the debris itself and rename a COMPLETE generation in, so debris
+    is never rmtree'd in place: it is renamed ASIDE atomically first.
+    A rename can only relocate, not destroy — in the worst interleaving
+    we move the winner's just-published artifact aside and the retry
+    lands our byte-equivalent one (a reader can transiently see loc
+    missing, the same documented window as a same-corpus rebuild).
+    A second rename failure without _SUCCESS re-raises (the rebuild
+    path; our tmp survives for it)."""
     import os
     import shutil
     from pathlib import Path
+    from uuid import uuid4
 
     tmp, loc = Path(tmp), Path(loc)
     for attempt in (0, 1):
@@ -211,9 +241,13 @@ def publish_generation(tmp, loc) -> None:
                 return
             if attempt:
                 raise
-            # verified-incomplete debris from a dead session; a winner
-            # cannot complete loc while the debris blocks its rename
-            shutil.rmtree(loc, ignore_errors=True)
+            aside = loc.with_name(f"{loc.name}.debris-{uuid4().hex}")
+            try:
+                os.rename(loc, aside)
+            except OSError:
+                pass  # another publisher already cleared the debris
+            else:
+                shutil.rmtree(aside, ignore_errors=True)
 
 
 def remove_incomplete_locations(names: tuple[str, ...]) -> None:

@@ -47,8 +47,13 @@ if len(REGISTRY) < DRIVER_CAP:
         f"no_oracle_shims imported after only {len(REGISTRY)} "
         f"registrations — its rows-only queries would land INSIDE the "
         f"driver's {DRIVER_CAP}-slot cap and burn slots on "
-        f"err:no_oracle rows (VERDICT r12 #2); move this module to "
-        f"the tail of registry._QUERY_MODULES"
+        f"err:no_oracle rows (VERDICT r12 #2).  Two causes look alike "
+        f"from here (r14 review): a registry._QUERY_MODULES reordering "
+        f"(move this module back to the tail), or a DIRECT import of "
+        f"this module before registry.load_all() ran — registration "
+        f"order is process-global, so a direct import pollutes the cap "
+        f"for any later load_all in this interpreter; reach these "
+        f"queries via load_all()[name] instead"
     )
 
 register("dedup_emb_lsh", tags=("dedup", "join"))(dedup_emb_lsh)

@@ -168,8 +168,10 @@ def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-corpus REBUILD can transiently see the location missing and
     fall into the rebuild branch itself; that re-build is wasteful but
     correct, and rebuilds of an already-adopted generation don't occur
-    outside bench reset hooks).  A leftover temp dir from a dead
-    session is harmlessly overwritten by the next build."""
+    outside bench reset hooks).  Build tmps are uuid-unique per
+    builder (dedup_incr_core.build_tmp_path) so concurrent same-fp
+    builds never clobber each other; a dead session's tmp leaks until
+    the fingerprint rotates and the sweep collects it."""
     key = _key(spark, sf_dir, "knn")
     if key in _MEMO:
         return _MEMO[key]
@@ -179,14 +181,16 @@ def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep_stale_generations(spark, (_EDGES_PREFIX,), fp)
     loc = Path(index_path(f"{_EDGES_PREFIX}{fp}"))
     if not (loc / "_SUCCESS").exists():
-        import shutil
-
         from bigbugdata_spark.operators.dedup_incr_core import (
+            build_tmp_path,
             publish_generation,
         )
 
-        tmp = loc.with_name(loc.name + ".tmp")
-        shutil.rmtree(tmp, ignore_errors=True)
+        # unique per-builder tmp (r14 review): a shared literal '.tmp'
+        # would let concurrent same-fp builders rmtree/overwrite each
+        # other's in-progress write; dead-session tmps leak until the
+        # fp rotates, when the sweep collects them
+        tmp = build_tmp_path(loc)
         _build_knn_plan(spark, sf_dir).write.mode("overwrite").parquet(str(tmp))
         # race-safe publish (ADVICE r13 #1): a concurrent same-
         # fingerprint winner's artifact is adopted, not collided with

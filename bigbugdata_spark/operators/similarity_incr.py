@@ -124,6 +124,7 @@ def ivf_index_generation(
     from pathlib import Path
 
     from bigbugdata_spark.operators.dedup_incr_core import (
+        build_tmp_path,
         ensure_index_root,
         index_path,
         publish_generation,
@@ -136,8 +137,6 @@ def ivf_index_generation(
     if not (
         (cb_loc / "_SUCCESS").exists() and (cnt_loc / "_SUCCESS").exists()
     ):
-        import shutil
-
         from bigbugdata_spark.functions.fragments import scaled_ivf_k
         from bigbugdata_spark.operators.similarity import ivf_assign, ivf_cents
 
@@ -146,8 +145,9 @@ def ivf_index_generation(
         existing = _existing_corpus(spark, sf_dir)
         k = scaled_ivf_k(existing.count())
         cents = ivf_cents(existing, k=k)
-        cb_tmp = cb_loc.with_name(cb_loc.name + ".tmp")
-        shutil.rmtree(cb_tmp, ignore_errors=True)
+        # unique per-builder tmps (r14 review): concurrent same-fp
+        # builders must not clobber each other's in-progress writes
+        cb_tmp = build_tmp_path(cb_loc)
         cents.write.mode("overwrite").parquet(str(cb_tmp))
         # counts derive from the WRITTEN codebook (the artifact is the
         # truth the warm path will read, not the plan that produced it)
@@ -156,8 +156,7 @@ def ivf_index_generation(
             .groupBy("cell_id")
             .agg(F.count(F.lit(1)).alias("n_before"))
         )
-        cnt_tmp = cnt_loc.with_name(cnt_loc.name + ".tmp")
-        shutil.rmtree(cnt_tmp, ignore_errors=True)
+        cnt_tmp = build_tmp_path(cnt_loc)
         counts.write.mode("overwrite").parquet(str(cnt_tmp))
         # race-safe publish (ADVICE r13 #1): a concurrent same-
         # fingerprint winner's artifact is adopted, not collided with

@@ -19,6 +19,7 @@ spuriously under `pytest tests/test_round11_ops.py tests/test_registry.py`).
 from __future__ import annotations
 
 import json
+import pathlib
 import subprocess
 import sys
 
@@ -47,7 +48,10 @@ def fresh_order():
         [sys.executable, "-c", _SNIPPET],
         capture_output=True,
         text=True,
-        cwd="/root/repo",
+        # the repo root this test file lives in — a hardcoded path
+        # would silently probe a DIFFERENT checkout if one existed
+        # there (r14 review)
+        cwd=str(pathlib.Path(__file__).resolve().parents[1]),
         check=True,
         timeout=300,
     )

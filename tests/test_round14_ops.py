@@ -284,7 +284,7 @@ def test_stream_mta_reordered_feed_fails_through_engine(spark, tmp_path):
         _one_file_per_batch_run(spark, tmp_path, build)
 
 
-def test_stream_funnel_engine_slicing_fuzz(spark, tmp_path, sf_oracle):
+def test_stream_funnel_engine_slicing_fuzz(spark, tmp_path):
     """Random in-order slicings through the REAL engine (VERDICT r13
     #7a): a seeded funnel feed cut at random boundaries into one file
     per micro-batch must reproduce the one-shot batch result — the
@@ -324,7 +324,6 @@ def test_stream_funnel_engine_slicing_fuzz(spark, tmp_path, sf_oracle):
         # default file stream delivers every available file in ONE
         # availableNow batch, so force one-file-per-batch via the
         # harness to make the slicing real
-        from bigbugdata_spark.functions.fragments import cents_col  # noqa: F401
         from bigbugdata_spark.streaming.funnel_steps import (
             _OUTPUT_SCHEMA,
             _STATE_SCHEMA,
@@ -757,3 +756,104 @@ def test_funnel_restart_recovery_on_rocksdb_state_store(spark, tmp_path):
     assert "RocksDB" not in spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass"
     )
+
+
+def test_publish_debris_clear_cannot_destroy_a_late_winner(
+    tmp_path, monkeypatch
+):
+    """The r14-review window: our rename collides with dead-session
+    debris, our adopt check sees no _SUCCESS, and a concurrent winner
+    completes loc BEFORE our clear executes.  The clear must therefore
+    be an atomic rename-aside, never an in-place rmtree of loc — an
+    rmtree there deletes a COMPLETE published generation file-by-file
+    under any reader.  Pinned by spying rmtree: loc itself is never a
+    deletion target, and the publish still converges to a complete
+    generation."""
+    import errno
+    import os
+    import shutil
+
+    from bigbugdata_spark.operators.dedup_incr_core import (
+        publish_generation,
+    )
+
+    tmp = tmp_path / "gen_z.tmp-me"
+    tmp.mkdir()
+    (tmp / "_SUCCESS").touch()
+    (tmp / "part-0.parquet").write_text("mine")
+    loc = tmp_path / "gen_z"
+    loc.mkdir()  # dead-session debris: non-empty, no _SUCCESS
+    (loc / "part-half.parquet").touch()
+
+    real_rename, real_rmtree = os.rename, shutil.rmtree
+    rmtree_targets = []
+    calls = {"n": 0}
+
+    def racing_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # our tmp -> loc publish collides with the debris
+            raise OSError(errno.ENOTEMPTY, "Directory not empty", dst)
+        if str(src) == str(loc):
+            # the debris clear is executing NOW — the winner completed
+            # loc in the window since the adopt check
+            (loc / "_SUCCESS").touch()
+            (loc / "part-0.parquet").write_text("winner")
+        return real_rename(src, dst)
+
+    def spying_rmtree(path, *a, **kw):
+        rmtree_targets.append(str(path))
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    monkeypatch.setattr(shutil, "rmtree", spying_rmtree)
+    publish_generation(tmp, loc)
+    assert str(loc) not in rmtree_targets, (
+        "publish_generation rmtree'd the generation location in place "
+        "— a late winner's complete artifact would be destroyed "
+        "file-by-file under its readers"
+    )
+    # converged: loc holds a complete generation (ours — byte-
+    # equivalent to the winner's by the determinism contract)
+    assert (loc / "_SUCCESS").exists()
+    assert (loc / "part-0.parquet").read_text() == "mine"
+
+
+def test_build_tmp_paths_are_unique_per_builder():
+    """Concurrent same-fingerprint builders get DISTINCT tmp dirs — a
+    shared literal '.tmp' lets one builder rmtree/overwrite the
+    other's in-progress Spark write (r14 review)."""
+    import pathlib
+
+    from bigbugdata_spark.operators.dedup_incr_core import build_tmp_path
+
+    loc = pathlib.Path("/x/knn_edges_aaaaaaaa1111")
+    a, b = build_tmp_path(loc), build_tmp_path(loc)
+    assert a != b
+    for t in (a, b):
+        assert t.parent == loc.parent
+        assert t.name.startswith("knn_edges_aaaaaaaa1111.tmp-")
+
+
+def test_sweep_spares_live_same_fp_builds(spark, tmp_path, monkeypatch):
+    """sweep_stale_generations must not collect a live same-fp build
+    tmp ('{fp}.tmp-{uuid}') from a concurrent session — only the
+    published generation name and same-fp builds survive; other-fp
+    generations, their tmps, and debris-aside dirs are fair game."""
+    from bigbugdata_spark.operators import dedup_incr_core as core
+
+    root = tmp_path / "idxroot"
+    root.mkdir()
+    monkeypatch.setattr(core, "INDEX_ROOT", str(root))
+    fp, other = "aaaaaaaa1111", "aaaaaaaa2222"
+    keep = [f"knn_edges_{fp}", f"knn_edges_{fp}.tmp-deadbeef"]
+    sweepable = [
+        f"knn_edges_{other}",
+        f"knn_edges_{other}.tmp-deadbeef",
+        f"knn_edges_{fp}.debris-deadbeef",
+    ]
+    for name in keep + sweepable:
+        (root / name).mkdir()
+    core.sweep_stale_generations(spark, ("knn_edges_",), fp)
+    left = sorted(p.name for p in root.iterdir())
+    assert left == sorted(keep), left
