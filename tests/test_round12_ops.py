@@ -142,14 +142,20 @@ def test_sup_count_twin_and_router_reach():
 def test_knn_edges_atomic_write_leaves_no_tmp(spark, sf_oracle):
     """The generation write goes through a temp sibling + rename
     (ADVICE r11): after a build, the final location exists with
-    _SUCCESS and no .tmp sibling remains."""
+    _SUCCESS and no tmp/debris sibling remains (since r14 the tmp is
+    uuid-unique, '{loc}.tmp-{hex}' — glob the whole family)."""
     from bigbugdata_spark.operators import similarity_graph_core as G
 
     G.knn_edges(spark, sf_oracle)
     fp = G.generation_fp(sf_oracle)
     loc = Path(G.index_path(f"{G._EDGES_PREFIX}{fp}"))
     assert (loc / "_SUCCESS").exists()
-    assert not loc.with_name(loc.name + ".tmp").exists()
+    leftovers = [
+        p.name
+        for pat in (".tmp*", ".debris*")
+        for p in loc.parent.glob(loc.name + pat)
+    ]
+    assert not leftovers, leftovers
 
 
 def test_graph_memo_evicts_other_corpora(spark, sf_oracle, tmp_path):
