@@ -250,6 +250,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # refresh in r14.  Usual caveats: any query CHANGED in r15 must stay
 # in-cap, and re-check module-level import drag on every module moved
 # in.  Keep CAP_BOUNDARY_MODULE below in sync with the boundary.
+#
+# r14-late note for the changed-query rule: the publish-race review
+# fixes (dedup_incr_core: build_tmp_path, rename-aside debris clear,
+# sweep tmp-exclusion) behaviorally affect only the tmp-dir-publishing
+# families — the kNN spine (sim_knn_graph) and the IVF generation
+# (sim_ivf_incremental_assign) — both IN the r14 cap, so their fresh
+# driver verdicts cover the new code.  The other sweep callers
+# (dedup_incr, dedup_incr_lsh, events_rollup_incr) publish via
+# saveAsTable, never create '{fp}.tmp*' names, and the new exclusion
+# clause cannot match in their namespace on any reachable filesystem
+# state — identical behavior, so they keep their standing verdicts;
+# if r15 wants belt-and-braces, refresh dedup_incremental,
+# dedup_incremental_lsh, evt_rollup_incremental among its backfills.
 _QUERY_MODULES = (
     # ---- permanent slots 1-26 ----
     "bigbugdata_spark.operators.relational",
