@@ -857,3 +857,79 @@ def test_sweep_spares_live_same_fp_builds(spark, tmp_path, monkeypatch):
     core.sweep_stale_generations(spark, ("knn_edges_",), fp)
     left = sorted(p.name for p in root.iterdir())
     assert left == sorted(keep), left
+
+
+def test_concurrent_generation_builders_both_succeed(tmp_path):
+    """The END-TO-END validation of the publish stack under a real
+    race: TWO separate processes (own JVMs) build the same never-built
+    IVF generation concurrently.  Unique build tmps mean neither can
+    clobber the other's in-progress write; the rename-first publish
+    means whoever loses adopts the winner's byte-equivalent artifact.
+    Both processes must exit 0, both generation locations must end
+    COMPLETE, and no tmp/debris siblings may survive.  Any failure
+    here is a real bug by contract — the machinery claims safety under
+    EVERY interleaving."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    src = Path("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    if src.is_dir():
+        shutil.copytree(src, corpus / "embeddings.parquet")
+    else:
+        shutil.copy2(src, corpus / "embeddings.parquet")
+
+    script = (
+        "import sys\n"
+        "from bigbugdata_spark.session import get_spark\n"
+        "from bigbugdata_spark.operators.similarity_incr import "
+        "ivf_index_generation\n"
+        "cb, cnt = ivf_index_generation(get_spark('race'), sys.argv[1])\n"
+        "print('BUILDER_OK', cb.count(), cnt.count())\n"
+    )
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    repo_root = str(Path(__file__).resolve().parents[1])
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(corpus)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            cwd=repo_root,
+            env=env,
+        )
+        for _ in range(2)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+
+    from bigbugdata_spark.operators.dedup_incr_core import index_path
+    from bigbugdata_spark.operators.similarity_incr import (
+        _IVF_CB_PREFIX,
+        _IVF_CNT_PREFIX,
+        ivf_generation_fp,
+    )
+
+    fp = ivf_generation_fp(str(corpus))
+    locs = [
+        Path(index_path(f"{p}{fp}"))
+        for p in (_IVF_CB_PREFIX, _IVF_CNT_PREFIX)
+    ]
+    try:
+        for p, (out, err) in zip(procs, outs):
+            assert p.returncode == 0 and "BUILDER_OK" in out, err[-2000:]
+        for loc in locs:
+            assert (loc / "_SUCCESS").exists(), str(loc)
+            leftovers = [
+                q.name
+                for pat in (".tmp*", ".debris*")
+                for q in loc.parent.glob(loc.name + pat)
+            ]
+            assert not leftovers, leftovers
+    finally:
+        # the tmp corpus is unique to this test: collect its index dirs
+        for loc in locs:
+            shutil.rmtree(loc, ignore_errors=True)
