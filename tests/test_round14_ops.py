@@ -36,6 +36,12 @@ ordering contract of the two newest stateful kernels.
    RocksDBStateStoreProvider (changelog checkpointing on) — the
    kernels' state schemas must be provider-agnostic for the 100 TB
    posture documented on streaming.core.ROCKSDB_STATE_STORE_CONF.
+   The sessionizer covers the EventTimeTimeout surface: a recovered
+   timeout timestamp fires in the new instance for a group with no
+   new data, once the recovered watermark advances past it.  And the
+   publish machinery is validated under a REAL race: two builder
+   processes over one never-built generation, every interleaving safe
+   by contract.
 """
 
 from __future__ import annotations
@@ -933,3 +939,73 @@ def test_concurrent_generation_builders_both_succeed(tmp_path):
         # the tmp corpus is unique to this test: collect its index dirs
         for loc in locs:
             shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_sessionizer_timeout_and_state_survive_query_restart(
+    spark, tmp_path
+):
+    """The EventTimeTimeout recovery surface (distinct from the
+    NoTimeout kernels above): an instance-1 shutdown leaves two users'
+    sessions OPEN, each with a registered timeout timestamp.  The NEW
+    instance must (a) extend and then gap-close user 42's recovered
+    session with the recovered start/count, and (b) fire the
+    EventTimeTimeout for user 43 — a group with NO phase-2 data at
+    all — purely from the recovered timeout timestamp once the
+    recovered-then-advanced watermark passes it."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from bigbugdata_spark.streaming.stateful import (
+        _SESSION_OUTPUT_SCHEMA,
+        _SESSION_STATE_SCHEMA,
+        _sessionize_user,
+    )
+
+    def build(ev):
+        return (
+            ev.withWatermark("ts", "10 minutes")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _sessionize_user,
+                outputStructType=_SESSION_OUTPUT_SCHEMA,
+                stateStructType=_SESSION_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+
+    out, ckpt = tmp_path / "sess_out", tmp_path / "sess_ckpt"
+    _write_slice_files(
+        tmp_path,
+        [
+            [
+                (42, 0, 1, "click", 0),
+                (42, 60, 2, "view", 0),
+                (43, 0, 3, "click", 0),
+            ]
+        ],
+    )
+    _file_sink_restartable_run(spark, tmp_path, build, out, ckpt)
+    # phase 2: ts=120 EXTENDS 42's recovered session (within the 5 min
+    # gap); ts=3600 gap-closes it (n=3 proves the recovered start and
+    # count); the third file gives the engine a batch AFTER the
+    # watermark has advanced to 3000 s, which is when 43's recovered
+    # timeout (300 s) fires
+    _write_slice_files(
+        tmp_path,
+        [
+            [(42, 120, 4, "click", 0)],
+            [(42, 3600, 5, "search", 0)],
+            [(42, 3660, 6, "view", 0)],
+        ],
+        start=1,
+    )
+    _file_sink_restartable_run(spark, tmp_path, build, out, ckpt)
+    base = dt.datetime(2024, 1, 1)
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(str(out)).collect()
+    )
+    assert got == [
+        (42, base, base + dt.timedelta(seconds=420), 3),
+        (43, base, base + dt.timedelta(seconds=300), 1),
+    ], got
