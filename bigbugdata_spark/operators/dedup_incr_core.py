@@ -201,6 +201,44 @@ def build_tmp_path(loc):
     return loc.with_name(f"{loc.name}.tmp-{uuid4().hex}")
 
 
+#: abandoned build-tmp / debris collection age: a sibling whose newest
+#: file is older than this is a dead session's leftover, not a live
+#: build.  Local builds take seconds; a cluster deployment whose
+#: generation builds can exceed this must raise it (env override) or
+#: a concurrent session's collector could abort a live build's write —
+#: loudly (the build's job fails and reruns), never silently.
+ABANDONED_TMP_TTL_S = int(os.environ.get("SPARK_GRAFT_TMP_TTL_S", "1800"))
+
+
+def collect_abandoned_siblings(loc, ttl_seconds: int | None = None) -> None:
+    """Remove ABANDONED '{loc}.tmp-*' / '{loc}.debris-*' siblings.
+    uuid-unique build tmps mean a crashed builder's tmp is never
+    reused and — being same-fp — never matches the stale sweep either
+    (r14 review follow-up: without this, dead-session tmps leak until
+    the corpus fingerprint rotates, which for a stable corpus is
+    never).  Liveness is judged by the newest mtime in the tree, so a
+    live Spark write (task files landing continuously) always reads
+    fresh."""
+    import shutil
+    import time
+    from pathlib import Path
+
+    ttl = ABANDONED_TMP_TTL_S if ttl_seconds is None else ttl_seconds
+    loc = Path(loc)
+    cutoff = time.time() - ttl
+    for pat in (".tmp*", ".debris*"):
+        for d in loc.parent.glob(loc.name + pat):
+            try:
+                newest = max(
+                    (f.stat().st_mtime for f in d.rglob("*") if f.is_file()),
+                    default=d.stat().st_mtime,
+                )
+            except OSError:
+                continue  # vanished under us (another collector won)
+            if newest < cutoff:
+                shutil.rmtree(d, ignore_errors=True)
+
+
 def publish_generation(tmp, loc) -> None:
     """Move a COMPLETED tmp build into its generation location,
     surviving the two-publisher race (ADVICE r13 #1): generation builds
@@ -216,13 +254,15 @@ def publish_generation(tmp, loc) -> None:
     between that check and any delete, a concurrent winner may clear
     the debris itself and rename a COMPLETE generation in, so debris
     is never rmtree'd in place: it is renamed ASIDE atomically first.
-    A rename can only relocate, not destroy — in the worst interleaving
-    we move the winner's just-published artifact aside and the retry
-    lands our byte-equivalent one (a reader can transiently see loc
-    missing, the same documented window as a same-corpus rebuild).
-    A second rename failure without _SUCCESS re-raises (the rebuild
-    path; our tmp survives for it)."""
-    import os
+    A rename can only relocate, not destroy — and if the aside turns
+    out to hold a COMPLETE generation (the winner published inside the
+    check-to-rename window), it is renamed straight back, shrinking
+    the reader-visible missing-loc window to the two renames; only a
+    crash between them leaves the artifact under a debris name, where
+    the collector reaps it and the next caller rebuilds cold.  A
+    second rename failure without _SUCCESS discards our tmp (nothing
+    can ever adopt a uuid-named tmp) and re-raises — the caller's
+    rebuild path."""
     import shutil
     from pathlib import Path
     from uuid import uuid4
@@ -240,6 +280,7 @@ def publish_generation(tmp, loc) -> None:
                 shutil.rmtree(tmp, ignore_errors=True)
                 return
             if attempt:
+                shutil.rmtree(tmp, ignore_errors=True)
                 raise
             aside = loc.with_name(f"{loc.name}.debris-{uuid4().hex}")
             try:
@@ -247,7 +288,17 @@ def publish_generation(tmp, loc) -> None:
             except OSError:
                 pass  # another publisher already cleared the debris
             else:
-                shutil.rmtree(aside, ignore_errors=True)
+                if (aside / "_SUCCESS").exists():
+                    # we moved a winner's complete generation aside:
+                    # restore it (if a third publisher landed on loc
+                    # meanwhile, the top-of-loop adopt check covers us
+                    # and the aside is left for the collector)
+                    try:
+                        os.rename(aside, loc)
+                    except OSError:
+                        pass
+                else:
+                    shutil.rmtree(aside, ignore_errors=True)
 
 
 def remove_incomplete_locations(names: tuple[str, ...]) -> None:

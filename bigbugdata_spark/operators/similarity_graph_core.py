@@ -180,16 +180,20 @@ def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_index_root()
     sweep_stale_generations(spark, (_EDGES_PREFIX,), fp)
     loc = Path(index_path(f"{_EDGES_PREFIX}{fp}"))
-    if not (loc / "_SUCCESS").exists():
-        from bigbugdata_spark.operators.dedup_incr_core import (
-            build_tmp_path,
-            publish_generation,
-        )
+    from bigbugdata_spark.operators.dedup_incr_core import (
+        build_tmp_path,
+        collect_abandoned_siblings,
+        publish_generation,
+    )
 
+    # reap dead sessions' build tmps / debris (age-gated, so a live
+    # concurrent build is spared); runs even when the build below is
+    # skipped, so leftovers never outlive one cold call + TTL
+    collect_abandoned_siblings(loc)
+    if not (loc / "_SUCCESS").exists():
         # unique per-builder tmp (r14 review): a shared literal '.tmp'
         # would let concurrent same-fp builders rmtree/overwrite each
-        # other's in-progress write; dead-session tmps leak until the
-        # fp rotates, when the sweep collects them
+        # other's in-progress write
         tmp = build_tmp_path(loc)
         _build_knn_plan(spark, sf_dir).write.mode("overwrite").parquet(str(tmp))
         # race-safe publish (ADVICE r13 #1): a concurrent same-

@@ -125,6 +125,7 @@ def ivf_index_generation(
 
     from bigbugdata_spark.operators.dedup_incr_core import (
         build_tmp_path,
+        collect_abandoned_siblings,
         ensure_index_root,
         index_path,
         publish_generation,
@@ -134,6 +135,10 @@ def ivf_index_generation(
     fp = ivf_generation_fp(sf_dir)
     cb_loc = Path(index_path(f"{_IVF_CB_PREFIX}{fp}"))
     cnt_loc = Path(index_path(f"{_IVF_CNT_PREFIX}{fp}"))
+    # reap dead sessions' build tmps / debris (age-gated; a live
+    # concurrent build reads fresh and is spared)
+    collect_abandoned_siblings(cb_loc)
+    collect_abandoned_siblings(cnt_loc)
     if not (
         (cb_loc / "_SUCCESS").exists() and (cnt_loc / "_SUCCESS").exists()
     ):

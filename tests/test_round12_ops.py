@@ -142,20 +142,28 @@ def test_sup_count_twin_and_router_reach():
 def test_knn_edges_atomic_write_leaves_no_tmp(spark, sf_oracle):
     """The generation write goes through a temp sibling + rename
     (ADVICE r11): after a build, the final location exists with
-    _SUCCESS and no tmp/debris sibling remains (since r14 the tmp is
-    uuid-unique, '{loc}.tmp-{hex}' — glob the whole family)."""
+    _SUCCESS and the call leaves no NEW tmp/debris sibling (since r14
+    the tmp is uuid-unique, '{loc}.tmp-{hex}').  Snapshot-based so a
+    crashed EARLIER run's young leftover (spared by the age-gated
+    collector for TTL) reads as pre-existing, not as this write
+    leaking."""
     from bigbugdata_spark.operators import similarity_graph_core as G
 
-    G.knn_edges(spark, sf_oracle)
     fp = G.generation_fp(sf_oracle)
     loc = Path(G.index_path(f"{G._EDGES_PREFIX}{fp}"))
+
+    def _siblings():
+        return {
+            p.name
+            for pat in (".tmp*", ".debris*")
+            for p in loc.parent.glob(loc.name + pat)
+        }
+
+    before = _siblings()
+    G.knn_edges(spark, sf_oracle)
     assert (loc / "_SUCCESS").exists()
-    leftovers = [
-        p.name
-        for pat in (".tmp*", ".debris*")
-        for p in loc.parent.glob(loc.name + pat)
-    ]
-    assert not leftovers, leftovers
+    new = _siblings() - before
+    assert not new, new
 
 
 def test_graph_memo_evicts_other_corpora(spark, sf_oracle, tmp_path):

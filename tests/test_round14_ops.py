@@ -415,7 +415,9 @@ def test_publish_generation_adopts_concurrent_winner(tmp_path, monkeypatch):
     winner artifact equivalent — the loser must adopt it (tmp
     discarded, target untouched); a rename failure onto a target
     WITHOUT _SUCCESS must still raise (that's a half-written dir, and
-    rebuilding is the correct response)."""
+    rebuilding is the correct response) — discarding our tmp first,
+    since a uuid-named tmp can never be adopted by any retry (it
+    would only leak, r14 review follow-up)."""
     import errno
     import os
 
@@ -449,7 +451,9 @@ def test_publish_generation_adopts_concurrent_winner(tmp_path, monkeypatch):
     monkeypatch.setattr(os, "rename", _racing_rename(winner_success=False))
     with pytest.raises(OSError):
         publish_generation(tmp2, loc2)
-    assert tmp2.exists()  # our build survives for the retry/rebuild
+    # our uuid-named tmp is discarded on the way out — no retry can
+    # ever find it, so keeping it would only leak disk
+    assert not tmp2.exists()
 
 
 def test_publish_generation_never_deletes_a_complete_target(tmp_path):
@@ -773,8 +777,9 @@ def test_publish_debris_clear_cannot_destroy_a_late_winner(
     be an atomic rename-aside, never an in-place rmtree of loc — an
     rmtree there deletes a COMPLETE published generation file-by-file
     under any reader.  Pinned by spying rmtree: loc itself is never a
-    deletion target, and the publish still converges to a complete
-    generation."""
+    deletion target; and because the aside turns out COMPLETE, the
+    second-pass fix restores it intact (the winner's bytes stand, our
+    copy is discarded) rather than replacing it."""
     import errno
     import os
     import shutil
@@ -819,10 +824,13 @@ def test_publish_debris_clear_cannot_destroy_a_late_winner(
         "— a late winner's complete artifact would be destroyed "
         "file-by-file under its readers"
     )
-    # converged: loc holds a complete generation (ours — byte-
-    # equivalent to the winner's by the determinism contract)
+    # converged: the winner's complete artifact was RESTORED in place
+    # (not replaced by our byte-equivalent copy) and our tmp discarded
     assert (loc / "_SUCCESS").exists()
-    assert (loc / "part-0.parquet").read_text() == "mine"
+    assert (loc / "part-0.parquet").read_text() == "winner"
+    assert not tmp.exists()
+    # and no debris-aside sibling leaked from the restore path
+    assert not list(tmp_path.glob("gen_z.debris-*"))
 
 
 def test_build_tmp_paths_are_unique_per_builder():
@@ -936,9 +944,16 @@ def test_concurrent_generation_builders_both_succeed(tmp_path):
             ]
             assert not leftovers, leftovers
     finally:
-        # the tmp corpus is unique to this test: collect its index dirs
+        # the tmp corpus is unique to this test: collect its index
+        # dirs AND any tmp/debris siblings a failed builder left (no
+        # future sweep is ever scoped to this one-off corpus path, so
+        # anything missed here would sit in the shared index root
+        # until its TTL — r14 review follow-up)
         for loc in locs:
             shutil.rmtree(loc, ignore_errors=True)
+            for pat in (".tmp*", ".debris*"):
+                for d in loc.parent.glob(loc.name + pat):
+                    shutil.rmtree(d, ignore_errors=True)
 
 
 def test_sessionizer_timeout_and_state_survive_query_restart(
@@ -1009,3 +1024,62 @@ def test_sessionizer_timeout_and_state_survive_query_restart(
         (42, base, base + dt.timedelta(seconds=420), 3),
         (43, base, base + dt.timedelta(seconds=300), 1),
     ], got
+
+
+def test_collector_reaps_abandoned_spares_live(tmp_path):
+    """The age-gated collector removes a dead session's build tmp /
+    debris (newest file older than TTL) but spares a fresh one — the
+    liveness signal a live Spark write keeps refreshing — and never
+    touches the generation location itself or other-name siblings."""
+    import os
+    import time
+
+    from bigbugdata_spark.operators.dedup_incr_core import (
+        collect_abandoned_siblings,
+    )
+
+    loc = tmp_path / "gen_q"
+    loc.mkdir()
+    (loc / "_SUCCESS").touch()
+    old_t = time.time() - 7200
+    dead_tmp = tmp_path / "gen_q.tmp-dead"
+    dead_tmp.mkdir()
+    (dead_tmp / "part-0.parquet").touch()
+    os.utime(dead_tmp / "part-0.parquet", (old_t, old_t))
+    os.utime(dead_tmp, (old_t, old_t))
+    dead_debris = tmp_path / "gen_q.debris-dead"
+    dead_debris.mkdir()
+    os.utime(dead_debris, (old_t, old_t))
+    live_tmp = tmp_path / "gen_q.tmp-live"
+    live_tmp.mkdir()
+    (live_tmp / "part-0.parquet").touch()  # fresh mtime = live write
+    other = tmp_path / "gen_qq.tmp-dead"  # different generation name
+    other.mkdir()
+    os.utime(other, (old_t, old_t))
+
+    collect_abandoned_siblings(loc, ttl_seconds=1800)
+    left = sorted(p.name for p in tmp_path.iterdir())
+    assert left == ["gen_q", "gen_q.tmp-live", "gen_qq.tmp-dead"], left
+
+
+def test_collector_liveness_is_newest_file_not_dir_mtime(tmp_path):
+    """A long write parks task files under subdirectories (Spark's
+    _temporary tree), so the TOP directory's mtime can go stale while
+    the build is very much alive — liveness must be the newest mtime
+    in the TREE."""
+    import os
+    import time
+
+    from bigbugdata_spark.operators.dedup_incr_core import (
+        collect_abandoned_siblings,
+    )
+
+    loc = tmp_path / "gen_r"
+    busy = tmp_path / "gen_r.tmp-busy"
+    deep = busy / "_temporary" / "0"
+    deep.mkdir(parents=True)
+    (deep / "task-file").touch()  # fresh — the live signal
+    old_t = time.time() - 7200
+    os.utime(busy, (old_t, old_t))  # top dir looks stale
+    collect_abandoned_siblings(loc, ttl_seconds=1800)
+    assert busy.exists()
