@@ -41,7 +41,9 @@ ordering contract of the two newest stateful kernels.
    new data, once the recovered watermark advances past it.  And the
    publish machinery is validated under a REAL race: two builder
    processes over one never-built generation, every interleaving safe
-   by contract.
+   by contract — plus a hypothesis model fuzz that injects an external
+   winner at every rename/rmtree boundary and machine-checks the
+   deletion-safety and convergence invariants.
 """
 
 from __future__ import annotations
@@ -1083,3 +1085,100 @@ def test_collector_liveness_is_newest_file_not_dir_mtime(tmp_path):
     os.utime(busy, (old_t, old_t))  # top dir looks stale
     collect_abandoned_siblings(loc, ttl_seconds=1800)
     assert busy.exists()
+
+
+def test_publish_generation_interleaving_fuzz(tmp_path):
+    """Model-check the publish under ADVERSARIAL interleavings: before
+    every os.rename / shutil.rmtree the publisher makes, hypothesis
+    may have an external winner land a complete generation on any
+    absent loc (the only thing rename semantics let a real winner do).
+    Machine-checked invariants, for every drawn schedule and starting
+    loc state (absent / debris / complete):
+
+    - deletion safety: rmtree only ever targets our own tmp or an
+      aside WITHOUT _SUCCESS — never loc, never anyone's complete
+      artifact;
+    - convergence: a normal return leaves loc complete and our tmp
+      consumed/discarded;
+    - loud failure: a raise leaves no tmp leak."""
+    import os
+    import shutil
+    from uuid import uuid4
+
+    from hypothesis import given, settings, strategies as st
+
+    from bigbugdata_spark.operators.dedup_incr_core import (
+        publish_generation,
+    )
+
+    real_rename, real_rmtree = os.rename, shutil.rmtree
+
+    def make_complete(loc):
+        os.makedirs(loc)
+        with open(os.path.join(loc, "_SUCCESS"), "w"):
+            pass
+        with open(os.path.join(loc, "part-0.parquet"), "w") as f:
+            f.write("external")
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.data())
+    def run(data):
+        case = tmp_path / f"case_{uuid4().hex}"
+        case.mkdir()
+        loc = case / "gen"
+        tmp = case / "gen.tmp-me"
+        tmp.mkdir()
+        (tmp / "_SUCCESS").touch()
+        (tmp / "part-0.parquet").write_text("mine")
+        start = data.draw(
+            st.sampled_from(["absent", "debris", "complete"])
+        )
+        if start == "debris":
+            loc.mkdir()
+            (loc / "part-half.parquet").touch()
+        elif start == "complete":
+            make_complete(loc)
+
+        violations = []
+
+        def maybe_external():
+            if not loc.exists() and data.draw(
+                st.booleans(), label="external_publish"
+            ):
+                make_complete(loc)
+
+        def fuzzed_rename(src, dst):
+            maybe_external()
+            return real_rename(src, dst)
+
+        def checked_rmtree(path, *a, **kw):
+            maybe_external()
+            p = str(path)
+            if p == str(loc):
+                violations.append(f"rmtree of loc {p}")
+            elif (
+                os.path.isdir(p)
+                and os.path.exists(os.path.join(p, "_SUCCESS"))
+                and p != str(tmp)
+            ):
+                violations.append(f"rmtree of a complete artifact {p}")
+            return real_rmtree(path, *a, **kw)
+
+        os.rename, shutil.rmtree = fuzzed_rename, checked_rmtree
+        try:
+            raised = False
+            try:
+                publish_generation(tmp, loc)
+            except OSError:
+                raised = True
+        finally:
+            os.rename, shutil.rmtree = real_rename, real_rmtree
+        assert not violations, violations
+        if not raised:
+            assert (loc / "_SUCCESS").exists(), "returned without artifact"
+            assert not tmp.exists(), "returned but tmp not consumed"
+        else:
+            assert not tmp.exists(), "raised and leaked our tmp"
+        shutil.rmtree(case, ignore_errors=True)
+
+    run()
