@@ -1182,3 +1182,39 @@ def test_publish_generation_interleaving_fuzz(tmp_path):
         shutil.rmtree(case, ignore_errors=True)
 
     run()
+
+
+def test_upsert_sink_exactly_once_across_restart_with_overlap(
+    spark, tmp_path
+):
+    """Same-checkpoint restart for the foreachBatch upsert sink, plus a
+    SOURCE overlap: the restarted instance's new file re-delivers one
+    already-materialized event_id alongside new ones.  Offsets must
+    resume (phase-1 files are not re-read) and the anti-join must drop
+    the overlapping key — the table ends exactly one row per event_id.
+    This is the cross-instance face of test_streaming.py's replay
+    idempotence (which replays into a FRESH checkpoint)."""
+    from bigbugdata_spark.streaming.sink import run_incremental_dedup_sink
+
+    out, ckpt = tmp_path / "mat", tmp_path / "ckpt"
+    _write_slice_files(
+        tmp_path,
+        [[(1, 0, 1, "click", 0), (2, 10, 2, "view", 0)]],
+    )
+    run_incremental_dedup_sink(spark, str(tmp_path), str(out), str(ckpt))
+    assert spark.read.parquet(str(out)).count() == 2
+    _write_slice_files(
+        tmp_path,
+        [
+            [
+                (2, 10, 2, "view", 0),  # overlap: already materialized
+                (3, 20, 3, "click", 0),
+                (1, 30, 4, "purchase", 100),
+            ]
+        ],
+        start=1,
+    )
+    run_incremental_dedup_sink(spark, str(tmp_path), str(out), str(ckpt))
+    rows = spark.read.parquet(str(out))
+    assert rows.count() == 4
+    assert sorted(r["event_id"] for r in rows.collect()) == [1, 2, 3, 4]
