@@ -164,13 +164,19 @@ def sweep_stale_generations(
         tail = name[len(prefix):]
         # a live same-fp BUILD ('{fp}.tmp-{uuid}', build_tmp_path) is
         # not stale — sweeping it from a concurrent session would kill
-        # an in-progress write (r14 review); dead same-fp tmps leak
-        # until the corpus regenerates, when the fp rotates and they
-        # match here like any other stale dir
+        # an in-progress write (r14 review); likewise a same-fp ASIDE
+        # ('{fp}.debris-{uuid}') may hold a late winner's COMPLETE
+        # generation inside publish_generation's check-to-rename-back
+        # window, and this sweep has no age gate (ADVICE r15) — both
+        # are left to the TTL-gated collect_abandoned_siblings; dead
+        # same-fp leftovers leak only until the corpus regenerates,
+        # when the fp rotates and they match here like any other
+        # stale dir
         return (
             tail.startswith(path_fp)
             and tail != fp
             and not tail.startswith(f"{fp}.tmp")
+            and not tail.startswith(f"{fp}.debris")
         )
 
     for t in spark.catalog.listTables():
@@ -207,7 +213,25 @@ def build_tmp_path(loc):
 #: generation builds can exceed this must raise it (env override) or
 #: a concurrent session's collector could abort a live build's write —
 #: loudly (the build's job fails and reruns), never silently.
-ABANDONED_TMP_TTL_S = int(os.environ.get("SPARK_GRAFT_TMP_TTL_S", "1800"))
+def _parse_tmp_ttl_s() -> int:
+    """A malformed SPARK_GRAFT_TMP_TTL_S (e.g. '30m') must degrade to
+    the default, not raise at import time and take down every
+    dedup/similarity query that imports this module (ADVICE r15)."""
+    raw = os.environ.get("SPARK_GRAFT_TMP_TTL_S", "1800")
+    try:
+        return int(raw)
+    except ValueError:
+        import warnings
+
+        warnings.warn(
+            f"SPARK_GRAFT_TMP_TTL_S={raw!r} is not an integer; "
+            "falling back to 1800 s",
+            stacklevel=2,
+        )
+        return 1800
+
+
+ABANDONED_TMP_TTL_S = _parse_tmp_ttl_s()
 
 
 def collect_abandoned_siblings(loc, ttl_seconds: int | None = None) -> None:

@@ -853,26 +853,55 @@ def test_build_tmp_paths_are_unique_per_builder():
 
 def test_sweep_spares_live_same_fp_builds(spark, tmp_path, monkeypatch):
     """sweep_stale_generations must not collect a live same-fp build
-    tmp ('{fp}.tmp-{uuid}') from a concurrent session — only the
-    published generation name and same-fp builds survive; other-fp
-    generations, their tmps, and debris-aside dirs are fair game."""
+    tmp ('{fp}.tmp-{uuid}') from a concurrent session, NOR a same-fp
+    debris aside ('{fp}.debris-{uuid}') — the aside may hold a late
+    winner's COMPLETE generation inside publish_generation's
+    check-to-rename-back window and this sweep has no age gate
+    (ADVICE r15); both wait for the TTL-gated
+    collect_abandoned_siblings.  Only the published generation name
+    and same-fp tmp/debris survive; other-fp generations, their tmps,
+    and their debris are fair game."""
     from bigbugdata_spark.operators import dedup_incr_core as core
 
     root = tmp_path / "idxroot"
     root.mkdir()
     monkeypatch.setattr(core, "INDEX_ROOT", str(root))
     fp, other = "aaaaaaaa1111", "aaaaaaaa2222"
-    keep = [f"knn_edges_{fp}", f"knn_edges_{fp}.tmp-deadbeef"]
+    keep = [
+        f"knn_edges_{fp}",
+        f"knn_edges_{fp}.tmp-deadbeef",
+        f"knn_edges_{fp}.debris-deadbeef",
+    ]
     sweepable = [
         f"knn_edges_{other}",
         f"knn_edges_{other}.tmp-deadbeef",
-        f"knn_edges_{fp}.debris-deadbeef",
+        f"knn_edges_{other}.debris-deadbeef",
     ]
     for name in keep + sweepable:
         (root / name).mkdir()
     core.sweep_stale_generations(spark, ("knn_edges_",), fp)
     left = sorted(p.name for p in root.iterdir())
     assert left == sorted(keep), left
+
+
+def test_tmp_ttl_env_parse_survives_garbage(monkeypatch):
+    """A malformed SPARK_GRAFT_TMP_TTL_S (e.g. '30m') must fall back
+    to the 1800 s default with a warning instead of raising at module
+    import and taking down every dedup/similarity query (ADVICE r15);
+    a valid override still wins."""
+    import warnings
+
+    from bigbugdata_spark.operators.dedup_incr_core import _parse_tmp_ttl_s
+
+    monkeypatch.setenv("SPARK_GRAFT_TMP_TTL_S", "30m")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _parse_tmp_ttl_s() == 1800
+    assert any("SPARK_GRAFT_TMP_TTL_S" in str(x.message) for x in w)
+    monkeypatch.setenv("SPARK_GRAFT_TMP_TTL_S", "42")
+    assert _parse_tmp_ttl_s() == 42
+    monkeypatch.delenv("SPARK_GRAFT_TMP_TTL_S")
+    assert _parse_tmp_ttl_s() == 1800
 
 
 def test_concurrent_generation_builders_both_succeed(tmp_path):
@@ -891,7 +920,11 @@ def test_concurrent_generation_builders_both_succeed(tmp_path):
     import sys
     from pathlib import Path
 
-    src = Path("/root/testdata/sf0.001/embeddings.parquet")
+    from tests.conftest import SF_SMALL
+
+    src = Path(SF_SMALL) / "embeddings.parquet"
+    if not src.exists():
+        pytest.skip(f"fixture corpus absent: {src}")
     corpus = tmp_path / "corpus"
     corpus.mkdir()
     if src.is_dir():
