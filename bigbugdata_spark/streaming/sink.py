@@ -79,6 +79,16 @@ def upsert_batch_bucketed(
     # serves both the in-batch dedup aggregate and the join alignment
     fresh = batch.repartition(n_buckets, key).dropDuplicates([key])
     if spark.catalog.tableExists(table_name):
+        # refresh BEFORE the anti-join read: the per-batch append runs
+        # on the micro-batch session clone, whose saveAsTable does NOT
+        # invalidate this (caller-supplied) session's table-relation
+        # cache — without the refresh, a restarted query's batch B
+        # anti-joins against a file index cached at batch A and lets
+        # batch A's keys back in as duplicates (r15 fault-injection
+        # finding; pinned by tests/test_round15_ops.py).  At scale the
+        # refresh is metadata-only — it forces the re-listing a correct
+        # read of the just-appended table needs anyway.
+        spark.catalog.refreshTable(table_name)
         existing = spark.table(table_name).select(key)
         fresh = fresh.join(existing, key, "left_anti")
     (

@@ -1,0 +1,365 @@
+"""Round-15 engine-level properties (VERDICT r14 #4 and #7).
+
+1) The RocksDB deployment posture (ROCKSDB_STATE_STORE_CONF) is claimed
+   for ALL stateful kernels, but r14 machine-proved restart recovery on
+   the provider only for the funnel.  This file closes the gap for the
+   two remaining state shapes: the MTA path BUFFER (the largest and
+   most encode-sensitive state — a growing list of touches per user)
+   and the EventTimeTimeout sessionizer (recovered timeout timestamps
+   must fire on the provider, not just recovered values).
+
+2) Crash-mid-batch fault injection for the foreachBatch upsert sinks:
+   the exactly-once claim has two failure windows — a crash BEFORE the
+   phase-1 table append (batch replays cleanly) and a crash BETWEEN
+   the append and the checkpoint commit (the replayed batch must
+   anti-join to a no-op against its own phase-1 rows).  r14 proved
+   restart-with-source-overlap; this injects the second, nastier
+   window deliberately for both the plain-parquet and the bucketed
+   (scale-path) sinks.
+
+No analog in the reference (single-process batch CLI, SURVEY §2);
+streaming extension surface.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+# shared restart-recovery harness (slice files -> file-stream ->
+# parquet sink on a persistent checkpoint)
+from tests.test_round14_ops import (
+    _file_sink_restartable_run,
+    _mta_stream_build,
+    _write_slice_files,
+)
+
+
+def _assert_rocksdb_engaged(ckpt):
+    """With changelog checkpointing on, per-batch commits upload
+    *.changelog deltas (snapshot zips / SSTs only land on periodic
+    maintenance); the HDFS-backed provider writes *.delta/*.snapshot
+    instead, so any of these three proves RocksDB actually engaged."""
+    artifacts = [
+        p
+        for pat in ("*.changelog", "*.zip", "*.sst")
+        for p in (ckpt / "state").rglob(pat)
+    ]
+    assert artifacts, (
+        "no RocksDB artifacts (changelogs / snapshot zips / SSTs) under "
+        "the checkpoint's state dir — the provider conf did not engage"
+    )
+
+
+def test_mta_restart_recovery_on_rocksdb_state_store(spark, tmp_path):
+    """The MTA kernel's state row carries the path BUFFER — a
+    variable-length list of (ts, touch_type) pairs, the most
+    encode-sensitive of the five kernels' schemas.  Instance 1 buffers
+    two touches on RocksDB and terminates; instance 2 (same
+    checkpoint, same provider) must decode the buffer from SST/
+    changelog state and split the phase-2 purchase across the
+    recovered touches in recovered order.  Lost or reordered state
+    emits a WRONG ANSWER (a single 'organic' credit), not a crash."""
+    from bigbugdata_spark.streaming.core import (
+        ROCKSDB_STATE_STORE_CONF,
+        rocksdb_state_store,
+    )
+
+    out, ckpt = tmp_path / "mta_out", tmp_path / "mta_ckpt"
+    with rocksdb_state_store(spark):
+        for k, v in ROCKSDB_STATE_STORE_CONF.items():
+            assert spark.conf.get(k) == v
+        _write_slice_files(
+            tmp_path, [[(1, 100, 1, "click", 0)], [(1, 200, 2, "view", 0)]]
+        )
+        _file_sink_restartable_run(
+            spark, tmp_path, _mta_stream_build, out, ckpt
+        )
+        _write_slice_files(
+            tmp_path, [[(1, 300, 3, "purchase", 101)]], start=2
+        )
+        _file_sink_restartable_run(
+            spark, tmp_path, _mta_stream_build, out, ckpt
+        )
+    got = sorted(
+        (r["touch_type"], r["credit"])
+        for r in spark.read.parquet(str(out)).collect()
+    )
+    # 101 cents over the recovered [click, view] path: trunc-div base
+    # 50 each, remainder 1 to the LAST touch — the value pins both the
+    # buffer's survival and its recovered ordering on the provider
+    assert got == [("click", 50), ("view", 51)]
+    _assert_rocksdb_engaged(ckpt)
+    # and the scoping restored the session's default provider
+    assert "RocksDB" not in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    )
+
+
+def test_sessionizer_restart_recovery_on_rocksdb_state_store(
+    spark, tmp_path
+):
+    """EventTimeTimeout on the scale-grade store: instance 1 leaves two
+    users' sessions OPEN on RocksDB, each with a registered timeout
+    timestamp.  Instance 2 must (a) extend-then-gap-close user 42's
+    recovered session with the recovered start/count and (b) fire the
+    timeout for user 43 — a group with NO phase-2 data — purely from
+    the timestamp recovered off the provider.  Timeout registration
+    lives in the engine's state-store metadata, a surface the
+    NoTimeout kernels never touch."""
+    import datetime as dt
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from bigbugdata_spark.streaming.core import rocksdb_state_store
+    from bigbugdata_spark.streaming.stateful import (
+        _SESSION_OUTPUT_SCHEMA,
+        _SESSION_STATE_SCHEMA,
+        _sessionize_user,
+    )
+
+    def build(ev):
+        return (
+            ev.withWatermark("ts", "10 minutes")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _sessionize_user,
+                outputStructType=_SESSION_OUTPUT_SCHEMA,
+                stateStructType=_SESSION_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+
+    out, ckpt = tmp_path / "sess_out", tmp_path / "sess_ckpt"
+    with rocksdb_state_store(spark):
+        _write_slice_files(
+            tmp_path,
+            [
+                [
+                    (42, 0, 1, "click", 0),
+                    (42, 60, 2, "view", 0),
+                    (43, 0, 3, "click", 0),
+                ]
+            ],
+        )
+        _file_sink_restartable_run(spark, tmp_path, build, out, ckpt)
+        # phase 2: ts=120 EXTENDS 42's recovered session; ts=3600
+        # gap-closes it (n=3 pins the recovered start and count); the
+        # third file gives the engine a batch AFTER the watermark has
+        # advanced past 43's recovered 300 s timeout, which then fires
+        _write_slice_files(
+            tmp_path,
+            [
+                [(42, 120, 4, "click", 0)],
+                [(42, 3600, 5, "search", 0)],
+                [(42, 3660, 6, "view", 0)],
+            ],
+            start=1,
+        )
+        _file_sink_restartable_run(spark, tmp_path, build, out, ckpt)
+    base = dt.datetime(2024, 1, 1)
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(str(out)).collect()
+    )
+    assert got == [
+        (42, base, base + dt.timedelta(seconds=420), 3),
+        (43, base, base + dt.timedelta(seconds=300), 1),
+    ], got
+    _assert_rocksdb_engaged(ckpt)
+
+
+# --- crash-mid-batch fault injection for the foreachBatch sinks -------------
+
+
+class _InjectedCrash(RuntimeError):
+    pass
+
+
+def _run_crashing_sink(spark, src_dir, ckpt, apply_batch):
+    """Drive the events file-stream into foreachBatch(apply_batch) with
+    a persistent checkpoint; surface the injected crash (Spark wraps it
+    in StreamingQueryException)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from bigbugdata_spark.catalog import (
+        _events_session_confs,
+        normalize_events_ts,
+    )
+
+    _events_session_confs(spark)
+    raw_schema = spark.read.parquet(str(src_dir / "events.parquet")).schema
+    ev = normalize_events_ts(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "events.parque[t]"))
+    )
+    q = (
+        ev.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination()
+
+
+def test_upsert_sink_converges_after_crash_between_write_and_commit(
+    spark, tmp_path
+):
+    """The nastier exactly-once window: the foreachBatch body COMPLETES
+    its phase-1 parquet append, then the process dies BEFORE the
+    checkpoint commit (injected by raising right after upsert_batch
+    returns).  The engine will replay the same micro-batch on restart
+    — offsets never advanced — so the replayed rows arrive with their
+    own phase-1 output already in the table, and only the anti-join
+    stands between the table and duplicate rows.  The restarted clean
+    run must converge to exactly one row per event_id, including the
+    untouched later slice."""
+    from bigbugdata_spark.streaming.sink import (
+        run_incremental_dedup_sink,
+        upsert_batch,
+    )
+
+    out, ckpt = tmp_path / "mat", tmp_path / "ckpt"
+    _write_slice_files(
+        tmp_path,
+        [
+            [(1, 0, 1, "click", 0), (2, 10, 2, "view", 0)],
+            [(3, 20, 3, "click", 0)],
+        ],
+    )
+
+    def crash_after_write(batch, _bid):
+        upsert_batch(batch.sparkSession, batch, str(out), "event_id")
+        raise _InjectedCrash("injected crash after phase-1 write")
+
+    _run_crashing_sink(spark, tmp_path, ckpt, crash_after_write)
+    # phase-1 write landed, commit did not: the table already holds the
+    # first batch's rows while the checkpoint says "unprocessed"
+    assert spark.read.parquet(str(out)).count() == 2
+    run_incremental_dedup_sink(spark, str(tmp_path), str(out), str(ckpt))
+    rows = spark.read.parquet(str(out))
+    assert rows.count() == 3
+    assert sorted(r["event_id"] for r in rows.collect()) == [1, 2, 3]
+
+
+def test_bucketed_upsert_sink_converges_after_crash_mid_batch(
+    spark, tmp_path
+):
+    """Same injected window for the SCALE-path sink (key-bucketed
+    saveAsTable): the replayed micro-batch must anti-join against the
+    bucketed table's own phase-1 append and land zero new rows for
+    replayed keys — the bucketed layout changes the join physics
+    (batch-side-only exchange), not the convergence contract."""
+    from bigbugdata_spark.streaming.sink import (
+        run_incremental_dedup_sink_bucketed,
+        upsert_batch_bucketed,
+    )
+
+    table = "r15_crash_bucketed_mat"
+    ckpt = tmp_path / "bq_ckpt"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    _write_slice_files(
+        tmp_path,
+        [
+            [(1, 0, 1, "click", 0), (2, 10, 2, "view", 0)],
+            [(2, 10, 2, "view", 0), (4, 30, 4, "search", 0)],
+        ],
+    )
+
+    def crash_after_write(batch, _bid):
+        upsert_batch_bucketed(
+            batch.sparkSession, batch, table, "event_id", n_buckets=4
+        )
+        raise _InjectedCrash("injected crash after phase-1 write")
+
+    try:
+        _run_crashing_sink(spark, tmp_path, ckpt, crash_after_write)
+        # consumer-side REFRESH: the appends ran on micro-batch session
+        # clones, so this session's table-relation cache is stale by
+        # design — the documented read contract for a catalog table
+        # maintained by an external writer
+        spark.catalog.refreshTable(table)
+        assert spark.table(table).count() == 2
+        run_incremental_dedup_sink_bucketed(
+            spark, str(tmp_path), table, str(ckpt), n_buckets=4
+        )
+        spark.catalog.refreshTable(table)
+        rows = spark.table(table)
+        assert rows.count() == 3
+        assert sorted(r["event_id"] for r in rows.collect()) == [1, 2, 4]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_bucketed_upsert_antijoin_not_blinded_by_relation_cache(
+    spark, tmp_path
+):
+    """The r15 fault-injection campaign's REAL find: a restarted query
+    over a PRE-EXISTING bucketed table, where batch A appends key 5
+    and batch B re-delivers it.  Batch A's anti-join read primes the
+    driver session's table-relation cache; its append runs on the
+    micro-batch session clone, which does NOT invalidate that cache —
+    so without the in-sink refreshTable, batch B anti-joins against a
+    file index frozen at batch A and key 5 lands TWICE (observed
+    [1, 5, 5, 6] before the fix).  The fresh-table case cannot catch
+    this: there, no cache entry exists until the first read."""
+    from bigbugdata_spark.streaming.sink import (
+        run_incremental_dedup_sink_bucketed,
+    )
+
+    table = "r15_cache_leak_mat"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        # run 1 seeds the table so run 2's first batch finds it exists
+        _write_slice_files(tmp_path, [[(1, 0, 1, "click", 0)]])
+        run_incremental_dedup_sink_bucketed(
+            spark, str(tmp_path), table, str(tmp_path / "ck"), n_buckets=4
+        )
+        # run 2, same checkpoint: batch A appends {5}, batch B repeats
+        # {5} alongside fresh {6} — one file per micro-batch via the
+        # restartable harness's per-file mtimes + the sink's file source
+        _write_slice_files(
+            tmp_path,
+            [
+                [(5, 40, 5, "view", 0)],
+                [(5, 40, 5, "view", 0), (6, 50, 6, "click", 0)],
+            ],
+            start=1,
+        )
+        # drive with maxFilesPerTrigger=1 so A and B are separate
+        # micro-batches within ONE query instance
+        from bigbugdata_spark.streaming.sink import upsert_batch_bucketed
+
+        def apply_batch(batch, _bid):
+            upsert_batch_bucketed(
+                spark, batch, table, "event_id", n_buckets=4
+            )
+
+        from bigbugdata_spark.catalog import (
+            _events_session_confs,
+            normalize_events_ts,
+        )
+
+        _events_session_confs(spark)
+        raw_schema = spark.read.parquet(
+            str(tmp_path / "events.parquet")
+        ).schema
+        ev = normalize_events_ts(
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "events.parque[t]"))
+        )
+        q = (
+            ev.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        spark.catalog.refreshTable(table)
+        rows = sorted(r["event_id"] for r in spark.table(table).collect())
+        assert rows == [1, 5, 6], rows
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
