@@ -293,6 +293,130 @@ def test_bucketed_upsert_sink_converges_after_crash_mid_batch(
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_rollup_sink_converges_after_crash_between_write_and_commit(
+    spark, tmp_path
+):
+    """The partial-store rollup sink's exactly-once story is
+    overwrite-idempotence: a replayed batch_id rewrites its own
+    partition with identical content.  Inject the crash AFTER the
+    partition write, BEFORE the commit — the restarted run re-delivers
+    batch 0 with the same id, overwrites the same directory, and the
+    merged rollup must equal the one-shot batch aggregation (a
+    double-count would inflate n_events for batch 0's day/type
+    groups)."""
+    from bigbugdata_spark.streaming.rollup import (
+        merged_rollup,
+        run_rollup_stream_sink,
+        write_rollup_batch,
+    )
+
+    out, ckpt = tmp_path / "store", tmp_path / "ckpt"
+    _write_slice_files(
+        tmp_path,
+        [
+            [(1, 0, 1, "click", 100), (2, 10, 2, "view", 250)],
+            [(1, 86_400, 3, "click", 50)],
+        ],
+    )
+
+    def crash_after_write(batch, bid):
+        write_rollup_batch(batch, bid, str(out))
+        raise _InjectedCrash("injected crash after phase-1 write")
+
+    _run_crashing_sink(spark, tmp_path, ckpt, crash_after_write)
+    # phase-1 partition landed without a commit
+    assert (out / "batch_id=0").exists()
+    run_rollup_stream_sink(spark, str(tmp_path), str(out), str(ckpt))
+    got = sorted(
+        (str(r["day"]), r["event_type"], r["n_events"], r["sum_cents"])
+        for r in merged_rollup(spark, str(out)).collect()
+    )
+    # the slice writer's value column is cents/100, and the partials
+    # recover integer cents — so the tuples' 4th field IS the cents
+    assert got == [
+        ("2024-01-01", "click", 1, 100),
+        ("2024-01-01", "view", 1, 250),
+        ("2024-01-02", "click", 1, 50),
+    ], got
+
+
+def test_scd2_sink_converges_after_crash_between_write_and_commit(
+    spark, tmp_path
+):
+    """The SCD2 maintenance sink's replay guard is the per-user
+    high-water mark: a replayed batch's runs are below the mark AND
+    covered by stored same-state runs, so they are dropped wholesale.
+    Inject the crash AFTER batch 0's bucket rewrite, BEFORE the commit
+    — the restarted run replays batch 0 (its click run must NOT
+    re-merge: n_events doubling from 2 to 4 is the failure shape) and
+    then processes batch 1, which closes the click run and opens the
+    view run."""
+    import glob
+
+    from bigbugdata_spark.streaming.scd_sink import (
+        read_state_history,
+        run_scd2_stream_sink,
+        stamp_slice_mtimes,
+        upsert_state_runs,
+    )
+
+    src = tmp_path / "slices"
+    out, ckpt = tmp_path / "scd_table", tmp_path / "scd_ckpt"
+    # slices written via SPARK (microsecond ts), matching the
+    # registered query's log-ingest shape — the sink consumes raw
+    # slice files without the pandas-ns normalize path
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    slices = [
+        [(9, 0, 1, "click"), (9, 60, 2, "click")],
+        [(9, 120, 3, "view")],
+    ]
+    for i, sl in enumerate(slices):
+        spark.createDataFrame(
+            [
+                (uid, base + dt.timedelta(seconds=s), eid, et)
+                for uid, s, eid, et in sl
+            ],
+            "user_id long, ts timestamp, event_id long, event_type string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"slice_{i}")
+        )
+    stamp_slice_mtimes(str(src))
+    src_glob = str(src / "slice_*" / "*.parquet")
+
+    schema = spark.read.parquet(src_glob).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_glob)
+    )
+
+    def crash_after_write(batch, _bid):
+        upsert_state_runs(spark, batch, str(out), n_buckets=4)
+        raise _InjectedCrash("injected crash after phase-1 write")
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    q = (
+        stream.writeStream.foreachBatch(crash_after_write)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination()
+    assert glob.glob(str(out / "user_bucket=*")), "phase-1 write missing"
+    run_scd2_stream_sink(spark, src_glob, str(out), str(ckpt), n_buckets=4)
+    got = sorted(
+        (r["user_id"], r["state"], r["n_events"], r["is_current"])
+        for r in read_state_history(spark, str(out)).collect()
+    )
+    # click run n_events == 2 pins the no-double-merge property; the
+    # view run proves batch 1 still flowed after the replay
+    assert got == [(9, "click", 2, False), (9, "view", 1, True)], got
+
+
 def test_bucketed_upsert_antijoin_not_blinded_by_relation_cache(
     spark, tmp_path
 ):
