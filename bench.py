@@ -351,11 +351,17 @@ SCALE_PROBE_ITERATIONS = {
     # scale claim and shouldn't rest on a min-of-2
     "sim_knn_graph": 4,
     "sim_pagerank": 4,
-    "sim_ivf_incremental_assign": 4,
     "tpch_q9_product_profit": 6,
     "evt_range_join": 4,
     "dedup_containment": 4,
-    "dedup_incremental_lsh": 6,
+    # r15: every ingest-class row with an ABSOLUTE x10 wall budget
+    # runs min-of-8 — the r14 batch_assign "breach" was min-of-2
+    # warm-up truncation, and dedup_incremental read 1.459 s of its
+    # 1.5 s gate at min-of-2 in the r15 bench (one drift-sized move
+    # from a false breach); min-of-8 pays the tail outside the min
+    "dedup_incremental": 8,
+    "dedup_incremental_lsh": 8,
+    "sim_ivf_incremental_assign": 8,
     # r15 (VERDICT r14 #1): the r14 x10 budget "breach" (1.96 s >
     # 1.5 s at iterations_used=2) was min-of-N truncation, not a
     # regression — the query's warm-up tail is long (measured
