@@ -199,6 +199,131 @@ def test_high_water_mark_enforced_across_restart_on_rocksdb(
     _assert_rocksdb_engaged(ckpt)
 
 
+def test_publish_interleaving_fuzz_with_concurrent_sweep(tmp_path):
+    """The ADVICE r15 race, model-checked under adversarial schedules:
+    before every os.rename / shutil.rmtree the publisher makes, a
+    CONCURRENT SESSION may run sweep_stale_generations against the
+    same index root (and an external winner may land a complete
+    generation on any absent loc).  Every name in this model shares
+    the publisher's fingerprint, so the un-age-gated sweep must delete
+    NOTHING — one rmtree out of the sweep (the old behavior: same-fp
+    debris asides were fair game, racing the publisher's rename-back
+    of a late winner's complete generation) is an invariant violation,
+    alongside the r14 publish invariants (loc/complete-artifact
+    deletion safety, convergence, no tmp leak)."""
+    import os
+    import shutil
+    from uuid import uuid4
+
+    from hypothesis import given, settings, strategies as st
+
+    from bigbugdata_spark.operators import dedup_incr_core as core
+
+    real_rename, real_rmtree = os.rename, shutil.rmtree
+    fp = "aaaaaaaa1111"
+
+    class _StubCatalog:
+        def listTables(self):
+            return []
+
+    class _StubSpark:
+        catalog = _StubCatalog()
+
+    def make_complete(loc):
+        os.makedirs(loc)
+        with open(os.path.join(loc, "_SUCCESS"), "w"):
+            pass
+        with open(os.path.join(loc, "part-0.parquet"), "w") as f:
+            f.write("external")
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def run(data):
+        case = tmp_path / f"case_{uuid4().hex}"
+        case.mkdir()
+        loc = case / f"knn_edges_{fp}"
+        tmp = case / f"knn_edges_{fp}.tmp-me"
+        tmp.mkdir()
+        (tmp / "_SUCCESS").touch()
+        (tmp / "part-0.parquet").write_text("mine")
+        start = data.draw(
+            st.sampled_from(["absent", "debris", "complete"])
+        )
+        if start == "debris":
+            loc.mkdir()
+            (loc / "part-half.parquet").touch()
+        elif start == "complete":
+            make_complete(loc)
+
+        violations = []
+        state = {"in_adversary": False, "in_sweep": False}
+
+        def maybe_adversary():
+            if state["in_adversary"]:
+                return
+            state["in_adversary"] = True
+            try:
+                if not loc.exists() and data.draw(
+                    st.booleans(), label="external_publish"
+                ):
+                    make_complete(loc)
+                if data.draw(st.booleans(), label="concurrent_sweep"):
+                    state["in_sweep"] = True
+                    try:
+                        core.sweep_stale_generations(
+                            _StubSpark(), ("knn_edges_",), fp
+                        )
+                    finally:
+                        state["in_sweep"] = False
+            finally:
+                state["in_adversary"] = False
+
+        def fuzzed_rename(src, dst):
+            maybe_adversary()
+            return real_rename(src, dst)
+
+        def checked_rmtree(path, *a, **kw):
+            p = str(path)
+            if state["in_sweep"]:
+                violations.append(f"sweep deleted same-fp sibling {p}")
+                return  # model the damage as prevented; count it
+            maybe_adversary()
+            if p == str(loc):
+                violations.append(f"rmtree of loc {p}")
+            elif (
+                os.path.isdir(p)
+                and os.path.exists(os.path.join(p, "_SUCCESS"))
+                and p != str(tmp)
+            ):
+                violations.append(f"rmtree of a complete artifact {p}")
+            return real_rmtree(path, *a, **kw)
+
+        os.rename, shutil.rmtree = fuzzed_rename, checked_rmtree
+        try:
+            # the sweep must also spare everything when run against the
+            # starting state directly (the static exclusion), not just
+            # mid-publish
+            monkey_root = core.INDEX_ROOT
+            core.INDEX_ROOT = str(case)
+            raised = False
+            try:
+                core.publish_generation(tmp, loc)
+            except OSError:
+                raised = True
+        finally:
+            core.INDEX_ROOT = monkey_root
+            os.rename, shutil.rmtree = real_rename, real_rmtree
+        assert not violations, violations
+        if not raised:
+            assert (loc / "_SUCCESS").exists(), "returned without artifact"
+            assert not tmp.exists(), "returned but tmp not consumed"
+        else:
+            assert not tmp.exists(), "raised and leaked our tmp"
+        real_rmtree(case, ignore_errors=True)
+
+    run()
+
+
 # --- crash-mid-batch fault injection for the foreachBatch sinks -------------
 
 
