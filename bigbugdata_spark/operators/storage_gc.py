@@ -92,7 +92,13 @@ def store_gc_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_versioned(
             docs.filter(F.col("n_chars") < _TINY_CHARS), path
         )  # v2: the tiny-document re-admit append
-        plan = gc_plan(path, retain_last=2)
+        # min_age_s=0: this scratch table is single-writer by
+        # construction (freshly built in this query body), so the
+        # in-flight gate that protects concurrent writers' uncommitted
+        # stages (versioned.py r15) would misread the seconds-old
+        # fixture files; 0 skips the gate entirely — classification is
+        # byte-identical to the pre-gate behavior
+        plan = gc_plan(path, retain_last=2, min_age_s=0.0)
         if plan["retained"] != [1, 2] or plan["expired"] != [0]:
             raise AssertionError(f"unexpected retention split: {plan}")
         reclaim_paths = [f["path"] for f in plan["reclaimable_files"]]
@@ -119,7 +125,7 @@ def store_gc_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         live_rows = next(
             r.n_docs for r in result.collect() if r.status == "live"
         )
-        acct = expire_versions(path, retain_last=2)
+        acct = expire_versions(path, retain_last=2, min_age_s=0.0)
         if acct["deleted_files"] != len(reclaim_paths):
             raise AssertionError(f"vacuum deleted off-plan: {acct}")
         if read_versioned(spark, path).count() != live_rows:

@@ -256,6 +256,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # match in their namespace (and the TTL-parse hardening is
 # behavior-identical for any valid env value).
 #
+# r15-late note for the changed-query rule: the versioned-table vacuum
+# gained an in-flight age gate (sources/versioned.py min_age_s — the
+# race find: a vacuum inside a concurrent writer's write-to-commit
+# window deleted the winner's staged files).  store_gc_plan (module
+# storage_gc, r13-fresh verdict, out-of-cap) now passes min_age_s=0.0
+# explicitly — at 0 the gate branch is skipped entirely (`if min_age_s
+# > 0` guards the clock read), so its classification, its deletions,
+# and its result rows are byte-identical to the pre-gate behavior; the
+# new in_flight_files key is never selected by the query.  Standing
+# verdict kept on that argument (the r14-late-note precedent); if r16
+# wants belt-and-braces, storage_gc is a 1-slot refresh.
+#
 # Round-16 rotation queue (plan): permanent 26 stay; similarity_incr /
 # similarity_knn rotate out IF unchanged in r16 (fresh r15 verdicts).
 # Stalest then: profile (2, r6 — deferred here), retrieval (1),

@@ -38,6 +38,19 @@ reading the original immutable files byte-identically. Retention
 manifest references, and REFUSES to expire a version a pin still
 references (pin_version / unpin_version — the "training run X read
 version N" contract made durable).
+
+In-flight protection (round 15): the write protocol is data-files-
+first, manifest-commit-second — so an unreferenced on-disk file is
+EITHER a dead version's orphan OR a concurrent writer's not-yet-
+committed stage, and the two are indistinguishable by reference alone.
+gc_plan/expire_versions therefore gate reclamation by file AGE
+(min_age_s, default GC_IN_FLIGHT_TTL_S): young unreferenced files are
+reported as `in_flight_files` and never deleted — the same retention-
+threshold rule Iceberg/Delta vacuum applies, and the same TTL idea as
+dedup_incr_core.collect_abandoned_siblings.  Without it, a vacuum
+racing a writer's write-to-commit window deletes the winner's data and
+the commit lands referencing missing files.  Single-writer callers
+(tests, scratch tables) pass min_age_s=0.0 to reclaim immediately.
 """
 
 from __future__ import annotations
@@ -257,18 +270,53 @@ def pinned_versions(path: str) -> dict[str, int]:
     return out
 
 
-def gc_plan(path: str, retain_last: int = 1) -> dict:
+def _parse_gc_ttl_s() -> float:
+    """A malformed SPARK_GRAFT_GC_TTL_S degrades to the default with a
+    warning, never an import-time raise (the dedup_incr_core TTL-parse
+    precedent, ADVICE r15)."""
+    raw = os.environ.get("SPARK_GRAFT_GC_TTL_S", "1800")
+    try:
+        return float(raw)
+    except ValueError:
+        import warnings
+
+        warnings.warn(
+            f"SPARK_GRAFT_GC_TTL_S={raw!r} is not a number; "
+            "falling back to 1800 s",
+            stacklevel=2,
+        )
+        return 1800.0
+
+
+#: minimum age before an UNREFERENCED data file is reclaimable: younger
+#: ones may be a concurrent writer's not-yet-committed stage (the
+#: write-to-commit window).  Local builds commit in seconds; a cluster
+#: whose version writes can exceed this must raise it (env override) —
+#: too-low fails loudly at the writer's commit-time read, never
+#: silently (the manifest would reference vanished files).
+GC_IN_FLIGHT_TTL_S = _parse_gc_ttl_s()
+
+
+def gc_plan(
+    path: str, retain_last: int = 1, min_age_s: float | None = None
+) -> dict:
     """VACUUM DRY RUN — the plan expire_versions would execute, without
     touching anything: which versions are retained (the newest
     `retain_last` plus every pinned one) vs expired, the retained
-    manifests' live file set, and every on-disk data file no retained
-    manifest references (`reclaimable`, with byte sizes).  Returns
-    {retained, expired, live_files, reclaimable_files, reclaimable_bytes};
-    file paths are table-relative, sorted.  This is the accounting a
-    storage operator reads and signs off on before running destructive
+    manifests' live file set, every on-disk data file no retained
+    manifest references AND older than `min_age_s` (`reclaimable`, with
+    byte sizes), and younger unreferenced files (`in_flight_files` —
+    possibly a concurrent writer's uncommitted stage; never deleted).
+    min_age_s=None uses GC_IN_FLIGHT_TTL_S; single-writer callers pass
+    0.0 to reclaim immediately.  Returns {retained, expired, live_files,
+    reclaimable_files, reclaimable_bytes, in_flight_files}; file paths
+    are table-relative, sorted.  This is the accounting a storage
+    operator reads and signs off on before running destructive
     retention — expire_versions executes exactly this plan."""
     if retain_last < 1:
         raise ValueError("retain_last must be >= 1 (the head is never expired)")
+    if min_age_s is None:
+        min_age_s = GC_IN_FLIGHT_TTL_S
     head = latest_version(path)
     if head is None:
         return {
@@ -277,6 +325,7 @@ def gc_plan(path: str, retain_last: int = 1) -> dict:
             "live_files": [],
             "reclaimable_files": [],
             "reclaimable_bytes": 0,
+            "in_flight_files": [],
         }
     cutoff = head - retain_last + 1
     pinned = set(pinned_versions(path).values())
@@ -292,6 +341,13 @@ def gc_plan(path: str, retain_last: int = 1) -> dict:
         live.update(f["path"] for f in _read_manifest(path, v)["files"])
     base = Path(path)
     reclaimable: list[dict] = []
+    in_flight: list[str] = []
+    # one clock read for the whole scan, so the classification is a
+    # consistent snapshot (min_age_s == 0 skips the gate entirely:
+    # classification is then byte-identical to the pre-gate behavior)
+    import time
+
+    cutoff = time.time() - min_age_s if min_age_s > 0 else None
     data_dir = base / "data"
     if data_dir.is_dir():
         for stage_dir in sorted(data_dir.iterdir()):
@@ -299,31 +355,44 @@ def gc_plan(path: str, retain_last: int = 1) -> dict:
                 continue
             for p in sorted(stage_dir.glob("*.parquet")):
                 rel = f"data/{stage_dir.name}/{p.name}"
-                if rel not in live:
-                    reclaimable.append(
-                        {"path": rel, "bytes": p.stat().st_size}
-                    )
+                if rel in live:
+                    continue
+                st = p.stat()
+                if cutoff is not None and st.st_mtime >= cutoff:
+                    in_flight.append(rel)
+                else:
+                    reclaimable.append({"path": rel, "bytes": st.st_size})
     return {
         "retained": retained,
         "expired": expired,
         "live_files": sorted(live),
         "reclaimable_files": reclaimable,
         "reclaimable_bytes": sum(f["bytes"] for f in reclaimable),
+        "in_flight_files": in_flight,
     }
 
 
-def expire_versions(path: str, retain_last: int = 1) -> dict:
+def expire_versions(
+    path: str, retain_last: int = 1, min_age_s: float | None = None
+) -> dict:
     """Retention: expire manifests older than the newest `retain_last`
     versions — EXCEPT pinned ones, which stay readable with all their
     files — then delete every data file no surviving manifest
-    references. Returns accounting {expired, retained, deleted_files,
-    freed_bytes}. Reading an expired version afterwards raises
+    references AND older than `min_age_s` (default GC_IN_FLIGHT_TTL_S:
+    a younger unreferenced file may be a concurrent writer's
+    not-yet-committed stage — deleting it makes the winner's manifest
+    reference missing files; single-writer callers pass 0.0). Returns
+    accounting {expired, retained, deleted_files, freed_bytes,
+    in_flight_files}. Reading an expired version afterwards raises
     FileNotFoundError (a pinned run failing loudly beats silently
     reading a different corpus); retained versions keep reading
     byte-identical files because data files are immutable and only
     unreferenced ones are deleted.  The classification is gc_plan's —
-    this executes exactly the plan the dry run reports."""
-    plan = gc_plan(path, retain_last)
+    this executes exactly the plan the dry run reports.  Ordering is
+    crash-safe: manifests are unlinked BEFORE data files, so a crash
+    mid-vacuum leaves orphaned data (reclaimed by the next run), never
+    a manifest referencing deleted files."""
+    plan = gc_plan(path, retain_last, min_age_s)
     base = Path(path)
     for v in plan["expired"]:
         _manifest_path(path, v).unlink()
@@ -343,6 +412,7 @@ def expire_versions(path: str, retain_last: int = 1) -> dict:
         "retained": plan["retained"],
         "deleted_files": deleted,
         "freed_bytes": freed,
+        "in_flight_files": plan["in_flight_files"],
     }
 
 

@@ -928,7 +928,7 @@ def test_gc_plan_classification_and_pins(tmp_path, spark):
     write_versioned(df, path)                                 # v0
     replace_versioned(df.filter("id >= 5"), path)             # v1
     write_versioned(df.filter("id < 2"), path)                # v2
-    plan = gc_plan(path, retain_last=2)
+    plan = gc_plan(path, retain_last=2, min_age_s=0.0)
     assert plan["retained"] == [1, 2] and plan["expired"] == [0]
     assert plan["reclaimable_files"] and plan["reclaimable_bytes"] > 0
     assert not set(f["path"] for f in plan["reclaimable_files"]) & set(
@@ -936,10 +936,10 @@ def test_gc_plan_classification_and_pins(tmp_path, spark):
     )
     # a pin on v0 keeps its files live -> nothing reclaimable
     pin_version(path, 0, "run-x")
-    pinned_plan = gc_plan(path, retain_last=2)
+    pinned_plan = gc_plan(path, retain_last=2, min_age_s=0.0)
     assert pinned_plan["expired"] == [] and not pinned_plan["reclaimable_files"]
     unpin_version(path, "run-x")
-    acct = expire_versions(path, retain_last=2)
+    acct = expire_versions(path, retain_last=2, min_age_s=0.0)
     assert acct["deleted_files"] == len(plan["reclaimable_files"])
     assert acct["freed_bytes"] == plan["reclaimable_bytes"]
     assert read_versioned(spark, path).count() == 7  # v2 = 5 + 2 rows

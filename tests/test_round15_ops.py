@@ -324,6 +324,102 @@ def test_publish_interleaving_fuzz_with_concurrent_sweep(tmp_path):
     run()
 
 
+# --- versioned-table vacuum: the in-flight gate (r15 race find) -------------
+
+
+def test_vacuum_spares_concurrent_writers_uncommitted_stage(
+    spark, tmp_path, sf_small
+):
+    """The r15 race find in the versioned table's retention: the write
+    protocol is data-first / manifest-second, so a vacuum running
+    inside a concurrent writer's write-to-commit window sees the
+    winner's staged files as unreferenced and — without the age gate —
+    deletes them, leaving the subsequent commit referencing missing
+    files.  With the default gate: the young stage is reported
+    in_flight and survives, the late commit then reads back intact;
+    after aging past the TTL a genuinely-orphaned stage is reclaimed
+    by the next sweep."""
+    import os
+    import time
+
+    from bigbugdata_spark.sources.versioned import (
+        expire_versions,
+        gc_plan,
+        read_versioned,
+        replace_versioned,
+        write_versioned,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_small}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .limit(20)
+    )
+    path = str(tmp_path / "corpus")
+    write_versioned(docs, path)  # v0
+    replace_versioned(docs.limit(5), path)  # v1: v0's files now orphaned
+
+    # a concurrent writer mid-window: data staged, manifest NOT yet
+    # committed — indistinguishable from an orphan by reference alone
+    base = tmp_path / "corpus"
+    stage = "data/deadbeefcafe"
+    docs.limit(3).write.parquet(str(base / stage))
+    staged = sorted(
+        f"{stage}/{p.name}" for p in (base / stage).glob("*.parquet")
+    )
+    assert staged
+
+    # vacuum with the DEFAULT gate: v0's manifest expires (crash-safe
+    # order: manifests first), but every young unreferenced file —
+    # v0's orphans AND the writer's stage — is in_flight, not deleted
+    acct = expire_versions(path, retain_last=1)
+    assert acct["expired"] == [0] and acct["deleted_files"] == 0
+    assert set(staged) <= set(acct["in_flight_files"])
+    for f in staged:
+        assert (base / f).exists(), f"vacuum deleted in-flight {f}"
+
+    # the late winner commits its manifest and must read back intact
+    from bigbugdata_spark.sources.versioned import _commit_manifest
+
+    entries = [
+        {"path": f, "bytes": (base / f).stat().st_size} for f in staged
+    ]
+    v2 = _commit_manifest(
+        path, lambda prev: {"files": list(prev) + entries}
+    )
+    assert read_versioned(spark, path, v2).count() == 5 + 3
+
+    # age everything; now-orphaned files (none referenced by v1/v2)
+    # become reclaimable and the sweep deletes exactly those
+    old = time.time() - 7200
+    for stage_dir in (base / "data").iterdir():
+        for p in stage_dir.glob("*.parquet"):
+            os.utime(p, (old, old))
+    plan = gc_plan(path, retain_last=2)  # v1 and v2 both retained
+    assert plan["in_flight_files"] == []
+    assert plan["reclaimable_files"], "aged orphans must be reclaimable"
+    live_before = read_versioned(spark, path, v2).count()
+    acct2 = expire_versions(path, retain_last=2)
+    assert acct2["deleted_files"] == len(plan["reclaimable_files"])
+    assert read_versioned(spark, path, v2).count() == live_before
+
+
+def test_gc_ttl_env_parse_survives_garbage(monkeypatch):
+    """Same warn-and-fallback contract as the dedup TTL (ADVICE r15):
+    a malformed SPARK_GRAFT_GC_TTL_S must not raise at import."""
+    import warnings
+
+    from bigbugdata_spark.sources.versioned import _parse_gc_ttl_s
+
+    monkeypatch.setenv("SPARK_GRAFT_GC_TTL_S", "1h")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _parse_gc_ttl_s() == 1800.0
+    assert any("SPARK_GRAFT_GC_TTL_S" in str(x.message) for x in w)
+    monkeypatch.setenv("SPARK_GRAFT_GC_TTL_S", "90.5")
+    assert _parse_gc_ttl_s() == 90.5
+
+
 # --- crash-mid-batch fault injection for the foreachBatch sinks -------------
 
 

@@ -217,7 +217,7 @@ def test_versioned_expiry_respects_pins_and_fails_loudly_after(
     sig_head = _sig(read_versioned(spark, path))
 
     compact_versioned(spark, path)  # v4: old files now only serve v0-v3
-    acct = expire_versions(path, retain_last=1)
+    acct = expire_versions(path, retain_last=1, min_age_s=0.0)
     assert acct["expired"] == [0, 2, 3]
     assert acct["retained"] == [1, 4]
     assert acct["deleted_files"] > 0 and acct["freed_bytes"] > 0
@@ -231,7 +231,7 @@ def test_versioned_expiry_respects_pins_and_fails_loudly_after(
             read_versioned(spark, path, gone)
 
     unpin_version(path, "run-alpha")
-    acct2 = expire_versions(path, retain_last=1)
+    acct2 = expire_versions(path, retain_last=1, min_age_s=0.0)
     assert acct2["expired"] == [1]
     with pytest.raises(FileNotFoundError):
         read_versioned(spark, path, 1)
@@ -341,12 +341,12 @@ def test_backfill_through_versioned_table_lifecycle(tmp_path, spark, sf_oracle):
     assert rows_of(read_versioned(spark, vpath, v_pre)) == pre_rows
     assert rows_of(read_versioned(spark, vpath, v_comp)) == batch
     # ...and through an expiry sweep that must refuse the pinned version
-    acc = expire_versions(vpath, retain_last=1)
+    acc = expire_versions(vpath, retain_last=1, min_age_s=0.0)
     assert v_pre in acc["retained"] and v_post in acc["expired"]
     assert rows_of(read_versioned(spark, vpath, v_pre)) == pre_rows
     # released pin -> the next sweep may expire it, and reads fail loudly
     unpin_version(vpath, "training-run-x")
-    acc2 = expire_versions(vpath, retain_last=1)
+    acc2 = expire_versions(vpath, retain_last=1, min_age_s=0.0)
     assert v_pre in acc2["expired"]
     with pytest.raises(FileNotFoundError):
         read_versioned(spark, vpath, v_pre)
