@@ -103,7 +103,17 @@ def compact_partitions(
     recent partitions, the standard incremental-compaction shape; older
     partitions are untouched bytes. Safe to re-run: the rewrite is a
     deterministic function of the data, not of the file layout it
-    replaces."""
+    replaces.
+
+    Atomicity boundary (honest, r15 audit): dynamic overwrite commits
+    partition-by-partition through the Hadoop committer (delete old
+    files, move staged ones in) — a crash INSIDE one partition's
+    delete-to-move window can lose that partition until the
+    deterministic rewrite is re-run.  Re-running converges (same
+    bytes), but a reader in the gap sees a hole.  Where the gap is
+    unacceptable, compact through the manifest-committed path instead
+    (sources/versioned.py compact_versioned: immutable files + an
+    atomic manifest swap, old version readable throughout)."""
     df = spark.read.parquet(path)
     if predicate is not None:
         df = df.filter(predicate)
