@@ -24,6 +24,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigbugdata_spark.env_cfg import parse_ttl_env
+
 #: bucket count for the persisted index tables — a multiple of the
 #: local core count; at 100 TB this scales with the executor fleet.
 INDEX_BUCKETS = 16
@@ -212,26 +214,11 @@ def build_tmp_path(loc):
 #: build.  Local builds take seconds; a cluster deployment whose
 #: generation builds can exceed this must raise it (env override) or
 #: a concurrent session's collector could abort a live build's write —
-#: loudly (the build's job fails and reruns), never silently.
-def _parse_tmp_ttl_s() -> int:
-    """A malformed SPARK_GRAFT_TMP_TTL_S (e.g. '30m') must degrade to
-    the default, not raise at import time and take down every
-    dedup/similarity query that imports this module (ADVICE r15)."""
-    raw = os.environ.get("SPARK_GRAFT_TMP_TTL_S", "1800")
-    try:
-        return int(raw)
-    except ValueError:
-        import warnings
-
-        warnings.warn(
-            f"SPARK_GRAFT_TMP_TTL_S={raw!r} is not an integer; "
-            "falling back to 1800 s",
-            stacklevel=2,
-        )
-        return 1800
-
-
-ABANDONED_TMP_TTL_S = _parse_tmp_ttl_s()
+#: loudly (the build's job fails and reruns), never silently.  A
+#: malformed value degrades to the default with a warning, never an
+#: import-time raise (ADVICE r15; parser shared with the versioned
+#: table's GC TTL per VERDICT r15 #5).
+ABANDONED_TMP_TTL_S = parse_ttl_env("SPARK_GRAFT_TMP_TTL_S", 1800, int)
 
 
 def collect_abandoned_siblings(loc, ttl_seconds: int | None = None) -> None:

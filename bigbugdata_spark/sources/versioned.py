@@ -62,6 +62,8 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+from bigbugdata_spark.env_cfg import parse_ttl_env
+
 _MANIFEST_DIR = "_manifests"
 
 
@@ -270,31 +272,20 @@ def pinned_versions(path: str) -> dict[str, int]:
     return out
 
 
-def _parse_gc_ttl_s() -> float:
-    """A malformed SPARK_GRAFT_GC_TTL_S degrades to the default with a
-    warning, never an import-time raise (the dedup_incr_core TTL-parse
-    precedent, ADVICE r15)."""
-    raw = os.environ.get("SPARK_GRAFT_GC_TTL_S", "1800")
-    try:
-        return float(raw)
-    except ValueError:
-        import warnings
-
-        warnings.warn(
-            f"SPARK_GRAFT_GC_TTL_S={raw!r} is not a number; "
-            "falling back to 1800 s",
-            stacklevel=2,
-        )
-        return 1800.0
-
-
 #: minimum age before an UNREFERENCED data file is reclaimable: younger
 #: ones may be a concurrent writer's not-yet-committed stage (the
 #: write-to-commit window).  Local builds commit in seconds; a cluster
 #: whose version writes can exceed this must raise it (env override) —
 #: too-low fails loudly at the writer's commit-time read, never
-#: silently (the manifest would reference vanished files).
-GC_IN_FLIGHT_TTL_S = _parse_gc_ttl_s()
+#: silently (the manifest would reference vanished files).  The age is
+#: judged from file st_mtime, so on NFS / object-store mounts
+#: writer-vs-GC CLOCK SKEW is a sizing input for SPARK_GRAFT_GC_TTL_S:
+#: size it >= max commit window + max expected skew (the 1800 s default
+#: dwarfs realistic skew on any NTP-synced fleet).  A malformed value
+#: degrades to the default with a warning, never an import-time raise
+#: (ADVICE r15; parser shared with dedup_incr_core's tmp TTL per
+#: VERDICT r15 #5).
+GC_IN_FLIGHT_TTL_S = parse_ttl_env("SPARK_GRAFT_GC_TTL_S", 1800.0, float)
 
 
 def gc_plan(
@@ -309,8 +300,11 @@ def gc_plan(
     possibly a concurrent writer's uncommitted stage; never deleted).
     min_age_s=None uses GC_IN_FLIGHT_TTL_S; single-writer callers pass
     0.0 to reclaim immediately.  Returns {retained, expired, live_files,
-    reclaimable_files, reclaimable_bytes, in_flight_files}; file paths
-    are table-relative, sorted.  This is the accounting a storage
+    reclaimable_files, reclaimable_bytes, in_flight_files}; both file
+    lists carry {path, bytes} dicts (ADVICE r15: the in-flight set is
+    exactly what an operator investigates before destructive retention,
+    so it gets the same accounting shape); paths are table-relative,
+    sorted.  This is the accounting a storage
     operator reads and signs off on before running destructive
     retention — expire_versions executes exactly this plan."""
     if retain_last < 1:
@@ -341,13 +335,17 @@ def gc_plan(
         live.update(f["path"] for f in _read_manifest(path, v)["files"])
     base = Path(path)
     reclaimable: list[dict] = []
-    in_flight: list[str] = []
+    in_flight: list[dict] = []
     # one clock read for the whole scan, so the classification is a
     # consistent snapshot (min_age_s == 0 skips the gate entirely:
-    # classification is then byte-identical to the pre-gate behavior)
+    # classification is then byte-identical to the pre-gate behavior).
+    # `age_cutoff`, not `cutoff`: that name is the version-retention
+    # threshold above (ADVICE r15 — reusing it on a destructive-path
+    # classifier invites a silent wall-clock read where a version
+    # number was meant).
     import time
 
-    cutoff = time.time() - min_age_s if min_age_s > 0 else None
+    age_cutoff = time.time() - min_age_s if min_age_s > 0 else None
     data_dir = base / "data"
     if data_dir.is_dir():
         for stage_dir in sorted(data_dir.iterdir()):
@@ -358,8 +356,8 @@ def gc_plan(
                 if rel in live:
                     continue
                 st = p.stat()
-                if cutoff is not None and st.st_mtime >= cutoff:
-                    in_flight.append(rel)
+                if age_cutoff is not None and st.st_mtime >= age_cutoff:
+                    in_flight.append({"path": rel, "bytes": st.st_size})
                 else:
                     reclaimable.append({"path": rel, "bytes": st.st_size})
     return {

@@ -888,20 +888,31 @@ def test_tmp_ttl_env_parse_survives_garbage(monkeypatch):
     """A malformed SPARK_GRAFT_TMP_TTL_S (e.g. '30m') must fall back
     to the 1800 s default with a warning instead of raising at module
     import and taking down every dedup/similarity query (ADVICE r15);
-    a valid override still wins."""
+    a valid override still wins.  r16 folded the per-site parser into
+    env_cfg.parse_ttl_env (VERDICT r15 #5) — same contract, and the
+    int cast keeps the stricter pre-fold grammar ('3.5' is malformed
+    for the tmp TTL, valid for the float-typed GC TTL)."""
     import warnings
 
-    from bigbugdata_spark.operators.dedup_incr_core import _parse_tmp_ttl_s
+    from bigbugdata_spark.env_cfg import parse_ttl_env
+
+    def _parse():
+        return parse_ttl_env("SPARK_GRAFT_TMP_TTL_S", 1800, int)
 
     monkeypatch.setenv("SPARK_GRAFT_TMP_TTL_S", "30m")
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        assert _parse_tmp_ttl_s() == 1800
+        assert _parse() == 1800
+    assert any("SPARK_GRAFT_TMP_TTL_S" in str(x.message) for x in w)
+    monkeypatch.setenv("SPARK_GRAFT_TMP_TTL_S", "3.5")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _parse() == 1800
     assert any("SPARK_GRAFT_TMP_TTL_S" in str(x.message) for x in w)
     monkeypatch.setenv("SPARK_GRAFT_TMP_TTL_S", "42")
-    assert _parse_tmp_ttl_s() == 42
+    assert _parse() == 42
     monkeypatch.delenv("SPARK_GRAFT_TMP_TTL_S")
-    assert _parse_tmp_ttl_s() == 1800
+    assert _parse() == 1800
 
 
 def test_concurrent_generation_builders_both_succeed(tmp_path):

@@ -374,7 +374,12 @@ def test_vacuum_spares_concurrent_writers_uncommitted_stage(
     # v0's orphans AND the writer's stage — is in_flight, not deleted
     acct = expire_versions(path, retain_last=1)
     assert acct["expired"] == [0] and acct["deleted_files"] == 0
-    assert set(staged) <= set(acct["in_flight_files"])
+    # in-flight entries carry the same {path, bytes} accounting shape
+    # as reclaimable ones (ADVICE r15)
+    in_flight = {f["path"]: f["bytes"] for f in acct["in_flight_files"]}
+    assert set(staged) <= set(in_flight)
+    for f in staged:
+        assert in_flight[f] == (base / f).stat().st_size
     for f in staged:
         assert (base / f).exists(), f"vacuum deleted in-flight {f}"
 
@@ -406,18 +411,23 @@ def test_vacuum_spares_concurrent_writers_uncommitted_stage(
 
 def test_gc_ttl_env_parse_survives_garbage(monkeypatch):
     """Same warn-and-fallback contract as the dedup TTL (ADVICE r15):
-    a malformed SPARK_GRAFT_GC_TTL_S must not raise at import."""
+    a malformed SPARK_GRAFT_GC_TTL_S must not raise at import.  r16
+    folded both per-site parsers into env_cfg.parse_ttl_env (VERDICT
+    r15 #5) — the float cast keeps fractional seconds valid here."""
     import warnings
 
-    from bigbugdata_spark.sources.versioned import _parse_gc_ttl_s
+    from bigbugdata_spark.env_cfg import parse_ttl_env
+
+    def _parse():
+        return parse_ttl_env("SPARK_GRAFT_GC_TTL_S", 1800.0, float)
 
     monkeypatch.setenv("SPARK_GRAFT_GC_TTL_S", "1h")
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        assert _parse_gc_ttl_s() == 1800.0
+        assert _parse() == 1800.0
     assert any("SPARK_GRAFT_GC_TTL_S" in str(x.message) for x in w)
     monkeypatch.setenv("SPARK_GRAFT_GC_TTL_S", "90.5")
-    assert _parse_gc_ttl_s() == 90.5
+    assert _parse() == 90.5
 
 
 # --- crash-mid-batch fault injection for the foreachBatch sinks -------------
