@@ -1131,16 +1131,52 @@ def main() -> None:
         "host_canary_sec": _host_canary(),
         "spark_canary_sec": spark_canary,
     }
+    # Canary-drift GATE (VERDICT r15 #1): the r15 artifact shipped with
+    # the Spark canary 8.4x over its calibration reference — raw numbers
+    # inflated 1.5-7x non-uniformly and the linear adjustment
+    # extrapolated 8x outside any calibrated envelope, so NEITHER was
+    # usable, yet the artifact carried no machine-readable warning.  A
+    # drift factor outside [1/3, 3] on either measuring session now
+    # stamps the whole artifact low_confidence: re-run in a calmer
+    # window instead of comparing these numbers round-over-round.
+    low_conf_reasons: list[str] = []
     if spark_canary:
         drift = SPARK_CANARY_REF_SEC / spark_canary
+        if not (1 / 3 <= drift <= 3):
+            low_conf_reasons.append(
+                f"query-loop spark canary {spark_canary}s is "
+                f"{round(1 / drift, 2)}x its {SPARK_CANARY_REF_SEC}s "
+                "calibration reference"
+            )
         out["canary_adjusted"] = {
             "formula": "raw * (spark_canary_ref_sec / spark_canary_sec)",
             "spark_canary_ref_sec": SPARK_CANARY_REF_SEC,
             "drift_factor": round(drift, 4),
+            # the adjustment is a ~±40% normalization, not an 8x one:
+            # outside the gate it is an out-of-calibration EXTRAPOLATION
+            # and must not be read as a measurement (VERDICT r15 #1)
+            "out_of_calibration": not (1 / 3 <= drift <= 3),
             "value_adj": round(total * drift, 4),
             "ext_total_adj": round(ext_total * drift, 4),
             "modern_total_adj": round(modern_total * drift, 4),
         }
+    else:
+        low_conf_reasons.append("query-loop spark canary failed to run")
+    kc = (kraken or {}).get("spark_canary_sec")
+    if kraken is not None:
+        if kc:
+            kdrift = SPARK_CANARY_REF_SEC / kc
+            if not (1 / 3 <= kdrift <= 3):
+                low_conf_reasons.append(
+                    f"kraken-session spark canary {kc}s is "
+                    f"{round(1 / kdrift, 2)}x its {SPARK_CANARY_REF_SEC}s "
+                    "calibration reference"
+                )
+        else:
+            low_conf_reasons.append("kraken-session spark canary missing")
+    out["low_confidence"] = bool(low_conf_reasons)
+    if low_conf_reasons:
+        out["low_confidence_reason"] = "; ".join(low_conf_reasons)
     if kraken is not None:
         out["kraken_e2e"] = kraken
     if scale is not None:
