@@ -268,15 +268,30 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # verdict kept on that argument (the r14-late-note precedent); if r16
 # wants belt-and-braces, storage_gc is a 1-slot refresh.
 #
-# Round-16 rotation queue (plan): permanent 26 stay; similarity_incr /
-# similarity_knn rotate out IF unchanged in r16 (fresh r15 verdicts).
-# Stalest then: profile (2, r6 — deferred here), retrieval (1),
-# packing (1), scd (1), text_ext (3), kmeans (1), plus the r8-era
-# tail (dq_ext, events_state, text_rare, mm_phash, dedup_incr,
-# corpus_version, scd_sink, enrich, tpch, tpch_ext — recount from
-# load_all before reordering).  Usual caveats: any query CHANGED in
-# r16 must stay in-cap, and re-check module-level import drag on
-# every module moved in.  Keep CAP_BOUNDARY_MODULE in sync.
+# Round-16 rotation (VERDICT r15 #2, executed as queued): permanent 26
+# stay; similarity_incr / similarity_knn rotate out on fresh r15
+# verdicts — the changed-query check for r16's edits: the TTL-parse
+# fold (env_cfg.parse_ttl_env replacing dedup_incr_core._parse_tmp_ttl_s)
+# computes ABANDONED_TMP_TTL_S with the identical grammar (int cast,
+# same default, same env var, warn-fallback) — import-time-identical
+# for every env state, pinned by the parametrized tests in
+# test_round14_ops/test_round15_ops, so neither tmp-dir publisher is
+# behaviorally changed.  Backfills (24 slots, exactly 50):
+#   * stalest r4-r7-era: profile (2, r6 — twice deferred), retrieval
+#     (1), packing (1), scd (1), text_ext (3), kmeans (1) = 9
+#   * the four argued-equivalence holders, measured at last (VERDICT
+#     r15 #4 "two rounds of argument is enough"): storage_gc (1),
+#     dedup_incr (2), dedup_incr_lsh (1), events_rollup_incr (1) = 5
+#     — storage_gc also takes the r16 in_flight {path,bytes} shape
+#     change in-cap (its min_age_s=0.0 path never populates the list,
+#     but now that's measured, not argued)
+#   * r8-era tail: dq_ext (2), events_state (2), text_rare (1),
+#     mm_phash (1), corpus_version (2), scd_sink (1), enrich (1) = 10
+# tpch (6) + tpch_ext (6) stay queued for r17 (r9-stale then — the
+# only pre-r13 verdicts left after this round).  All 17 moved-in
+# modules re-verified free of module-level registering imports this
+# round (catalog/registry/functions/caching/dedup_incr_core/scd_core/
+# streaming.core only).  CAP_BOUNDARY_MODULE -> streaming.enrich.
 #
 # r14-late note for the changed-query rule: the publish-race review
 # fixes (dedup_incr_core: build_tmp_path, rename-aside debris clear,
@@ -295,24 +310,39 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.relational",
     "bigbugdata_spark.operators.audits",
     "bigbugdata_spark.operators.similarity_pq",
-    # ---- queries CHANGED in r15 → stay in-cap (slots 27-28) ----
-    # the ADVICE r15 sweep fix (same-fp debris asides survive the
-    # un-age-gated sweep) is reachable behavior for the two tmp-dir
-    # publishers: the IVF generation and the kNN spine
-    # (similarity_incr_batch imports similarity_incr at module level
-    # and sits in the rotated-out tail — order preserved)
+    # ---- stalest-verdict backfills (slots 27-35): the r4-r7-era
+    # holdouts, profile twice-deferred ----
+    "bigbugdata_spark.operators.profile",
+    "bigbugdata_spark.operators.retrieval",
+    "bigbugdata_spark.operators.packing",
+    "bigbugdata_spark.operators.scd",
+    "bigbugdata_spark.operators.text_ext",
+    "bigbugdata_spark.operators.kmeans",
+    # ---- measured refreshes of the four argued-equivalence standing
+    # verdicts (slots 36-40, VERDICT r15 #4) ----
+    "bigbugdata_spark.operators.storage_gc",
+    "bigbugdata_spark.operators.dedup_incr",
+    "bigbugdata_spark.operators.dedup_incr_lsh",
+    "bigbugdata_spark.operators.events_rollup_incr",
+    # ---- r8-era (r4-r7-verdict) tail refreshes (slots 41-50) ----
+    "bigbugdata_spark.operators.dq_ext",
+    "bigbugdata_spark.operators.events_state",
+    "bigbugdata_spark.operators.text_rare",
+    "bigbugdata_spark.operators.mm_phash",
+    "bigbugdata_spark.operators.corpus_version",
+    "bigbugdata_spark.streaming.scd_sink",
+    "bigbugdata_spark.streaming.enrich",
+    # ---- driver cap boundary (first 50 registrations end here) ----
+    # rotated out in r16 (fresh CORRECTNESS_r15 rows; the r16 TTL-parse
+    # fold is import-time-identical — see the rotation note above):
+    # similarity_incr_batch imports similarity_incr at module level
+    # and sits later in the tail — order preserved
     "bigbugdata_spark.operators.similarity_incr",
     "bigbugdata_spark.operators.similarity_knn",
-    # ---- stalest-verdict backfills (slots 29-50): multimodal (5,
-    # r6) + similarity (2, r6) + dq (4) + tpch_full (11, r4 — the
-    # stalest block) = 22.  All four moved-in modules verified free
-    # of module-level registering imports this round (dq's dedup
-    # imports are lazy, inside query bodies). ----
     "bigbugdata_spark.operators.multimodal",
     "bigbugdata_spark.operators.similarity",
     "bigbugdata_spark.operators.dq",
     "bigbugdata_spark.operators.tpch_full",
-    # ---- driver cap boundary (first 50 registrations end here) ----
     # rotated out in r15 (fresh CORRECTNESS_r14 rows):
     # funnel_steps imports events_funnel_steps at module level, and
     # mta imports events_mta — pair order preserved
@@ -341,7 +371,6 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.quantize",
     "bigbugdata_spark.operators.overlap",
     # rotated out in r13 (fresh CORRECTNESS_r12 rows):
-    "bigbugdata_spark.operators.storage_gc",
     "bigbugdata_spark.operators.events_attrib",
     "bigbugdata_spark.operators.storage_encoding",
     "bigbugdata_spark.operators.text_langconf",
@@ -371,7 +400,6 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.dq_seq",
     "bigbugdata_spark.operators.similarity_tri",
     "bigbugdata_spark.operators.events_qtrend",
-    "bigbugdata_spark.operators.events_rollup_incr",
     "bigbugdata_spark.operators.mm_features",
     "bigbugdata_spark.streaming.rollup",
     "bigbugdata_spark.operators.events_sketch",
@@ -396,7 +424,6 @@ _QUERY_MODULES = (
     "bigbugdata_spark.streaming.freshness",
     "bigbugdata_spark.operators.events_growth",
     "bigbugdata_spark.streaming.seasonality",
-    "bigbugdata_spark.operators.dedup_incr_lsh",
     "bigbugdata_spark.streaming.growth",
     "bigbugdata_spark.operators.similarity_keep",
     "bigbugdata_spark.operators.corpus",
@@ -424,30 +451,11 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.text_prefix",
     "bigbugdata_spark.operators.events_burst",
     "bigbugdata_spark.operators.corpus_budget",
-    # similarity_knn re-entered the cap in r14 (spine publish changed)
     "bigbugdata_spark.operators.similarity_cluster",
-    # kmeans left the r14 cap for similarity_knn (self-review swap);
-    # still r4-r7-stale — in the r15 queue
-    "bigbugdata_spark.operators.kmeans",
-    # rotated out in r9 (fresh CORRECTNESS_r08 rows then):
-    "bigbugdata_spark.operators.dq_ext",
-    "bigbugdata_spark.operators.events_state",
-    "bigbugdata_spark.operators.text_rare",
-    "bigbugdata_spark.operators.mm_phash",
-    "bigbugdata_spark.operators.dedup_incr",
-    "bigbugdata_spark.operators.corpus_version",
-    "bigbugdata_spark.streaming.scd_sink",
-    "bigbugdata_spark.streaming.enrich",
+    # rotated out in r9 (fresh CORRECTNESS_r08 rows then; r9-stale —
+    # first in the r17 queue):
     "bigbugdata_spark.operators.tpch",
     "bigbugdata_spark.operators.tpch_ext",
-    # rotated out in r8 (r4-r7 verdicts, locally re-proven each run;
-    # events/text/kmeans re-entered the cap in r14;
-    # multimodal/similarity/dq/tpch_full re-entered in r15):
-    "bigbugdata_spark.operators.retrieval",
-    "bigbugdata_spark.operators.packing",
-    "bigbugdata_spark.operators.scd",
-    "bigbugdata_spark.operators.text_ext",
-    "bigbugdata_spark.operators.profile",
     # ---- permanently out-of-cap: rows-only (no-oracle) registrations
     # (VERDICT r12 #2).  Verified via their oracle'd audit twins; see
     # operators/no_oracle_shims.py.  Order-safe: every defining module
@@ -463,7 +471,7 @@ _QUERY_MODULES = (
 #: pushed an intended query out of the cap would have passed CI).
 #: tests/test_registry.py asserts the 50th registration comes from this
 #: module and the 51st from a later one.
-CAP_BOUNDARY_MODULE = "bigbugdata_spark.operators.tpch_full"
+CAP_BOUNDARY_MODULE = "bigbugdata_spark.streaming.enrich"
 DRIVER_CAP = 50
 
 
