@@ -298,6 +298,9 @@ def gc_plan(
     manifest references AND older than `min_age_s` (`reclaimable`, with
     byte sizes), and younger unreferenced files (`in_flight_files` —
     possibly a concurrent writer's uncommitted stage; never deleted).
+    Both scans cover data files AND manifest-directory commit-tmp
+    debris ('.v{N}.json.tmp-*', a writer killed mid-commit — r16 crash
+    campaign).
     min_age_s=None uses GC_IN_FLIGHT_TTL_S; single-writer callers pass
     0.0 to reclaim immediately.  Returns {retained, expired, live_files,
     reclaimable_files, reclaimable_bytes, in_flight_files}; both file
@@ -360,6 +363,24 @@ def gc_plan(
                     in_flight.append({"path": rel, "bytes": st.st_size})
                 else:
                     reclaimable.append({"path": rel, "bytes": st.st_size})
+    # manifest-directory tmp debris (r16 crash campaign): a writer
+    # killed between _commit_manifest's tmp write and the exclusive-
+    # create link leaves '.v{N}.json.tmp-{uuid}' behind — invisible to
+    # readers (the version glob never matches dotfiles) but never
+    # reclaimed by any sweep until now.  Same age classification as
+    # data files: the write-to-link window is microseconds, so a young
+    # tmp is a live commit in progress, an aged one a dead writer's.
+    mdir = base / _MANIFEST_DIR
+    if mdir.is_dir():
+        for p in sorted(mdir.glob(".v*.json.tmp-*")):
+            rel = f"{_MANIFEST_DIR}/{p.name}"
+            st = p.stat()
+            if age_cutoff is not None and st.st_mtime >= age_cutoff:
+                in_flight.append({"path": rel, "bytes": st.st_size})
+            else:
+                reclaimable.append({"path": rel, "bytes": st.st_size})
+    reclaimable.sort(key=lambda f: f["path"])
+    in_flight.sort(key=lambda f: f["path"])
     return {
         "retained": retained,
         "expired": expired,

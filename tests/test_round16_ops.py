@@ -1,0 +1,258 @@
+"""Round-16 engine-level properties (VERDICT r15 #4).
+
+Crash fault injection for the versioned-table COMMIT protocol
+(sources/versioned.py) — the exact window the r15 in-flight age gate
+protects.  r15 race-tested it (a vacuum racing a live writer) but
+never crash-tested it, and the r15 streaming campaign showed this
+style finds real bugs (the bucketed-upsert stale-file-index leak).
+Two kill points:
+
+1) AFTER the data-file stage write, BEFORE _commit_manifest runs —
+   the writer dies holding a fully-written but unreferenced stage.
+   Prove: (a) the table head still reads byte-identical, (b) the
+   orphaned stage is reported in_flight until the TTL and reclaimed
+   after, (c) a writer retry converges to a clean new version.
+
+2) INSIDE _commit_manifest, between the tmp-manifest write and the
+   exclusive-create os.link — a REAL process kill (os._exit mid-link
+   in a subprocess), which leaves '.v{N}.json.tmp-*' debris that no
+   `finally` can clean.  The campaign's find: no sweep ever reclaimed
+   that debris (readers never see it — the version glob skips
+   dotfiles — but it accumulates forever).  gc_plan/expire_versions
+   now classify manifest-tmp debris with the same age gate as data
+   files; this test pins head integrity, the TTL lifecycle, and
+   retry convergence across the kill.
+
+No analog in the reference (three CSV outputs, no storage layer —
+SURVEY §2.1); storage extension surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import pytest
+
+
+class _InjectedCrash(RuntimeError):
+    pass
+
+
+def _head_snapshot(spark, path):
+    """(manifest bytes, sorted rows) of the current head — byte-level
+    plus value-level identity for 'the head still reads the same'."""
+    from bigbugdata_spark.sources.versioned import (
+        _manifest_path,
+        latest_version,
+        read_versioned,
+    )
+
+    v = latest_version(path)
+    manifest = _manifest_path(path, v).read_bytes()
+    rows = sorted(map(tuple, read_versioned(spark, path).collect()))
+    return v, manifest, rows
+
+
+def _age_tree(base: Path, seconds: float = 7200.0) -> None:
+    old = time.time() - seconds
+    for p in base.rglob("*"):
+        if p.is_file():
+            os.utime(p, (old, old))
+
+
+def test_writer_crash_between_stage_and_commit(
+    spark, tmp_path, monkeypatch
+):
+    """Kill point 1: write_versioned dies after staging its parquet
+    files, before any manifest work.  The real writer code path runs
+    up to the boundary (injection replaces _commit_manifest itself),
+    so the on-disk state is exactly what a crashed writer leaves."""
+    from bigbugdata_spark.sources import versioned
+    from bigbugdata_spark.sources.versioned import (
+        expire_versions,
+        gc_plan,
+        read_versioned,
+        write_versioned,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "n_chars")
+        .limit(20)
+    )
+    path = str(tmp_path / "corpus")
+    write_versioned(docs, path)  # v0
+    v_before, manifest_before, rows_before = _head_snapshot(spark, path)
+
+    def _crash(*a, **kw):
+        raise _InjectedCrash("injected crash before manifest commit")
+
+    monkeypatch.setattr(versioned, "_commit_manifest", _crash)
+    with pytest.raises(_InjectedCrash):
+        write_versioned(docs.limit(7), path)
+    monkeypatch.undo()
+
+    # (a) the head reads byte-identical — same manifest bytes, same rows
+    v, manifest, rows = _head_snapshot(spark, path)
+    assert (v, manifest, rows) == (v_before, manifest_before, rows_before)
+
+    # the crashed writer's stage is on disk and unreferenced
+    base = tmp_path / "corpus"
+    plan = gc_plan(path, retain_last=1)  # default TTL gate
+    assert plan["reclaimable_files"] == []
+    orphan = [f["path"] for f in plan["in_flight_files"]]
+    assert orphan and all(p.startswith("data/") for p in orphan)
+    assert not any(p in plan["live_files"] for p in orphan)
+
+    # (b) pre-TTL the sweep deletes nothing; post-TTL it reclaims
+    # exactly the orphaned stage and the head still reads intact
+    acct = expire_versions(path, retain_last=1)
+    assert acct["deleted_files"] == 0
+    for p in orphan:
+        assert (base / p).exists()
+    _age_tree(base)
+    acct2 = expire_versions(path, retain_last=1)
+    assert acct2["deleted_files"] == len(orphan)
+    for p in orphan:
+        assert not (base / p).exists()
+    assert _head_snapshot(spark, path)[2] == rows_before
+
+    # (c) a writer retry converges: a fresh attempt commits v1 cleanly
+    v1 = write_versioned(docs.limit(7), path)
+    assert v1 == v_before + 1
+    assert read_versioned(spark, path, v1).count() == 20 + 7
+    assert read_versioned(spark, path, v_before).count() == 20
+
+
+_KILL_MID_LINK = """
+import os, sys
+sys.path.insert(0, sys.argv[2])
+from bigbugdata_spark.sources import versioned
+
+path = sys.argv[1]
+_real_link = os.link
+
+def _killed_mid_link(src, dst, *a, **kw):
+    # the process dies INSIDE the commit syscall window: the tmp
+    # manifest is written, the exclusive-create link never lands, no
+    # finally/except runs — exactly a SIGKILL at the worst moment
+    os._exit(9)
+
+os.link = _killed_mid_link
+versioned._commit_manifest(path, lambda prev: {"files": list(prev)})
+"""
+
+
+def test_writer_killed_mid_manifest_link_tmp_reclaimed(spark, tmp_path):
+    """Kill point 2 (real process death, no cleanup): the commit dies
+    between the tmp-manifest write and os.link.  The head must stay
+    byte-identical, the '.v{N}.json.tmp-*' debris must be invisible to
+    readers, age-gated in_flight -> reclaimable in the vacuum
+    accounting, and gone after the post-TTL sweep; a retry converges."""
+    from bigbugdata_spark.sources.versioned import (
+        _commit_manifest,
+        expire_versions,
+        gc_plan,
+        latest_version,
+        read_versioned,
+        write_versioned,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "n_chars")
+        .limit(20)
+    )
+    path = str(tmp_path / "corpus")
+    write_versioned(docs, path)  # v0
+    v_before, manifest_before, rows_before = _head_snapshot(spark, path)
+
+    repo = str(Path(__file__).resolve().parents[1])
+    proc = subprocess.run(
+        [sys.executable, "-c", _KILL_MID_LINK, path, repo],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 9, proc.stderr
+
+    base = tmp_path / "corpus"
+    debris = sorted(
+        f"_manifests/{p.name}"
+        for p in (base / "_manifests").glob(".v*.json.tmp-*")
+    )
+    assert debris, "kill must leave the tmp manifest behind"
+    # the debris is a COMPLETE manifest body (the write finished) —
+    # only the link was lost; readers must not see it as a version
+    assert latest_version(path) == v_before
+    assert json.loads((base / debris[0]).read_text())["version"] == 1
+    assert _head_snapshot(spark, path) == (
+        v_before, manifest_before, rows_before,
+    )
+
+    # young debris: in_flight (a live commit's window is micro-seconds,
+    # but the gate errs safe), never deleted by the pre-TTL sweep
+    plan = gc_plan(path, retain_last=1)
+    assert debris == sorted(
+        f["path"] for f in plan["in_flight_files"]
+    )
+    acct = expire_versions(path, retain_last=1)
+    assert acct["deleted_files"] == 0 and (base / debris[0]).exists()
+
+    # aged debris: reclaimable, swept, head intact
+    _age_tree(base / "_manifests")
+    plan2 = gc_plan(path, retain_last=1)
+    assert debris == sorted(
+        f["path"] for f in plan2["reclaimable_files"]
+    )
+    acct2 = expire_versions(path, retain_last=1)
+    assert acct2["deleted_files"] == len(debris)
+    assert not (base / debris[0]).exists()
+    assert _head_snapshot(spark, path) == (
+        v_before, manifest_before, rows_before,
+    )
+
+    # retry converges: the re-driven commit takes the version the dead
+    # writer never claimed
+    v1 = _commit_manifest(path, lambda prev: {"files": list(prev)})
+    assert v1 == v_before + 1
+    assert sorted(map(tuple, read_versioned(spark, path, v1).collect())) \
+        == rows_before
+
+
+def test_single_writer_zero_ttl_reclaims_commit_debris_immediately(
+    spark, tmp_path
+):
+    """min_age_s=0.0 (the single-writer contract store_gc_plan uses)
+    must classify manifest-tmp debris straight to reclaimable — no
+    aging dance for scratch tables that cannot have concurrent
+    writers."""
+    from bigbugdata_spark.sources.versioned import (
+        expire_versions,
+        gc_plan,
+        write_versioned,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id")
+        .limit(5)
+    )
+    path = str(tmp_path / "corpus")
+    write_versioned(docs, path)
+    base = tmp_path / "corpus"
+    fake = base / "_manifests" / ".v1.json.tmp-deadbeef"
+    fake.write_text('{"files": [], "version": 1, "parent": 0}')
+
+    plan = gc_plan(path, retain_last=1, min_age_s=0.0)
+    assert ["_manifests/.v1.json.tmp-deadbeef"] == [
+        f["path"] for f in plan["reclaimable_files"]
+    ]
+    assert plan["in_flight_files"] == []
+    acct = expire_versions(path, retain_last=1, min_age_s=0.0)
+    assert acct["deleted_files"] == 1 and not fake.exists()
