@@ -647,6 +647,54 @@ def bench_scale_probe(spark, specs) -> dict:
     return out
 
 
+#: drift band for the artifact-confidence gate: a measuring session
+#: whose Spark canary sits outside [ref/3, 3*ref] is a window where
+#: neither raw numbers nor the linear canary adjustment are usable
+#: (VERDICT r15 #1: the 8.4x window inflated raw 1.5-7x NON-uniformly,
+#: so no single multiplier can rescue it).
+DRIFT_GATE_BAND = (1 / 3, 3.0)
+
+
+def _canary_in_band(canary_sec: float | None) -> bool:
+    if not canary_sec:
+        return False
+    drift = SPARK_CANARY_REF_SEC / canary_sec
+    return DRIFT_GATE_BAND[0] <= drift <= DRIFT_GATE_BAND[1]
+
+
+def drift_gate_reasons(
+    spark_canary: float | None,
+    kraken_canary: float | None,
+    kraken_ran: bool,
+) -> list[str]:
+    """Why this artifact should be stamped low_confidence ([] = full
+    confidence).  Pure policy, unit-tested: both measuring sessions'
+    Spark canaries must exist and sit inside DRIFT_GATE_BAND of the
+    calibration reference; the kraken session is only checked when the
+    kraken section actually ran (SPARK_GRAFT_SKIP_KRAKEN skips both
+    the run and its check)."""
+    reasons: list[str] = []
+
+    def _check(label: str, sec: float) -> None:
+        if not _canary_in_band(sec):
+            reasons.append(
+                f"{label} spark canary {sec}s is "
+                f"{round(sec / SPARK_CANARY_REF_SEC, 2)}x its "
+                f"{SPARK_CANARY_REF_SEC}s calibration reference"
+            )
+
+    if spark_canary:
+        _check("query-loop", spark_canary)
+    else:
+        reasons.append("query-loop spark canary failed to run")
+    if kraken_ran:
+        if kraken_canary:
+            _check("kraken-session", kraken_canary)
+        else:
+            reasons.append("kraken-session spark canary missing")
+    return reasons
+
+
 def _host_canary() -> float:
     """Seconds to sha256 64 MiB single-threaded — a fixed CPU+memory
     workload with no Spark/JVM involvement, min of 3."""
@@ -1154,18 +1202,11 @@ def main() -> None:
     # inflated 1.5-7x non-uniformly and the linear adjustment
     # extrapolated 8x outside any calibrated envelope, so NEITHER was
     # usable, yet the artifact carried no machine-readable warning.  A
-    # drift factor outside [1/3, 3] on either measuring session now
-    # stamps the whole artifact low_confidence: re-run in a calmer
-    # window instead of comparing these numbers round-over-round.
-    low_conf_reasons: list[str] = []
+    # drifted measuring session (drift_gate_reasons) now stamps the
+    # whole artifact low_confidence: re-run in a calmer window instead
+    # of comparing these numbers round-over-round.
     if spark_canary:
         drift = SPARK_CANARY_REF_SEC / spark_canary
-        if not (1 / 3 <= drift <= 3):
-            low_conf_reasons.append(
-                f"query-loop spark canary {spark_canary}s is "
-                f"{round(1 / drift, 2)}x its {SPARK_CANARY_REF_SEC}s "
-                "calibration reference"
-            )
         out["canary_adjusted"] = {
             "formula": "raw * (spark_canary_ref_sec / spark_canary_sec)",
             "spark_canary_ref_sec": SPARK_CANARY_REF_SEC,
@@ -1173,25 +1214,16 @@ def main() -> None:
             # the adjustment is a ~±40% normalization, not an 8x one:
             # outside the gate it is an out-of-calibration EXTRAPOLATION
             # and must not be read as a measurement (VERDICT r15 #1)
-            "out_of_calibration": not (1 / 3 <= drift <= 3),
+            "out_of_calibration": not _canary_in_band(spark_canary),
             "value_adj": round(total * drift, 4),
             "ext_total_adj": round(ext_total * drift, 4),
             "modern_total_adj": round(modern_total * drift, 4),
         }
-    else:
-        low_conf_reasons.append("query-loop spark canary failed to run")
-    kc = (kraken or {}).get("spark_canary_sec")
-    if kraken is not None:
-        if kc:
-            kdrift = SPARK_CANARY_REF_SEC / kc
-            if not (1 / 3 <= kdrift <= 3):
-                low_conf_reasons.append(
-                    f"kraken-session spark canary {kc}s is "
-                    f"{round(1 / kdrift, 2)}x its {SPARK_CANARY_REF_SEC}s "
-                    "calibration reference"
-                )
-        else:
-            low_conf_reasons.append("kraken-session spark canary missing")
+    low_conf_reasons = drift_gate_reasons(
+        spark_canary,
+        (kraken or {}).get("spark_canary_sec"),
+        kraken_ran=kraken is not None,
+    )
     out["low_confidence"] = bool(low_conf_reasons)
     if low_conf_reasons:
         out["low_confidence_reason"] = "; ".join(low_conf_reasons)

@@ -319,3 +319,40 @@ def test_spine_survives_session_restart_without_rebuild(sf_small):
     assert inventory2 == inventory, "restarted session rewrote the generation"
     assert r2 == r1
     assert r1["n"] > 0
+
+
+# --- the bench artifact's canary-drift gate (pure policy) --------------------
+
+
+def test_bench_drift_gate_policy():
+    """VERDICT r15 #1: an artifact measured on a drifted window must
+    carry a machine-readable low-confidence stamp.  The gate is pure
+    policy over the two measuring sessions' Spark canaries — pin the
+    band edges, the r15 incident values, and the skip/missing cases."""
+    import bench
+
+    ref = bench.SPARK_CANARY_REF_SEC
+    gate = bench.drift_gate_reasons
+
+    # clean window (the r16 re-anchor values): full confidence
+    assert gate(0.1678, 0.126, kraken_ran=True) == []
+    # the r15 incident (canary 0.7161 = 8.4x ref): named on both ends
+    reasons = gate(0.7161, 0.7161, kraken_ran=True)
+    assert len(reasons) == 2
+    assert "8.36x" in reasons[0] and "query-loop" in reasons[0]
+    assert "kraken-session" in reasons[1]
+    # band edges: 3x slow is still confident, beyond it is not;
+    # an implausibly FAST canary (sub-ref/3) is equally suspicious
+    assert gate(ref * 3, None, kraken_ran=False) == []
+    assert gate(ref * 3.1, None, kraken_ran=False) != []
+    assert gate(ref / 3, None, kraken_ran=False) == []
+    assert gate(ref / 3.1, None, kraken_ran=False) != []
+    # a failed/missing canary is never silent confidence
+    assert gate(None, 0.1, kraken_ran=True) == [
+        "query-loop spark canary failed to run"
+    ]
+    assert any(
+        "missing" in r for r in gate(0.1, None, kraken_ran=True)
+    )
+    # SPARK_GRAFT_SKIP_KRAKEN: no kraken section, no kraken check
+    assert gate(0.1, None, kraken_ran=False) == []
