@@ -356,3 +356,64 @@ def test_bench_drift_gate_policy():
     )
     # SPARK_GRAFT_SKIP_KRAKEN: no kraken section, no kraken check
     assert gate(0.1, None, kraken_ran=False) == []
+
+
+def test_compactor_crash_before_commit_leaves_layout_and_data_intact(
+    spark, tmp_path, monkeypatch
+):
+    """Kill point 1 applied to the COMPACTION path: compact_versioned
+    dies after rewriting the merged files, before the manifest swap.
+    The table must keep reading the original small-file layout
+    byte-identically, the orphaned merged stage must age through
+    in_flight -> reclaimable, and a compaction retry must converge —
+    with the pre-crash versions still readable (compaction changes
+    layout, never visible data)."""
+    from bigbugdata_spark.sources import versioned
+    from bigbugdata_spark.sources.versioned import (
+        compact_versioned,
+        expire_versions,
+        gc_plan,
+        read_versioned,
+        write_versioned,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "n_chars")
+        .limit(24)
+    )
+    path = str(tmp_path / "corpus")
+    write_versioned(docs.repartition(6), path)  # v0: six small files
+    v_before, manifest_before, rows_before = _head_snapshot(spark, path)
+
+    def _crash(*a, **kw):
+        raise _InjectedCrash("injected crash before manifest swap")
+
+    monkeypatch.setattr(versioned, "_commit_manifest", _crash)
+    with pytest.raises(_InjectedCrash):
+        compact_versioned(spark, path)
+    monkeypatch.undo()
+
+    assert _head_snapshot(spark, path) == (
+        v_before, manifest_before, rows_before,
+    )
+    base = tmp_path / "corpus"
+    plan = gc_plan(path, retain_last=1)
+    orphan = [f["path"] for f in plan["in_flight_files"]]
+    assert orphan, "the dead compactor's merged stage must be visible"
+    _age_tree(base)
+    acct = expire_versions(path, retain_last=1)
+    assert acct["deleted_files"] == len(orphan)
+    assert _head_snapshot(spark, path)[2] == rows_before
+
+    # retry converges: the re-run compaction commits, the head reads
+    # the same rows from the merged layout, and v0 still serves the
+    # original files
+    v_c = compact_versioned(spark, path)
+    assert v_c == v_before + 1
+    assert sorted(
+        map(tuple, read_versioned(spark, path, v_c).collect())
+    ) == rows_before
+    assert sorted(
+        map(tuple, read_versioned(spark, path, v_before).collect())
+    ) == rows_before
