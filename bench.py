@@ -329,6 +329,15 @@ X10_RATIO_BUDGET = {
     # 0.22 s base is scheduler-overhead-dominated (tpch_q9 class).
     # Gate 6.0: far under linear, comfortable over noise.
     "text_rare_token_ratio": 6.0,
+    # tpch_q21 (r16): the EXISTS + NOT-EXISTS pair is folded into ONE
+    # per-order conditional aggregate over a single lineitem scan
+    # (tpch_full.py), then joined to the filtered supplier/nation dims
+    # — every stage LINEAR in lineitem rows, no pairwise blowup, so
+    # ratio 10 is the linear wall at fixed cores.  First crossed 2.5x
+    # in the r16 re-anchor window (3.24 at min-of-2 on a 0.91 s base —
+    # the known warm-up-truncation class); gate 6.0, min-of-4 like the
+    # other >=2.5x probes.
+    "tpch_q21_waiting_suppliers": 6.0,
 }
 
 #: per-name iteration overrides: the graph builds are 40 s-scale
@@ -352,6 +361,7 @@ SCALE_PROBE_ITERATIONS = {
     "sim_knn_graph": 4,
     "sim_pagerank": 4,
     "tpch_q9_product_profit": 6,
+    "tpch_q21_waiting_suppliers": 4,
     "evt_range_join": 4,
     "dedup_containment": 4,
     # r15: every ingest-class row with an ABSOLUTE x10 wall budget
