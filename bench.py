@@ -629,23 +629,24 @@ def bench_scale_probe(spark, specs) -> dict:
     # within budget; the publish rework was ruled out by code path (the
     # query derives its codebook in-query, never touching the persisted
     # generation).  Probe now runs min-of-8 (SCALE_PROBE_ITERATIONS).
-    # r16 (VERDICT r15 #7, the two tight wall gates): in the r16
-    # re-anchor window (session spark canary 0.1678 s = 1.96x its
-    # 0.0857 s calibration reference, drift factor 0.51 — gate-green
-    # but not a clean window) dedup_incremental x10 read 1.43 s and
-    # dedup_incremental_lsh 1.22 s of their 1.5 s budgets at min-of-8.
-    # Canary-normalized that is ~0.73 s / 0.62 s — BELOW the r14
-    # clean-window readings (1.01 s / 1.06 s), and git log shows no
-    # code change on either path since the r15 sweep fix — so the gap
-    # to the 1.2 s watch threshold is host-window drift, not a
-    # regression.  The absolute wall budgets deliberately do NOT
-    # auto-normalize (a real 2x regression must still breach); read
-    # them against spark_canary_sec when the window is drifted.
+    # r16 (VERDICT r15 #7, the two tight wall gates): two in-round
+    # re-anchor runs, both gate-green.  Run 1 (canary 1.96x ref, drift
+    # 0.51): dedup_incremental x10 1.43 s / lsh 1.22 s.  Run 2 (canary
+    # 1.53x, drift 0.65 — the cleanest window of the round):
+    # 1.34 s / 1.06 s — lsh back under the 1.2 s watch line and
+    # dedup_incremental at ~0.87 s canary-normalized, below the r14
+    # clean-window 1.01 s.  git log shows no code change on either
+    # path since the r15 sweep fix, so the residual gap to 1.2 s is
+    # host-window drift, not a regression.  The absolute wall budgets
+    # deliberately do NOT auto-normalize (a real 2x regression must
+    # still breach); read them against spark_canary_sec when the
+    # window is drifted.
     out["wall_gate_note"] = (
-        "r16 dedup_incremental x10 1.43s / lsh 1.22s measured on a "
-        "1.96x-drifted canary; normalized ~0.73s/0.62s, below r14 "
-        "clean-window readings; no code change on either path. See "
-        "bench.py comment."
+        "r16 two-run re-anchor: dedup_incremental x10 1.43s->1.34s / "
+        "lsh 1.22s->1.06s as the canary calmed from 1.96x to 1.53x; "
+        "normalized both sit at-or-below the r14 clean-window "
+        "readings; no code change on either path. See bench.py "
+        "comment."
     )
     out["batch_assign_note"] = (
         "r14 sim_ivf_batch_assign x10 1.96s>1.5s attributed to "
