@@ -68,8 +68,10 @@ def store_gc_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the re-admit batch), `reclaimable` = the rows in the files the dry
     run marks deletable (the expired original append = the full
     corpus).  In-query assertions: the reclaimable file list is exactly
-    the v0 stage, and executing the plan deletes exactly those files
-    while the head re-reads the live count."""
+    the v0 stage plus one planted commit-tmp debris file (the r16
+    manifest-tmp classification, proven under the gate), and executing
+    the plan deletes exactly those files while the head re-reads the
+    live count."""
     import shutil
     import tempfile
 
@@ -98,14 +100,29 @@ def store_gc_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         # stages (versioned.py r15) would misread the seconds-old
         # fixture files; 0 skips the gate entirely — classification is
         # byte-identical to the pre-gate behavior
+        # plant a dead writer's commit-tmp debris (r16: gc_plan also
+        # classifies '_manifests/.v*.json.tmp-*'; min_age_s=0 sends it
+        # straight to reclaimable) so the sweep accounting below runs
+        # with BOTH reclaimable kinds present under the hash gate
+        from pathlib import Path
+
+        debris_rel = "_manifests/.v99.json.tmp-fixture"
+        (Path(path) / debris_rel).write_text("{}")
         plan = gc_plan(path, retain_last=2, min_age_s=0.0)
         if plan["retained"] != [1, 2] or plan["expired"] != [0]:
             raise AssertionError(f"unexpected retention split: {plan}")
         reclaim_paths = [f["path"] for f in plan["reclaimable_files"]]
         if not reclaim_paths or any(p in plan["live_files"] for p in reclaim_paths):
             raise AssertionError("reclaimable overlaps live file set")
+        # only data files hold rows — manifest-tmp debris is swept by
+        # the same plan but must never reach a parquet read
+        data_paths = [p for p in reclaim_paths if p.startswith("data/")]
+        if debris_rel not in reclaim_paths:
+            raise AssertionError("commit-tmp debris missed by the plan")
+        if set(reclaim_paths) != set(data_paths) | {debris_rel}:
+            raise AssertionError(f"off-plan reclaimables: {reclaim_paths}")
         reclaim = spark.read.parquet(
-            *[f"{path}/{p}" for p in reclaim_paths]
+            *[f"{path}/{p}" for p in data_paths]
         )
         live = read_versioned(spark, path)  # head (v2) = replace + re-admit
         out = (
