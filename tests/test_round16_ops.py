@@ -417,3 +417,70 @@ def test_compactor_crash_before_commit_leaves_layout_and_data_intact(
     assert sorted(
         map(tuple, read_versioned(spark, path, v_before).collect())
     ) == rows_before
+
+
+_IVF_RUN = """
+import hashlib, json, sys
+sys.path.insert(0, sys.argv[1])
+from bigbugdata_spark.session import get_spark
+from bigbugdata_spark.operators.similarity_incr import ivf_index_generation
+
+sf_dir = sys.argv[2]
+spark = get_spark(app_name="r16-ivf-restart")
+cb, cnt = ivf_index_generation(spark, sf_dir)
+rows = sorted(
+    (r["cell_id"], r["n_before"]) for r in cnt.collect()
+)
+digest = hashlib.sha256(repr(rows).encode()).hexdigest()
+print(json.dumps({"k": cb.count(), "n": len(rows), "digest": digest}))
+spark.stop()
+"""
+
+
+def test_ivf_generation_survives_session_restart_without_rebuild(sf_small):
+    """The same restart/resume property for the OTHER warm-path
+    artifact with a wall budget (sim_ivf_incremental_assign's 1.5 s
+    gate rests on adopting this generation, never rebuilding): a fresh
+    process must adopt BOTH persisted locations (codebook + inverted-
+    file counts) with zero rebuild I/O.  Torn-pair recovery (one
+    location renamed, gate fails, rebuild) is already pinned in-session
+    by test_round13_ops; this is the cross-process adoption half."""
+    import shutil
+
+    from bigbugdata_spark.operators import similarity_incr as SI
+    from bigbugdata_spark.operators.dedup_incr_core import index_path
+
+    fp = SI.ivf_generation_fp(sf_small)
+    locs = [
+        Path(index_path(f"{SI._IVF_CB_PREFIX}{fp}")),
+        Path(index_path(f"{SI._IVF_CNT_PREFIX}{fp}")),
+    ]
+    for loc in locs:
+        shutil.rmtree(loc, ignore_errors=True)
+    repo = str(Path(__file__).resolve().parents[1])
+
+    def _run():
+        proc = subprocess.run(
+            [sys.executable, "-c", _IVF_RUN, repo, sf_small],
+            capture_output=True,
+            text=True,
+            timeout=420,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    def _inventory():
+        return sorted(
+            (loc.name, p.name, p.stat().st_size, p.stat().st_mtime_ns)
+            for loc in locs
+            for p in loc.iterdir()
+        )
+
+    r1 = _run()
+    for loc in locs:
+        assert (loc / "_SUCCESS").exists()
+    inv1 = _inventory()
+    r2 = _run()
+    assert _inventory() == inv1, "restarted session rewrote the generation"
+    assert r2 == r1
+    assert r1["k"] > 0 and r1["n"] > 0
