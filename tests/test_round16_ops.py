@@ -1,11 +1,21 @@
-"""Round-16 engine-level properties (VERDICT r15 #4).
+"""Round-16 engine-level properties (VERDICT r15 #4, #6 and #1).
 
-Crash fault injection for the versioned-table COMMIT protocol
+1) Crash fault injection for the versioned-table COMMIT protocol
 (sources/versioned.py) — the exact window the r15 in-flight age gate
 protects.  r15 race-tested it (a vacuum racing a live writer) but
 never crash-tested it, and the r15 streaming campaign showed this
 style finds real bugs (the bucketed-upsert stale-file-index leak).
-Two kill points:
+The same campaign covers the compaction path's write-to-commit window.
+
+2) Session-restart resume proofs for the persisted warm-path
+generations (the kNN spine and the IVF codebook+counts pair): a fresh
+process must ADOPT, with zero rebuild I/O, pinned by file-inventory
+identity across two real interpreter+JVM runs.
+
+3) The bench artifact's canary-drift gate (bench.drift_gate_reasons)
+as pure unit-tested policy, including the r15 8.4x-incident values.
+
+Versioned-commit kill points:
 
 1) AFTER the data-file stage write, BEFORE _commit_manifest runs —
    the writer dies holding a fully-written but unreferenced stage.
