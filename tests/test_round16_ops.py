@@ -7,10 +7,12 @@ never crash-tested it, and the r15 streaming campaign showed this
 style finds real bugs (the bucketed-upsert stale-file-index leak).
 The same campaign covers the compaction path's write-to-commit window.
 
-2) Session-restart resume proofs for the persisted warm-path
-generations (the kNN spine and the IVF codebook+counts pair): a fresh
-process must ADOPT, with zero rebuild I/O, pinned by file-inventory
-identity across two real interpreter+JVM runs.
+2) Session-restart resume proofs for ALL FIVE persisted warm-path
+artifact families — the path-read generations (kNN spine, IVF
+codebook+counts pair) and the catalog-attach tables (gram index, LSH
+band+set pair, rollup partial store): a fresh process must ADOPT, with
+zero rebuild I/O, pinned by file-inventory identity across two real
+interpreter+JVM runs.
 
 3) The bench artifact's canary-drift gate (bench.drift_gate_reasons)
 as pure unit-tested policy, including the r15 8.4x-incident values.
@@ -494,3 +496,91 @@ def test_ivf_generation_survives_session_restart_without_rebuild(sf_small):
     assert _inventory() == inv1, "restarted session rewrote the generation"
     assert r2 == r1
     assert r1["k"] > 0 and r1["n"] > 0
+
+
+_ATTACH_RUN = """
+import json, sys
+sys.path.insert(0, sys.argv[1])
+from importlib import import_module
+from bigbugdata_spark.session import get_spark
+
+mod = import_module(sys.argv[2])
+fn = getattr(mod, sys.argv[3])
+spark = get_spark(app_name="r16-attach-restart")
+out = fn(spark, sys.argv[4])
+frames = out if isinstance(out, tuple) else (out,)
+print(json.dumps([f.count() for f in frames]))
+spark.stop()
+"""
+
+
+def test_attach_family_indexes_survive_session_restart(spark, sf_small):
+    """The catalog-ATTACH half of the restart matrix: the three
+    saveAsTable-published warm-path artifacts (gram index, LSH
+    band+set pair, rollup partial store) must be adopted by a truly
+    fresh interpreter+JVM — whose catalog is empty by construction —
+    via attach_index_tables, with zero rebuild I/O.  Together with the
+    spine/IVF path-read proofs above, every persisted artifact family
+    the wall gates rest on is restart-proven cross-process (the r9
+    in-session DROP-TABLE simulation covered attach logic; this covers
+    the cold metastore).  Counts must match between the building and
+    the adopting run; the parquet inventory must be untouched."""
+    import shutil
+    from importlib import import_module
+
+    from bigbugdata_spark.operators.dedup_incr_core import index_path
+
+    di = import_module("bigbugdata_spark.operators.dedup_incr")
+    dl = import_module("bigbugdata_spark.operators.dedup_incr_lsh")
+    er = import_module("bigbugdata_spark.operators.events_rollup_incr")
+    specs = [
+        (
+            "bigbugdata_spark.operators.dedup_incr",
+            "gram_index",
+            di._index_names(di._corpus_fingerprint(sf_small)),
+        ),
+        (
+            "bigbugdata_spark.operators.dedup_incr_lsh",
+            "lsh_index",
+            dl._index_names(dl._corpus_fingerprint(sf_small)),
+        ),
+        (
+            "bigbugdata_spark.operators.events_rollup_incr",
+            "rollup_store",
+            (f"{er._PREFIX}{er._corpus_fingerprint(sf_small, 'events.parquet')}",),
+        ),
+    ]
+    repo = str(Path(__file__).resolve().parents[1])
+
+    def _run(mod, fn):
+        proc = subprocess.run(
+            [sys.executable, "-c", _ATTACH_RUN, repo, mod, fn, sf_small],
+            capture_output=True,
+            text=True,
+            timeout=420,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    for mod, fn, names in specs:
+        # cold start: this session's catalog entries dropped (external
+        # tables — files persist) and the generations removed so run 1
+        # must BUILD
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+            shutil.rmtree(index_path(n), ignore_errors=True)
+        counts1 = _run(mod, fn)
+        inv1 = sorted(
+            (n, p.name, p.stat().st_size, p.stat().st_mtime_ns)
+            for n in names
+            for p in Path(index_path(n)).glob("*.parquet")
+        )
+        assert inv1, f"{fn}: run 1 must build the generation"
+        counts2 = _run(mod, fn)
+        inv2 = sorted(
+            (n, p.name, p.stat().st_size, p.stat().st_mtime_ns)
+            for n in names
+            for p in Path(index_path(n)).glob("*.parquet")
+        )
+        assert inv2 == inv1, f"{fn}: restarted session rewrote the index"
+        assert counts2 == counts1 and all(c > 0 for c in counts1), fn
