@@ -543,6 +543,20 @@ def _build_scale_dir(spark, replication: int = SCALE_REPLICATION) -> str:
     return str(d)
 
 
+def probe_iterations(name: str, subsec: bool = False) -> int:
+    """min-of-N for a scale-probe query.  A per-query override NEVER
+    loses to the generic sub-second floor: the r16 clean-window bench
+    read sim_ivf_batch_assign at min-of-6 — a false 1.67 s > 1.5 s
+    budget breach — because the sub-second re-measure branch silently
+    demoted its declared min-of-8, recreating the exact warm-up-tail
+    truncation class the override exists to pay for (the r14 incident,
+    root-caused in r15).  Unit-tested in tests/test_round16_ops.py."""
+    iters = SCALE_PROBE_ITERATIONS.get(name, SCALE_ITERATIONS)
+    if subsec:
+        iters = max(iters, SCALE_ITERATIONS_SUBSEC)
+    return iters
+
+
 def bench_scale_probe(spark, specs) -> dict:
     """Time each probe query at the bench SF and at the 10x replication;
     min-of-N at each size, ratio alongside. Errors recorded per query."""
@@ -582,12 +596,12 @@ def bench_scale_probe(spark, specs) -> dict:
             return round(min(runs), 4)
 
         try:
-            iters = SCALE_PROBE_ITERATIONS.get(name, SCALE_ITERATIONS)
+            iters = probe_iterations(name)
             entry["base_sec"] = _measure(SF_DIR, iters)
             if entry["base_sec"] < SCALE_SUBSEC_THRESHOLD:
                 # sub-second base: the ratio's denominator is noise —
                 # re-measure BOTH sizes with more iterations
-                iters = SCALE_ITERATIONS_SUBSEC
+                iters = probe_iterations(name, subsec=True)
                 entry["base_sec"] = _measure(SF_DIR, iters)
             entry["x10_sec"] = _measure(sdir, iters)
             entry["iterations_used"] = iters
@@ -653,7 +667,11 @@ def bench_scale_probe(spark, specs) -> dict:
         "min-of-2 warm-up-tail truncation (min-of-8 re-measure: x10 "
         "0.99s, ratio 1.83); publish-rework ruled out by code path "
         "(codebook derived in-query, persisted generation untouched); "
-        "probe now min-of-8. See bench.py comment."
+        "probe now min-of-8. r16: the sub-second re-measure branch "
+        "was found silently demoting the min-of-8 override to "
+        "min-of-6 (false 1.67s breach in the clean-window bench); "
+        "fixed with max(), standalone min-of-8 re-measure x10 1.26s "
+        "<= 1.5s. See bench.py comment."
     )
     return out
 
@@ -1255,13 +1273,79 @@ def main() -> None:
     with open(full_path, "w") as fh:
         json.dump(out, fh, indent=1)
         fh.write("\n")
-    compact = {
-        k: v for k, v in out.items() if k not in ("queries_median", "scale_probe")
+    print(compact_line(out), flush=True)
+
+
+# r16 find: every BENCH_r13..r15.json carries parsed:null — the r5
+# blocklist approach (drop queries_median/scale_probe, keep everything
+# else) silently regrew past the driver's 2000-char stdout tail as the
+# root-cause prose notes accumulated, so the driver has not parsed a
+# bench line in three rounds (the judge fell back to BENCH_out.json).
+# Replaced with a WHITELIST of the driver-contract keys plus the
+# headline diagnostics, then a hard byte cap with deterministic
+# shedding: prose lowest-value-first, then the FASTEST per-query
+# timings (the slow tail is what round-over-round comparison reads),
+# with a queries_omitted count so truncation is loud. Unit-tested in
+# tests/test_round16_ops.py against a synthetic 60-query artifact.
+_COMPACT_LINE_CAP = 1800  # < 2000-char driver tail, margin for a newline
+
+
+def compact_line(out: dict, cap: int = _COMPACT_LINE_CAP) -> str:
+    """One-line JSON for the driver's stdout tail: always parseable."""
+    compact: dict = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "queries": {k: round(v, 3) for k, v in out["queries"].items()},
+        "full": "BENCH_out.json",
     }
-    if scale is not None and "max_ratio" in scale:
+    for k in (
+        "ext_total",
+        "modern_total",
+        "low_confidence",
+        "spark_canary_sec",
+        "host_canary_sec",
+        "sched_canary_sec",
+        "iterations",
+        "agg",
+    ):
+        if k in out:
+            compact[k] = out[k]
+    if out.get("low_confidence_reason"):
+        compact["low_confidence_reason"] = out["low_confidence_reason"][:160]
+    ca = out.get("canary_adjusted")
+    if ca:
+        compact["drift_factor"] = ca.get("drift_factor")
+        compact["value_adj"] = ca.get("value_adj")
+    kraken = out.get("kraken_e2e")
+    if isinstance(kraken, dict):
+        compact["kraken_min"] = kraken.get("min")
+        compact["kraken_first"] = kraken.get("first")
+    scale = out.get("scale_probe")
+    if isinstance(scale, dict) and "max_ratio" in scale:
         compact["scale_probe_max_ratio"] = scale["max_ratio"]
-    compact["full"] = "BENCH_out.json"
-    print(json.dumps(compact, separators=(",", ":")))
+    if out.get("errors"):
+        compact["error_keys"] = sorted(out["errors"])[:8]
+
+    def _dump() -> str:
+        return json.dumps(compact, separators=(",", ":"))
+
+    line = _dump()
+    # shed prose before data, fast queries before slow ones
+    for victim in ("low_confidence_reason", "error_keys", "iterations"):
+        if len(line) <= cap:
+            break
+        compact.pop(victim, None)
+        line = _dump()
+    omitted = 0
+    by_time = sorted(compact["queries"], key=lambda k: compact["queries"][k])
+    while len(line) > cap and by_time:
+        compact["queries"].pop(by_time.pop(0))
+        omitted += 1
+        compact["queries_omitted"] = omitted
+        line = _dump()
+    return line
 
 
 if __name__ == "__main__":

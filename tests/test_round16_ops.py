@@ -49,6 +49,7 @@ import time
 from pathlib import Path
 
 import pytest
+from pyspark.sql import functions as F
 
 
 class _InjectedCrash(RuntimeError):
@@ -584,3 +585,217 @@ def test_attach_family_indexes_survive_session_restart(spark, sf_small):
         )
         assert inv2 == inv1, f"{fn}: restarted session rewrote the index"
         assert counts2 == counts1 and all(c > 0 for c in counts1), fn
+
+
+def test_bench_compact_line_always_fits_driver_tail():
+    """r16 find: BENCH_r13..r15.json all carry parsed:null — the r5
+    blocklist compact line regrew past the driver's 2000-char stdout
+    tail as prose notes accumulated, so the driver has not parsed a
+    bench line in three rounds.  compact_line is now a whitelist with a
+    hard byte cap and deterministic shedding (prose first, then the
+    FASTEST per-query timings, with a loud queries_omitted count).
+    Pin: (a) a small artifact passes through unshed, (b) a synthetic
+    worst-case (80 long-named queries + every optional section) still
+    fits and keeps the slow tail, (c) the line is valid JSON with the
+    driver-contract keys."""
+    import bench
+
+    small = {
+        "metric": "headline_queries_total_wall",
+        "value": 3.21,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {"q1": 0.5, "q2": 1.0},
+        "low_confidence": False,
+        "low_confidence_reason": None,
+    }
+    line = bench.compact_line(small)
+    parsed = json.loads(line)
+    assert parsed["queries"] == {"q1": 0.5, "q2": 1.0}
+    assert "queries_omitted" not in parsed
+    assert len(line) <= bench._COMPACT_LINE_CAP
+
+    worst = {
+        "metric": "headline_queries_total_wall",
+        "value": 123.4567,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {
+            f"tpch_extremely_long_query_name_number_{i:03d}": i / 100.0
+            for i in range(80)
+        },
+        "ext_total": 12.3,
+        "modern_total": 4.5,
+        "iterations": 4,
+        "agg": "min",
+        "spark_canary_sec": 0.7161,
+        "host_canary_sec": 0.0553,
+        "sched_canary_sec": 0.888,
+        "low_confidence": True,
+        "low_confidence_reason": "x" * 400,
+        "canary_adjusted": {"drift_factor": 0.1197, "value_adj": 0.41},
+        "kraken_e2e": {"min": 13.58, "first": 23.33},
+        "scale_probe": {"max_ratio": 6.88},
+        "errors": {f"err_{i}": "boom" for i in range(20)},
+    }
+    line = bench.compact_line(worst)
+    assert len(line) <= bench._COMPACT_LINE_CAP
+    parsed = json.loads(line)
+    for key in ("metric", "value", "unit", "sf", "queries"):
+        assert key in parsed
+    assert parsed["kraken_min"] == 13.58
+    assert parsed["drift_factor"] == 0.1197
+    # shedding dropped the FASTEST queries and said so
+    assert parsed.get("queries_omitted", 0) > 0
+    kept = parsed["queries"]
+    slowest = "tpch_extremely_long_query_name_number_079"
+    assert slowest in kept
+    dropped = set(worst["queries"]) - set(kept)
+    assert dropped and max(worst["queries"][q] for q in dropped) < min(
+        kept.values()
+    )
+
+
+# --- cross-process writer contention on the commit protocol ------------------
+
+_CONTEND_RUN = r"""
+import json, os, sys, time, uuid
+sys.path.insert(0, sys.argv[1])
+table, writer_id, start_at, n_rows = (
+    sys.argv[2], int(sys.argv[3]), float(sys.argv[4]), int(sys.argv[5])
+)
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pathlib import Path
+from bigbugdata_spark.sources.versioned import _commit_manifest
+
+base = Path(table)
+stage = f"data/{uuid.uuid4().hex}"
+(base / stage).mkdir(parents=True)
+tbl = pa.table({
+    "writer": pa.array([writer_id] * n_rows, pa.int64()),
+    "row": pa.array(list(range(n_rows)), pa.int64()),
+})
+pq.write_table(tbl, base / stage / "part-0.parquet")
+entries = [
+    {"path": f"{stage}/{p.name}", "bytes": p.stat().st_size}
+    for p in sorted((base / stage).glob("*.parquet"))
+]
+# all writers release at the same wall instant so the commit loops
+# genuinely collide instead of serializing on process startup
+time.sleep(max(0.0, start_at - time.time()))
+v = _commit_manifest(table, lambda prev: {"files": prev + entries})
+print(json.dumps({"writer": writer_id, "version": v, "stage": stage}))
+"""
+
+
+def test_commit_protocol_cross_process_writer_contention(spark, tmp_path):
+    """The optimistic-concurrency claim the docstrings make — 'os.link
+    fails with EEXIST if another writer committed N first; this writer
+    rebases and retries' — proven with SIX REAL PROCESSES released at
+    the same instant, not threads sharing a GIL (the in-process test is
+    test_versioned_compaction_concurrent_append_survives).  os-level
+    exclusive-create is the only arbiter here: no lock file, no
+    coordinator.  Pin: (a) every writer commits a DISTINCT contiguous
+    version, (b) the head manifest carries every writer's stage exactly
+    once (no lost update), (c) each intermediate version = its parent's
+    files + exactly one stage (the rebase chain never skips or
+    duplicates), (d) a Spark read of the head sees every writer's rows
+    exactly once.  Data files are staged with pyarrow so the writers
+    stay JVM-free — the contention under test lives entirely in
+    _commit_manifest."""
+    from bigbugdata_spark.sources.versioned import (
+        _read_manifest,
+        latest_version,
+        read_versioned,
+    )
+
+    repo = str(Path(__file__).resolve().parents[1])
+    table = str(tmp_path / "contended")
+    n_writers, n_rows = 6, 25
+    start_at = time.time() + 2.0
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                "-c",
+                _CONTEND_RUN,
+                repo,
+                table,
+                str(i),
+                repr(start_at),
+                str(n_rows),
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(n_writers)
+    ]
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err[-2000:]
+        results.append(json.loads(out.strip().splitlines()[-1]))
+
+    # (a) six distinct, contiguous versions 0..5
+    versions_won = sorted(r["version"] for r in results)
+    assert versions_won == list(range(n_writers))
+    assert latest_version(table) == n_writers - 1
+
+    # (b)+(c) every manifest rebased cleanly: each version's file set is
+    # its parent's plus exactly one whole stage, and the head holds all
+    # six stages exactly once
+    stage_of = {r["stage"]: r["writer"] for r in results}
+    prev_files: list = []
+    for v in range(n_writers):
+        m = _read_manifest(table, v)
+        assert m["version"] == v
+        assert m["parent"] == (None if v == 0 else v - 1)
+        added = [f["path"] for f in m["files"][len(prev_files):]]
+        assert m["files"][: len(prev_files)] == prev_files, (
+            f"v{v} rewrote its parent's entries"
+        )
+        added_stages = {p.rsplit("/", 1)[0] for p in added}
+        assert len(added_stages) == 1 and added_stages < set(stage_of), (
+            f"v{v} added {added_stages}, not exactly one known stage"
+        )
+        prev_files = m["files"]
+    assert {f["path"].rsplit("/", 1)[0] for f in prev_files} == set(stage_of)
+
+    # (d) the head reads every writer's rows exactly once
+    head = read_versioned(spark, table)
+    counts = {
+        r["writer"]: r["n"]
+        for r in head.groupBy("writer").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert counts == {i: n_rows for i in range(n_writers)}
+
+
+def test_scale_probe_iteration_overrides_survive_subsec_floor():
+    """r16 bench find: the sub-second re-measure branch demoted
+    sim_ivf_batch_assign's declared min-of-8 to the generic min-of-6
+    floor, producing a FALSE 1.67 s > 1.5 s budget breach in the
+    clean-window bench (standalone min-of-8 re-measure: 1.26 s, green).
+    Pin the policy: an override never loses to the floor, the floor
+    still promotes un-overridden queries, and every ingest-class query
+    with an absolute x10 wall budget carries a min-of-8 override (the
+    r15 rule that prevented this class in the first place)."""
+    import bench
+
+    # overridden + sub-second: keeps its 8, never the 6 floor
+    assert bench.probe_iterations("sim_ivf_batch_assign") == 8
+    assert bench.probe_iterations("sim_ivf_batch_assign", subsec=True) == 8
+    # un-overridden: base 2, promoted to the floor when sub-second
+    assert bench.probe_iterations("no_such_query") == bench.SCALE_ITERATIONS
+    assert (
+        bench.probe_iterations("no_such_query", subsec=True)
+        == bench.SCALE_ITERATIONS_SUBSEC
+    )
+    # the r15 rule: absolute-wall-budget (ingest-class) queries all
+    # run min-of-8 — at BOTH sizes, whichever branch measures them
+    for name, budget in bench.X10_WALL_BUDGET_SEC.items():
+        if budget <= 1.5:  # the tight ingest-class gates
+            assert bench.probe_iterations(name, subsec=True) >= 8, name
