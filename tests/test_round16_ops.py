@@ -17,6 +17,19 @@ interpreter+JVM runs.
 3) The bench artifact's canary-drift gate (bench.drift_gate_reasons)
 as pure unit-tested policy, including the r15 8.4x-incident values.
 
+4) The driver-facing bench line and probe-iteration policies
+(bench.compact_line, bench.probe_iterations) — both born from real
+r16 artifact finds: three rounds of parsed:null driver records, and a
+false budget breach from a silently demoted min-of-8 override.
+
+5) Cross-process commit contention: six real processes released at the
+same instant race _commit_manifest; os-level exclusive-create is the
+only arbiter, and no writer's rows are ever lost or doubled.
+
+6) The vacuum-vs-time-travel loudness contract: an in-flight DataFrame
+whose version expires fails with an exception at its next action,
+never a silent zero-row answer (ignoreMissingFiles stays false).
+
 Versioned-commit kill points:
 
 1) AFTER the data-file stage write, BEFORE _commit_manifest runs —
@@ -799,3 +812,65 @@ def test_scale_probe_iteration_overrides_survive_subsec_floor():
     for name, budget in bench.X10_WALL_BUDGET_SEC.items():
         if budget <= 1.5:  # the tight ingest-class gates
             assert bench.probe_iterations(name, subsec=True) >= 8, name
+
+
+def test_expired_version_inflight_dataframe_fails_loud_never_silent(
+    spark, tmp_path
+):
+    """The vacuum-vs-time-travel hazard every manifest table format
+    carries (Iceberg/Delta document the same contract): a DataFrame
+    built against version N whose files a later expire_versions
+    reclaims must FAIL LOUDLY at its next action — never return zero
+    or partial rows as if the corpus were empty.  Spark's
+    ignoreMissingFiles=false default is the mechanism; this pins that
+    the engine never flips it and that the failure is an exception,
+    not a silent wrong answer.  The head keeps reading through the
+    same expiry, and a plan-time re-read of the expired version raises
+    the engine's own FileNotFoundError."""
+    from py4j.protocol import Py4JJavaError
+
+    from bigbugdata_spark.sources.versioned import (
+        compact_versioned,
+        expire_versions,
+        read_versioned,
+        write_versioned,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "n_chars")
+        .limit(30)
+        .repartition(4)
+    )
+    path = str(tmp_path / "corpus")
+    write_versioned(docs, path)  # v0
+    compact_versioned(spark, path)  # v1: v0's files now serve only v0
+
+    pinned = read_versioned(spark, path, 0)  # lazy plan over v0's files
+    assert pinned.count() == 30  # readable before expiry
+    spark.catalog.clearCache()
+
+    acct = expire_versions(path, retain_last=1, min_age_s=0.0)
+    assert acct["expired"] == [0] and acct["deleted_files"] > 0
+
+    # the in-flight plan fails LOUDLY at its next action
+    with pytest.raises(Exception) as excinfo:
+        pinned.count()
+    assert isinstance(
+        excinfo.value, Py4JJavaError
+    ) or "FileNotFound" in str(excinfo.value) or "does not exist" in str(
+        excinfo.value
+    ), f"expected a loud file-level failure, got: {excinfo.value!r}"
+    # never the silent-empty failure mode
+    assert "0" != str(excinfo.value).strip()
+
+    # the engine never enables the silencing escape hatch
+    assert (
+        spark.conf.get("spark.sql.files.ignoreMissingFiles", "false")
+        == "false"
+    )
+
+    # the head still reads, and a fresh v0 read raises at plan time
+    assert read_versioned(spark, path).count() == 30
+    with pytest.raises(FileNotFoundError):
+        read_versioned(spark, path, 0)
