@@ -874,3 +874,69 @@ def test_expired_version_inflight_dataframe_fails_loud_never_silent(
     assert read_versioned(spark, path).count() == 30
     with pytest.raises(FileNotFoundError):
         read_versioned(spark, path, 0)
+
+
+def test_bench_compact_line_fuzz_always_parseable():
+    """Property fuzz over the artifact space: whatever mix of query
+    counts, name lengths, prose sizes, and optional sections the bench
+    produces, compact_line must stay under the driver-tail cap, parse
+    as JSON, preserve the contract keys verbatim, and never fabricate
+    or lose a query silently (kept ∪ omitted-count == input)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import bench
+
+    name = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz_0123456789", min_size=1,
+        max_size=60,
+    )
+    artifact = st.fixed_dictionaries(
+        {
+            "metric": st.just("headline_queries_total_wall"),
+            "value": st.floats(0, 1e4, allow_nan=False),
+            "unit": st.just("sec"),
+            "sf": st.sampled_from([0.001, 0.01, 0.1, 1.0]),
+            "queries": st.dictionaries(
+                name, st.floats(0, 1e3, allow_nan=False), max_size=120
+            ),
+        },
+        optional={
+            "low_confidence": st.booleans(),
+            "low_confidence_reason": st.text(max_size=600),
+            "ext_total": st.floats(0, 1e4, allow_nan=False),
+            "modern_total": st.floats(0, 1e4, allow_nan=False),
+            "iterations": st.integers(1, 16),
+            "agg": st.just("min"),
+            "spark_canary_sec": st.floats(0.001, 10, allow_nan=False),
+            "kraken_e2e": st.fixed_dictionaries(
+                {"min": st.floats(0, 100), "first": st.floats(0, 100)}
+            ),
+            "canary_adjusted": st.fixed_dictionaries(
+                {"drift_factor": st.floats(0.01, 100),
+                 "value_adj": st.floats(0, 1e4)}
+            ),
+            "scale_probe": st.fixed_dictionaries(
+                {"max_ratio": st.floats(0, 100)}
+            ),
+            "errors": st.dictionaries(name, st.text(max_size=50),
+                                      max_size=30),
+        },
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(artifact)
+    def check(out):
+        line = bench.compact_line(out)
+        assert len(line) <= bench._COMPACT_LINE_CAP
+        parsed = json.loads(line)
+        assert parsed["metric"] == out["metric"]
+        assert parsed["value"] == out["value"]
+        assert parsed["unit"] == "sec" and parsed["sf"] == out["sf"]
+        kept = parsed["queries"]
+        assert set(kept) <= set(out["queries"])
+        assert len(kept) + parsed.get("queries_omitted", 0) == len(
+            out["queries"]
+        )
+
+    check()
