@@ -70,7 +70,11 @@ def pytest_sessionfinish(session, exitstatus):
 
     out = {
         "ts": time.time(),
-        "sf2_dir": "/root/testdata/sf0.001",
+        # "SF2" in the env var / filename means SECOND SCALE (a second
+        # scale factor than the driver's sf0.01 compare), not scale
+        # factor 2 — VERDICT r16 #4 asked for the label to say so.
+        "second_scale_dir": "/root/testdata/sf0.001",
+        "note": "second-scale (not scale-factor-2) parity sweep dir",
         "passed": _n("passed"),
         "failed": _n("failed"),
         "errors": _n("error"),
