@@ -305,26 +305,68 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # state — identical behavior, so they keep their standing verdicts;
 # if r15 wants belt-and-braces, refresh dedup_incremental,
 # dedup_incremental_lsh, evt_rollup_incremental among its backfills.
+#
+# Round-17 rotation (VERDICT r16 #1, executed as queued): permanent 26
+# stay; all 17 r16 backfill modules rotate out on fresh r16 verdicts
+# (the round's only operator-code edit so far is none — bench/test
+# changes only; any later r17 operator edit must re-run this check).
+# Backfills (24 slots, exactly 50):
+#   * the r8-stale tier, queued since r16 (12): tpch (6 — q1/q3/q5/
+#     q6/q10/q14), tpch_ext (6 — q4/q13/q18/q22/q7 +
+#     orders_market_basket)
+#   * the r9-stale tier, stalest-first fill of the remaining 12 slots
+#     (12 of 22 r9-stale queries; the other 10 — corpus_budget_trim,
+#     corpus_curriculum_plan, dq_emb_coverage, dq_freshness,
+#     evt_user_burst, evt_user_features, pipe_release_manifest,
+#     prof_corr_chars_tokens, sim_semantic_clusters,
+#     text_template_prefix — queue for r18): dedup_src (2),
+#     storage_audit (1), events_trans (1), dq_drift (1),
+#     streaming.drift (1 — imports dq_drift at module level, so
+#     dq_drift is ordered first), corpus_shard (1), text_bpe (1),
+#     emb_health (1), events_dwell (1), orders_rfm (1), text_lm (1)
+# All 13 moved-in modules re-verified free of module-level registering
+# imports this round (catalog/registry/functions/caching/scd_core/
+# streaming.core only, plus the ordered dq_drift pair).  Tail-order
+# constraints preserved: corpus_shard moves ahead of pipeline_release
+# (which imports it), events_rollup_incr's rotated-out slot precedes
+# streaming.rollup (which imports it), text_ext precedes
+# no_oracle_shims.  CAP_BOUNDARY_MODULE -> operators.text_lm.
 _QUERY_MODULES = (
     # ---- permanent slots 1-26 ----
     "bigbugdata_spark.operators.relational",
     "bigbugdata_spark.operators.audits",
     "bigbugdata_spark.operators.similarity_pq",
-    # ---- stalest-verdict backfills (slots 27-35): the r4-r7-era
-    # holdouts, profile twice-deferred ----
+    # ---- r8-stale tier (slots 27-38): the only pre-r9 driver
+    # verdicts left, queued since the r16 rotation note ----
+    "bigbugdata_spark.operators.tpch",
+    "bigbugdata_spark.operators.tpch_ext",
+    # ---- r9-stale tier, stalest-first (slots 39-50) ----
+    "bigbugdata_spark.operators.dedup_src",
+    "bigbugdata_spark.operators.storage_audit",
+    "bigbugdata_spark.operators.events_trans",
+    "bigbugdata_spark.operators.dq_drift",
+    "bigbugdata_spark.streaming.drift",
+    "bigbugdata_spark.operators.corpus_shard",
+    "bigbugdata_spark.operators.text_bpe",
+    "bigbugdata_spark.operators.emb_health",
+    "bigbugdata_spark.operators.events_dwell",
+    "bigbugdata_spark.operators.orders_rfm",
+    "bigbugdata_spark.operators.text_lm",
+    # ---- driver cap boundary (first 50 registrations end here) ----
+    # rotated out in r17 (fresh CORRECTNESS_r16 rows; no operator-code
+    # edits touch these modules this round — see the rotation note):
+    # events_rollup_incr must precede streaming.rollup (module-level
+    # import), text_ext must precede no_oracle_shims
     "bigbugdata_spark.operators.profile",
     "bigbugdata_spark.operators.retrieval",
     "bigbugdata_spark.operators.packing",
     "bigbugdata_spark.operators.scd",
     "bigbugdata_spark.operators.text_ext",
     "bigbugdata_spark.operators.kmeans",
-    # ---- measured refreshes of the four argued-equivalence standing
-    # verdicts (slots 36-40, VERDICT r15 #4) ----
     "bigbugdata_spark.operators.storage_gc",
     "bigbugdata_spark.operators.dedup_incr",
     "bigbugdata_spark.operators.dedup_incr_lsh",
     "bigbugdata_spark.operators.events_rollup_incr",
-    # ---- r8-era (r4-r7-verdict) tail refreshes (slots 41-50) ----
     "bigbugdata_spark.operators.dq_ext",
     "bigbugdata_spark.operators.events_state",
     "bigbugdata_spark.operators.text_rare",
@@ -332,7 +374,6 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.corpus_version",
     "bigbugdata_spark.streaming.scd_sink",
     "bigbugdata_spark.streaming.enrich",
-    # ---- driver cap boundary (first 50 registrations end here) ----
     # rotated out in r16 (fresh CORRECTNESS_r15 rows; the r16 TTL-parse
     # fold is import-time-identical — see the rotation note above):
     # similarity_incr_batch imports similarity_incr at module level
@@ -430,18 +471,8 @@ _QUERY_MODULES = (
     "bigbugdata_spark.streaming.windows",
     "bigbugdata_spark.streaming.joins",
     "bigbugdata_spark.streaming.stateful",
-    # rotated out in r10 (fresh CORRECTNESS_r09 rows then):
-    "bigbugdata_spark.operators.storage_audit",
-    "bigbugdata_spark.operators.events_trans",
-    "bigbugdata_spark.operators.dq_drift",
-    "bigbugdata_spark.operators.corpus_shard",
-    "bigbugdata_spark.operators.text_bpe",
-    "bigbugdata_spark.operators.dedup_src",
-    "bigbugdata_spark.streaming.drift",
-    "bigbugdata_spark.operators.emb_health",
-    "bigbugdata_spark.operators.events_dwell",
-    "bigbugdata_spark.operators.orders_rfm",
-    "bigbugdata_spark.operators.text_lm",
+    # rotated out in r10 (fresh CORRECTNESS_r09 rows then; the 12
+    # stalest of these moved INTO the r17 cap — see slots 39-50):
     "bigbugdata_spark.operators.events_features",
     "bigbugdata_spark.operators.corpus_curriculum",
     "bigbugdata_spark.operators.dq_fresh",
@@ -452,10 +483,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.events_burst",
     "bigbugdata_spark.operators.corpus_budget",
     "bigbugdata_spark.operators.similarity_cluster",
-    # rotated out in r9 (fresh CORRECTNESS_r08 rows then; r9-stale —
-    # first in the r17 queue):
-    "bigbugdata_spark.operators.tpch",
-    "bigbugdata_spark.operators.tpch_ext",
+    # (tpch/tpch_ext moved into the r17 cap — slots 27-38)
     # ---- permanently out-of-cap: rows-only (no-oracle) registrations
     # (VERDICT r12 #2).  Verified via their oracle'd audit twins; see
     # operators/no_oracle_shims.py.  Order-safe: every defining module
@@ -471,7 +499,7 @@ _QUERY_MODULES = (
 #: pushed an intended query out of the cap would have passed CI).
 #: tests/test_registry.py asserts the 50th registration comes from this
 #: module and the 51st from a later one.
-CAP_BOUNDARY_MODULE = "bigbugdata_spark.streaming.enrich"
+CAP_BOUNDARY_MODULE = "bigbugdata_spark.operators.text_lm"
 DRIVER_CAP = 50
 
 
