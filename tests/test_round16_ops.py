@@ -695,7 +695,15 @@ entries = [
     for p in sorted((base / stage).glob("*.parquet"))
 ]
 # all writers release at the same wall instant so the commit loops
-# genuinely collide instead of serializing on process startup
+# genuinely collide instead of serializing on process startup.  A
+# startup that already blew past the deadline would leave the test
+# passing while silently NOT exercising the os.link race it exists to
+# prove — fail loudly instead (ADVICE r16).
+assert time.time() < start_at, (
+    f"writer {writer_id} started {time.time() - start_at:.2f}s past the "
+    "release instant — the collision this test exists to prove did not "
+    "happen; widen the start margin"
+)
 time.sleep(max(0.0, start_at - time.time()))
 v = _commit_manifest(table, lambda prev: {"files": prev + entries})
 print(json.dumps({"writer": writer_id, "version": v, "stage": stage}))
@@ -726,7 +734,10 @@ def test_commit_protocol_cross_process_writer_contention(spark, tmp_path):
     repo = str(Path(__file__).resolve().parents[1])
     table = str(tmp_path / "contended")
     n_writers, n_rows = 6, 25
-    start_at = time.time() + 2.0
+    # 7 s margin: interpreter + pyarrow startup exceeded 2 s on loaded
+    # hosts, which degenerated the race into serialized commits; the
+    # children now assert they made the deadline (ADVICE r16)
+    start_at = time.time() + 7.0
     procs = [
         subprocess.Popen(
             [
