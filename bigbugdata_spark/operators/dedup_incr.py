@@ -37,6 +37,8 @@ from bigbugdata_spark.operators.dedup_incr_core import (  # noqa: F401
     _corpus_fingerprint,
     _incoming_col,
     append_bucketed,
+    begin_append_intent,
+    commit_append_intent,
     attach_index_tables,
     ensure_index_root,
     index_path,
@@ -145,6 +147,11 @@ def append_batch_to_index(
     the batch's documents only."""
     idx_name, sz_name, df_name = _index_names(fp)
     batch_grams = pin(batch_grams)
+    # crash-consistency window (r17): three append JOBS with no
+    # cross-table atomicity — the intent sentinel makes a writer death
+    # anywhere in between read as "generation torn, rebuild cold"
+    # instead of silently serving postings without size/df rows
+    intent = begin_append_intent((idx_name, sz_name, df_name))
     append_bucketed(batch_grams, idx_name, "g")
     append_bucketed(
         batch_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz")),
@@ -156,6 +163,7 @@ def append_batch_to_index(
         df_name,
         "g",
     )
+    commit_append_intent(intent)
     batch_grams.unpersist(blocking=False)
 
 

@@ -67,6 +67,83 @@ def index_path(name: str) -> str:
     return f"{INDEX_ROOT}/{name}"
 
 
+#: sentinel-file prefix for the multi-table append commit protocol.
+#: Underscore-prefixed so Hadoop/Spark's hidden-file filter keeps it
+#: out of every parquet scan of the table location it lives in.
+_APPEND_INTENT_PREFIX = "_append_intent-"
+
+
+def pending_append_intents(names: tuple[str, ...]) -> list[str]:
+    """Leftover append-intent sentinels across a generation's table
+    locations — non-empty means a multi-table append began and never
+    completed (writer crashed between the intent and the final
+    append's job commit), so the generation is TORN: some tables carry
+    the batch, others don't, and the `_SUCCESS` files from the
+    original build still make every location look complete."""
+    from pathlib import Path
+
+    out: list[str] = []
+    for n in names:
+        loc = Path(index_path(n))
+        if loc.is_dir():
+            out.extend(
+                str(p) for p in loc.glob(f"{_APPEND_INTENT_PREFIX}*")
+            )
+    return out
+
+
+def begin_append_intent(names: tuple[str, ...]) -> str:
+    """Open the crash-consistency window for a multi-table index
+    append (r17; the gap the r16 versioned-commit campaign did not
+    cover): the append helpers run one saveAsTable-append JOB PER
+    TABLE, and a writer killed between jobs — or inside a job commit,
+    which moves task files into place non-atomically — leaves the
+    generation silently inconsistent while every `_SUCCESS` from the
+    original build still satisfies the adoption gate.
+
+    Protocol: write one `_append_intent-<uuid>` sentinel into the
+    FIRST table's location (single atomic file create; underscore
+    prefix keeps it invisible to readers) BEFORE the first append job;
+    remove it with commit_append_intent after the last job commits.  A
+    crash anywhere between leaves the sentinel, and then (a)
+    attach_index_tables refuses to adopt the generation, so the next
+    session's read path falls through to remove_incomplete_locations +
+    a cold rebuild — correct by the proven append==rebuild equality —
+    and (b) this function refuses to open a new window, so a torn
+    generation can only be rebuilt, never compounded by further
+    appends."""
+    import json as _json
+    import time as _time
+    from pathlib import Path
+    from uuid import uuid4
+
+    torn = pending_append_intents(names)
+    if torn:
+        raise RuntimeError(
+            f"index generation is torn (leftover append intent(s) "
+            f"{torn}): a prior multi-table append never completed — "
+            "rebuild the generation before appending again"
+        )
+    anchor = Path(index_path(names[0]))
+    if not anchor.is_dir():
+        raise RuntimeError(
+            f"cannot append to a generation whose anchor location "
+            f"{anchor} does not exist — build it first"
+        )
+    p = anchor / f"{_APPEND_INTENT_PREFIX}{uuid4().hex}"
+    with open(p, "x") as fh:
+        fh.write(_json.dumps({"tables": list(names), "ts": _time.time()}))
+        fh.flush()
+        os.fsync(fh.fileno())
+    return str(p)
+
+
+def commit_append_intent(intent_path: str) -> None:
+    """Close the window opened by begin_append_intent — called only
+    after EVERY append job of the batch has committed."""
+    os.remove(intent_path)
+
+
 def attach_index_tables(
     spark: SparkSession, specs: tuple[tuple[str, str, str], ...]
 ) -> bool:
@@ -86,6 +163,13 @@ def attach_index_tables(
     if not all(
         (Path(index_path(n)) / "_SUCCESS").exists() for n, _, _ in specs
     ):
+        return False
+    # a leftover append-intent sentinel means a multi-table append died
+    # mid-flight: the `_SUCCESS` files above are the ORIGINAL build's
+    # and prove nothing about cross-table consistency — refuse, so the
+    # caller's remove_incomplete_locations + cold-rebuild path runs
+    # (r17; correct by the append==rebuild equality)
+    if pending_append_intents(tuple(n for n, _, _ in specs)):
         return False
     for name, schema, key in specs:
         spark.sql(

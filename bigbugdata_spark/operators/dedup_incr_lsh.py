@@ -51,6 +51,8 @@ from bigbugdata_spark.operators.dedup_incr_core import (
     _incoming_col,
     INDEX_BUCKETS,
     append_bucketed,
+    begin_append_intent,
+    commit_append_intent,
     attach_index_tables,
     ensure_index_root,
     index_path,
@@ -166,8 +168,13 @@ def append_batch_to_lsh_index(
     test). `batch_sh` is (doc_id, grams) for the batch only."""
     band_name, set_name = _index_names(fp)
     batch_sh = pin(batch_sh)
+    # crash-consistency window (r17): band rows landing without their
+    # shingle sets would drop verified pairs on a later adoption —
+    # the intent sentinel turns that torn state into a cold rebuild
+    intent = begin_append_intent((band_name, set_name))
     append_bucketed(_band_frame(batch_sh), band_name, "bkey")
     append_bucketed(batch_sh, set_name, "doc_id")
+    commit_append_intent(intent)
     batch_sh.unpersist(blocking=False)
 
 

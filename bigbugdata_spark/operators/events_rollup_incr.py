@@ -39,6 +39,8 @@ from bigbugdata_spark.operators.dedup_incr_core import (
     INDEX_BUCKETS,
     _corpus_fingerprint,
     append_bucketed,
+    begin_append_intent,
+    commit_append_intent,
     attach_index_tables,
     ensure_index_root,
     index_path,
@@ -107,8 +109,14 @@ def append_batch_to_rollup(
 ) -> None:
     """Maintenance: an ingested batch's partial rows APPEND into the
     same bucket layout; no existing row is rewritten (append==rebuild
-    proven by the lifecycle test)."""
-    append_bucketed(_rollup_partials(batch_ev), f"{_PREFIX}{fp}", "day")
+    proven by the lifecycle test).  Single table, but a saveAsTable
+    append's JOB COMMIT moves task files into place non-atomically —
+    the intent sentinel (r17) turns a mid-commit writer death into a
+    cold rebuild instead of a partially-visible batch."""
+    name = f"{_PREFIX}{fp}"
+    intent = begin_append_intent((name,))
+    append_bucketed(_rollup_partials(batch_ev), name, "day")
+    commit_append_intent(intent)
 
 
 #: the rollup ground truth — shared verbatim with the streaming

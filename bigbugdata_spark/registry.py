@@ -307,9 +307,22 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # dedup_incremental_lsh, evt_rollup_incremental among its backfills.
 #
 # Round-17 rotation (VERDICT r16 #1, executed as queued): permanent 26
-# stay; all 17 r16 backfill modules rotate out on fresh r16 verdicts
-# (the round's only operator-code edit so far is none — bench/test
-# changes only; any later r17 operator edit must re-run this check).
+# stay; all 17 r16 backfill modules rotate out on fresh r16 verdicts.
+# Changed-query check for the r17 operator edits: the append-intent
+# crash-consistency protocol (dedup_incr_core.begin_append_intent /
+# commit_append_intent + the pending_append_intents refusal in
+# attach_index_tables) touches the read path of dedup_incremental,
+# dedup_incremental_lsh and evt_rollup_materialized (all r16-green,
+# out of this cap).  The new adoption check can only fire when an
+# `_append_intent-*` sentinel exists, and sentinels are created
+# exclusively by the append maintenance API (append_batch_to_index /
+# _lsh_index / _rollup), which NO registered query ever calls — so on
+# every driver-reachable filesystem state the check reads an empty
+# glob and behavior is identical.  Belt-and-braces: all three were
+# re-measured green against the DuckDB oracle at sf0.01 with the
+# driver-mirror compare in-round, and the crash protocol itself is
+# proven by tests/test_round17_ops.py section 5 (real process kill
+# between appends -> adoption refused -> cold rebuild converges).
 # Backfills (24 slots, exactly 50):
 #   * the r8-stale tier, queued since r16 (12): tpch (6 — q1/q3/q5/
 #     q6/q10/q14), tpch_ext (6 — q4/q13/q18/q22/q7 +
