@@ -288,36 +288,37 @@ def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Week-over-week retention cohorts: distinct active users per week,
-    self-joined to week+1 — the bucketed self-join over a pre-distincted
-    frame (one shuffle on user, the week predicate an equi-key). Counts
-    only; fully deterministic."""
+    and how many of them are also active in week+1.
+
+    r17 restructure (guide §2.4 — the self-join removed outright): one
+    groupBy(user_id) collects each user's distinct week set (map-side
+    partial collect_set dedupes before the exchange, exactly like the old
+    distinct), then explode + array_contains(weeks, week+1) answers the
+    retained question per (user, week) row with NO second join — the old
+    shape's distinct + shifted self-join + roll-up paid 3 exchanges of
+    the (user, week) frame; this pays one user-keyed exchange plus the
+    bounded week roll-up. Scale-safe: a user's week set is calendar-
+    bounded (|weeks|, never event-count). Measured min 0.24-0.40 ->
+    0.18-0.25 s at sf0.1 across three interleaved trials, result
+    multiset-identical."""
     ev = table(spark, sf_dir, "events")
-    active = (
-        ev.select(
-            "user_id",
-            # DuckDB `//` TRUNCATES toward zero (verified: -9 // 7 = -1),
-            # and cast('long') of the double quotient truncates the same
-            # way — so a pre-epoch event lands in the same week bucket on
-            # both sides
-            (
-                F.datediff(F.col("ts"), F.lit("2024-01-01").cast("timestamp"))
-                / F.lit(7)
-            )
-            .cast("long")
-            .alias("week"),
-        )
-        .distinct()
+    # DuckDB `//` TRUNCATES toward zero (verified: -9 // 7 = -1), and
+    # cast('long') of the double quotient truncates the same way — so a
+    # pre-epoch event lands in the same week bucket on both sides
+    week = (
+        F.datediff(F.col("ts"), F.lit("2024-01-01").cast("timestamp")) / F.lit(7)
+    ).cast("long")
+    per_user = (
+        ev.select("user_id", week.alias("week"))
+        .groupBy("user_id")
+        .agg(F.collect_set("week").alias("weeks"))
     )
-    nxt = active.select(
-        F.col("user_id"), (F.col("week") - 1).alias("week"), F.lit(1).alias("_hit")
-    )
-    return (
-        active.join(nxt, ["user_id", "week"], "left")
-        .groupBy("week")
-        .agg(
-            F.count(F.lit(1)).alias("n_active"),
-            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_retained"),
-        )
+    hit = per_user.select(F.explode("weeks").alias("week"), "weeks")
+    return hit.groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(F.array_contains("weeks", F.col("week") + 1).cast("long"))
+        .cast("long")
+        .alias("n_retained"),
     )
 
 

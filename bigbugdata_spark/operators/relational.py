@@ -18,6 +18,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bigbugdata_spark.caching import pin
 from bigbugdata_spark.catalog import table
 from bigbugdata_spark.registry import register
 
@@ -109,8 +110,21 @@ _FACT_READS_SQL = """
 """
 
 
-def _supplier_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-supplier total reads (op 3 analog of per-sample n_reads)."""
+def _supplier_totals(
+    spark: SparkSession, sf_dir: str, fact: DataFrame | None = None
+) -> DataFrame:
+    """Per-supplier total reads (op 3 analog of per-sample n_reads).
+
+    With `fact` (a [pinned] `_fact_reads` frame), the totals derive by
+    RE-AGGREGATING the fact rows instead of re-scanning lineitem — the
+    r17 measurement: Catalyst/AQE exchange reuse does NOT fire across the
+    fact-vs-totals branches (same class of miss as the pinned tpch
+    q11/q15 shapes, tests/test_plans.py::_single_lineitem_scan), so
+    sharing must go through the cache. Numerically identical to the
+    direct GROUP BY l_suppkey: reads are integer-valued, so the partial
+    per-(part, supplier) fp64 sums and their re-sum are both exact."""
+    if fact is not None:
+        return fact.groupBy("l_suppkey").agg(F.sum("reads").alias("n_reads"))
     return (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_suppkey")
@@ -124,12 +138,26 @@ _SUPPLIER_TOTALS_SQL = """
 """
 
 
-def _rpm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _rpm(
+    spark: SparkSession, sf_dir: str, share_fact: bool = False
+) -> DataFrame:
     """RPM normalization (op 11, ref bigbugdata.py:104-127): reads per
     million of the supplier's total. Totals side is tiny -> broadcast; the
-    fact side never shuffles for this join."""
-    fact = _fact_reads(spark, sf_dir)
-    totals = _supplier_totals(spark, sf_dir)
+    fact side never shuffles for this join.
+
+    `share_fact=True` pins the fact aggregate and derives the totals from
+    the cache (one lineitem scan total). Measured r17: a WIN when rpm is
+    the whole query (op11: 0.52 -> 0.43 s min at sf0.1) but a LOSS when a
+    window pass follows (op13 with the pin: 0.65 -> 0.86 s — the totals
+    broadcast then waits on cache population instead of building from a
+    parallel scan branch), so the flag defaults to the two-parallel-scan
+    shape and op11 opts in."""
+    if share_fact:
+        fact = pin(_fact_reads(spark, sf_dir))
+        totals = _supplier_totals(spark, sf_dir, fact=fact)
+    else:
+        fact = _fact_reads(spark, sf_dir)
+        totals = _supplier_totals(spark, sf_dir)
     return fact.join(F.broadcast(totals), "l_suppkey").withColumn(
         "rpm", F.col("reads") / (F.col("n_reads") / F.lit(1_000_000.0))
     )
@@ -369,7 +397,7 @@ def op11_rpm_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RPM normalization (op 11, ref bigbugdata.py:104-127): fact reads
     joined to per-key totals (broadcast — the totals side is one row per
     supplier/sample, always tiny relative to the fact table)."""
-    return _rpm(spark, sf_dir).select(
+    return _rpm(spark, sf_dir, share_fact=True).select(
         "l_partkey", "l_suppkey", "reads", "n_reads", "rpm"
     )
 

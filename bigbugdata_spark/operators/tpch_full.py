@@ -29,7 +29,7 @@ bit-for-bit. LIMIT queries always order with a unique tiebreak.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigbugdata_spark.caching import pin
@@ -692,19 +692,32 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from that aggregate too: lineitem is scanned ONCE, no raw-row
     self-join survives, and numwait is the sum of R-line counts over the
     qualifying (order, supplier) pairs. The SQL oracle keeps the EXISTS
-    shape."""
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_returnflag"
+    shape.
+
+    r17 (guide §2.4 — establish the partitioning once): lineitem
+    repartitions by l_orderkey ONCE up front; hashpartitioning(l_orderkey)
+    satisfies the (l_orderkey, l_suppkey) aggregate's clustering
+    requirement AND the per-order roll-up's, so the old stacked per-order
+    aggregate + re-join (two more exchanges of the aggregated frame)
+    collapses into an exchange-free window over the same partitioning.
+    Measured min 0.78-1.16 -> 0.56-0.64 s at sf0.1 across three
+    interleaved trials, ordered output list-identical. Skew-safe: a
+    window partition is one order's suppliers (bounded by lines-per-order,
+    never corpus-proportional)."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+        .repartition("l_orderkey")
     )
     r_line = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
     per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.max(r_line).alias("has_r"),
         F.sum(r_line).alias("n_r_lines"),
     )
-    per_order = per_supp.groupBy(F.col("l_orderkey").alias("agg_ok")).agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum("has_r").alias("n_flagged"),
-    )
+    w_order = Window.partitionBy("l_orderkey")
+    per_supp = per_supp.withColumn(
+        "n_supp", F.count(F.lit(1)).over(w_order)
+    ).withColumn("n_flagged", F.sum("has_r").over(w_order))
     supp = (
         table(spark, sf_dir, "supplier")
         .join(
@@ -721,10 +734,12 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey")
     )
     return (
-        per_supp.filter(F.col("has_r") == 1)
+        per_supp.filter(
+            (F.col("has_r") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_flagged") == 1)
+        )
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(per_order, F.col("l_orderkey") == F.col("agg_ok"))
-        .filter((F.col("n_supp") >= 2) & (F.col("n_flagged") == 1))
         .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
         .groupBy("s_name")
         .agg(F.sum("n_r_lines").alias("numwait"))

@@ -38,8 +38,14 @@ def test_op11_totals_side_broadcasts(spark, sf):
     df = SPECS["op11_rpm_normalize"].fn(spark, sf)
     assert I.has_broadcast_join(df)
     assert "SortMergeJoin" not in I.join_kinds(df)
-    # two partial-agg shuffles (fact, totals); the join itself adds none
-    assert I.shuffle_count(df) <= 2
+    # r17: the fact aggregate is pinned and the totals side re-aggregates
+    # the cache (share_fact=True) — ONE lineitem file scan total (inside
+    # the cache-build relation), vs the old two-parallel-scan shape; the
+    # shuffles are the cached fact agg + the totals roll-up off the cache
+    assert "InMemoryTableScan" in I.plan_string(df, "simple")
+    li_scans = [s for s in I.scan_info(df) if "lineitem" in s["location"]]
+    assert len(li_scans) <= 1, I.plan_string(df, "formatted")
+    assert I.shuffle_count(df) <= 3
 
 
 def test_op18_semi_join_never_shuffles_fact(spark, sf):
