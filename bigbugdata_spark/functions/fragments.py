@@ -127,7 +127,7 @@ QUALITY_DECI_SQL = f"""CASE WHEN n_tokens >= {QUALITY_TOK_MIN} AND n_tokens <= {
                 + CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= {QUALITY_STOP_MIN} THEN {QUALITY_W_STOP} ELSE 0 END"""
 
 
-def quality_base_frame(spark, sf_dir):
+def quality_base_frame(spark, sf_dir, with_text=False):
     """The Spark twin of QUALITY_BASE_SQL: per-doc integer counts
     (n_chars_obs, n_tokens, n_punct, n_stop — plus doc_id/lang) over
     documents.  ONE definition (r13, extending the ADVICE r12 hoist
@@ -137,7 +137,13 @@ def quality_base_frame(spark, sf_dir):
     can never fork per consumer.  n_punct uses regexp_replace with the
     KEEP class — identical integer to counting '[^a-z0-9 ]', ~12x
     faster (the negated-class JVM regex slow path; r8 note in
-    operators/text.py, property-tested)."""
+    operators/text.py, property-tested).
+
+    with_text=True additionally carries the raw text column (r17):
+    consumers that need both the quality counts and the text (the
+    release manifest's sha256 dedup) then compute everything in ONE
+    documents scan instead of joining this frame back to the table on
+    doc_id — a full corpus-by-id shuffle at scale."""
     from pyspark.sql import functions as F
 
     from bigbugdata_spark.catalog import table
@@ -148,6 +154,7 @@ def quality_base_frame(spark, sf_dir):
     return table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
+        *(["text"] if with_text else []),
         F.length("text").cast("long").alias("n_chars_obs"),
         F.size(toks).cast("long").alias("n_tokens"),
         F.length(F.regexp_replace(F.col("text"), F.lit(r"[a-z0-9 ]"), F.lit("")))

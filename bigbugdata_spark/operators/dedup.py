@@ -460,15 +460,54 @@ def dedup_cluster_keep(
     driver-CONTROLLED but executor-EXECUTED: each round is one bucketed
     join + agg, localCheckpoint cuts the lineage so plans stay flat. The
     oracle computes the same fixpoint as a DuckDB recursive CTE
-    (transitive closure -> min reachable id)."""
+    (transitive closure -> min reachable id).
+
+    r17 restructure (guide §1.2 step 1 — don't compute what can't
+    change): the fixpoint iterates over the EDGE-TOUCHED nodes only. A
+    document outside every near-dup pair can never receive a neighbor
+    label and keeps cluster_rep = doc_id by construction, so carrying
+    the whole corpus through every round's join + checkpoint (the old
+    shape: O(corpus) rows checkpointed per round) did per-round work
+    proportional to the corpus instead of to the pair graph. Non-edge
+    documents are restored by ONE left join against the converged node
+    labels at the end. The per-round changed-count also folds into the
+    label join itself (a _chg flag on the checkpointed frame) instead of
+    a separate new-vs-old join per round. Fixpoint and output are
+    identical: edges only reference edge nodes, so the restriction is
+    exact."""
     if pairs is None:
         pairs = dedup_ngram_jaccard(spark, sf_dir)
+    labels = cc_node_labels(pairs)
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_rep"), F.col("doc_id")).alias("cluster_rep"),
+        )
+        .select(
+            "doc_id",
+            "cluster_rep",
+            (F.col("doc_id") == F.col("cluster_rep")).cast("int").alias("keep"),
+        )
+    )
+
+
+def cc_node_labels(pairs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_rep) for every EDGE-TOUCHED node: the min-label
+    fixpoint of dedup_cluster_keep, restricted to the pair graph (see
+    its docstring). Consumers that only need the DROP set (members whose
+    component has a smaller id — cluster_rep < doc_id) can filter this
+    frame directly without a corpus join: every non-edge document keeps
+    itself by construction."""
     pairs = pairs.select("d1", "d2")
     edges = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b")).unionByName(
         pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b"))
     ).localCheckpoint()
     labels = (
-        table(spark, sf_dir, "documents")
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
         .select("doc_id", F.col("doc_id").alias("cluster_rep"))
         .localCheckpoint()
     )
@@ -479,30 +518,23 @@ def dedup_cluster_keep(
             .groupBy("doc_id")
             .agg(F.min("_nl").alias("_nl"))
         )
+        new_rep = F.least(
+            F.col("cluster_rep"), F.coalesce(F.col("_nl"), F.col("cluster_rep"))
+        )
         new_labels = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("cluster_rep"), F.coalesce(F.col("_nl"), F.col("cluster_rep"))
-                ).alias("cluster_rep"),
+                new_rep.alias("cluster_rep"),
+                (new_rep < F.col("cluster_rep")).alias("_chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_rep") < F.col("o.cluster_rep"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
-    return labels.select(
-        "doc_id",
-        "cluster_rep",
-        (F.col("doc_id") == F.col("cluster_rep")).cast("int").alias("keep"),
-    )
+    return labels
 
 
 def _hyperplane_bits(emb) -> "F.Column":

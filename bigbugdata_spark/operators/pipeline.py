@@ -95,20 +95,38 @@ def pipe_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     as one composed plan. Shuffle budget: the quality gate is scan-local;
     the dedup rep set is the CC fixpoint (bounded rounds over the tiny
     pair graph); the final join chain broadcasts the survivor keys into
-    one documents scan, and the chunk explosion feeds a single lang agg."""
-    from bigbugdata_spark.operators.dedup import dedup_cluster_keep
-    from bigbugdata_spark.operators.text import text_quality_score
+    one documents scan, and the chunk explosion feeds a single lang agg.
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    quality_ok = (
-        text_quality_score(spark, sf_dir)
+    r17 restructure (guide §2.4): the quality gate is now literally
+    scan-local — the score expression evaluates inline on the documents
+    scan (quality_base_frame(with_text=True) + quality_deci_col, the same
+    shared definition text_quality_score selects) instead of joining a
+    second documents-derived frame back on doc_id; and the dedup keep
+    becomes a broadcast ANTI-join against the DROP set (cluster members
+    with a smaller component id, bounded by the pair graph) instead of a
+    semi-join against the rep set — which is corpus-sized at scale (most
+    documents are unique), and whose unknown-stats RDD side planned a
+    SortMergeJoin that shuffled every surviving document. kept-set
+    equality: keep==1 <=> NOT IN drops, since every document appears in
+    dedup_cluster_keep's output exactly once with keep in {0,1}."""
+    from bigbugdata_spark.functions.fragments import (
+        quality_base_frame,
+        quality_deci_col,
+    )
+    from bigbugdata_spark.operators.dedup import cc_node_labels, dedup_ngram_jaccard
+
+    quality = quality_deci_col().cast("double") / F.lit(10.0)
+    gated = (
+        quality_base_frame(spark, sf_dir, with_text=True)
+        .select("doc_id", "lang", "text", quality.alias("quality"))
         .filter(F.col("quality") >= _QUALITY_T)
+    )
+    drops = (
+        cc_node_labels(dedup_ngram_jaccard(spark, sf_dir))
+        .filter(F.col("cluster_rep") < F.col("doc_id"))
         .select("doc_id")
     )
-    reps = (
-        dedup_cluster_keep(spark, sf_dir).filter(F.col("keep") == 1).select("doc_id")
-    )
-    kept = docs.join(quality_ok, "doc_id").join(reps, "doc_id").select(
+    kept = gated.join(F.broadcast(drops), "doc_id", "left_anti").select(
         "doc_id", "lang", H.tokens(F.col("text")).alias("t")
     )
     chunks = kept.select(

@@ -73,28 +73,43 @@ MIN_QUALITY = 0.7  # release gate: drop docs below this score
 def pipe_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (shard, curriculum stage): released doc and token volume
     after the quality gate and exact-dedup keep — the corpus release's
-    shipping manifest, derived in one lazy plan."""
-    # deferred import keeps registration order exact under load_all
-    from bigbugdata_spark.operators.text import text_quality_score
+    shipping manifest, derived in one lazy plan.
 
-    q = text_quality_score(spark, sf_dir)
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    r17 restructure (guide §2.4): quality is a per-row expression over
+    the SAME documents scan that feeds the sha256 dedup
+    (quality_base_frame(with_text=True)) — the old shape joined
+    text_quality_score back to documents on doc_id, a full
+    corpus-by-id shuffle at scale (SortMergeJoin in the sf0.1 plan) just
+    to re-attach a column derivable in place. And the keep-min semi-join
+    is folded into the dedup aggregate itself: MIN(struct(doc_id,
+    n_tokens, quality)) per sha picks the min-doc_id row AND carries its
+    payload, which is exactly what `keep = MIN(doc_id) per sha` followed
+    by `gated SEMI JOIN keep ON doc_id` selected (doc_id is unique, so
+    the min-struct row IS the kept row). Plan: 4 scans + 1 SMJ + 2 BHJ +
+    semi-join -> ONE scan + the sha aggregate + the bounded manifest
+    roll-up. Result verified multiset-identical at sf0.1 and
+    oracle-green; local min-of-N is a wash (the broadcast joins were
+    cheap at bench scale) — this change is for the 100 TB shape, where
+    neither join side broadcasts."""
+    from bigbugdata_spark.functions.fragments import (
+        quality_base_frame,
+        quality_deci_col,
+    )
+
+    quality = quality_deci_col().cast("double") / F.lit(10.0)
     gated = (
-        q.where(F.col("quality") >= MIN_QUALITY)
-        .join(docs, "doc_id")
-        .select("doc_id", "n_tokens", "quality", "text")
+        quality_base_frame(spark, sf_dir, with_text=True)
+        .select("doc_id", "n_tokens", "text", quality.alias("quality"))
+        .where(F.col("quality") >= MIN_QUALITY)
     )
-    keep = (
+    released = (
         gated.groupBy(F.sha2(F.col("text"), 256).alias("sha"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    # NO broadcast hint: the keep set is one row per DISTINCT content —
-    # corpus-sized at scale (dedup removes only the copies), so the
-    # planner/AQE must pick the strategy; on the id-bucketed layout the
-    # semi join co-locates.
-    released = gated.join(keep, "doc_id", "semi").select(
-        "doc_id", "n_tokens", "quality"
+        .agg(F.min(F.struct("doc_id", "n_tokens", "quality")).alias("m"))
+        .select(
+            F.col("m.doc_id").alias("doc_id"),
+            F.col("m.n_tokens").alias("n_tokens"),
+            F.col("m.quality").alias("quality"),
+        )
     )
     stage = (
         F.when(
