@@ -84,14 +84,42 @@ def join_kinds(df: DataFrame) -> list[str]:
     )
 
 
+def _without_initial_plans(text: str) -> str:
+    """Drop `== Initial Plan ==` subtrees from an explain render.  Once a
+    cached relation (pin()/persist) has been MATERIALIZED, its
+    InMemoryRelation child renders as `AdaptiveSparkPlan isFinalPlan=true`
+    with BOTH a `== Final Plan ==` and an `== Initial Plan ==` copy of the
+    cache-build plan — so a warm-session render shows every cache-internal
+    exchange twice and plan-shape assertions flip with test order (the
+    r17 op11 suite failure).  Stripping the initial-plan copies makes
+    counting independent of whether the cache has materialized."""
+    lines = text.splitlines()
+    out: list[str] = []
+    skip_col: int | None = None
+    for ln in lines:
+        first = len(ln) - len(ln.lstrip(" "))
+        if skip_col is not None:
+            if ln.strip() and first <= skip_col:
+                skip_col = None
+            else:
+                continue
+        if "== Initial Plan ==" in ln:
+            skip_col = first
+            continue
+        out.append(ln)
+    return "\n".join(out)
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Shuffle exchanges in the plan (BroadcastExchange excluded — that's
     the cheap side of a broadcast join, not a data shuffle). Matches the
     actual operator spellings: `Exchange hashpartitioning(...)`,
     `Exchange rangepartitioning(...)`, `Exchange SinglePartition` (global
     aggregates — the earlier `Singlepartitioning` pattern never matched
-    and undercounted plans with global exchanges)."""
-    text = plan_string(df, "simple")
+    and undercounted plans with global exchanges).  Initial-plan copies of
+    materialized cached relations are excluded (see
+    `_without_initial_plans`) so the count is warm/cold-stable."""
+    text = _without_initial_plans(plan_string(df, "simple"))
     return len(
         re.findall(
             r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", text

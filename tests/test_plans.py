@@ -48,6 +48,20 @@ def test_op11_totals_side_broadcasts(spark, sf):
     assert I.shuffle_count(df) <= 3
 
 
+def test_shuffle_count_stable_after_cache_materializes(spark, sf):
+    """The r17 suite-order failure: once op11's pinned fact cache
+    materializes, the InMemoryRelation render carries an extra
+    `== Initial Plan ==` copy of the cache-build plan, and a naive
+    Exchange count doubles.  shuffle_count must read the same on a cold
+    and a warm cache."""
+    spark.catalog.clearCache()
+    cold = I.shuffle_count(SPECS["op11_rpm_normalize"].fn(spark, sf))
+    SPECS["op11_rpm_normalize"].fn(spark, sf).collect()  # materialize pin
+    warm = I.shuffle_count(SPECS["op11_rpm_normalize"].fn(spark, sf))
+    spark.catalog.clearCache()
+    assert cold == warm, (cold, warm)
+
+
 def test_op18_semi_join_never_shuffles_fact(spark, sf):
     df = SPECS["op18_semi_join"].fn(spark, sf)
     assert I.has_broadcast_join(df)
