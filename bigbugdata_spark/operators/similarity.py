@@ -127,7 +127,7 @@ def _cell_supers(cents: DataFrame, sup_n: int) -> DataFrame:
     )
 
 
-def _routed_cells(
+def _routed_cell_ranks(
     vectors: DataFrame,
     cents: DataFrame,
     k: int,
@@ -136,13 +136,22 @@ def _routed_cells(
     emb_col: str,
     nrm_col: str,
 ) -> DataFrame:
-    """(id, cell_id): each vector's `take` best cells by cosine, ranked
-    over ONLY the cells reachable through its SUP_PROBE best supercells
-    — the two-level router (r12, VERDICT r11 #1a).  Per-vector cost is
-    ~sqrt(K) supercell dots + ~SUP_ASSIGN*SUP_PROBE*sqrt(K) cell dots
-    instead of the flat K; no shuffle ever carries more than skinny
-    (id, cell) pairs plus one vectors-by-id exchange for the final
-    scoring join (which then feeds the per-id window co-partitioned)."""
+    """(id, cell_id, arn): each vector's `take` best cells by cosine WITH
+    their rank, ranked over ONLY the cells reachable through its
+    SUP_PROBE best supercells — the two-level router (r12, VERDICT r11
+    #1a).  Per-vector cost is ~sqrt(K) supercell dots +
+    ~SUP_ASSIGN*SUP_PROBE*sqrt(K) cell dots instead of the flat K; no
+    shuffle ever carries more than skinny (id, cell) pairs plus one
+    vectors-by-id exchange for the final scoring join (which then feeds
+    the per-id window co-partitioned).
+
+    Exposing `arn` lets a caller that needs BOTH the inverted file
+    (arn <= IVF_ASSIGN) and a probe set (arn <= n_probe) run the whole
+    routing pipeline ONCE with take = max of the two widths and filter
+    twice — the two sets are prefixes of the same per-vector ranking, so
+    this is definitionally identical to two independent routed passes
+    (the r17 graph-build optimization; the kNN spine was paying the
+    router twice over the full corpus)."""
     from bigbugdata_spark.functions.fragments import SUP_PROBE, sup_count
 
     sup_n = sup_count(k)
@@ -190,8 +199,24 @@ def _routed_cells(
     return (
         scored.withColumn("arn", F.row_number().over(w))
         .filter(F.col("arn") <= take)
-        .select(id_col, "cell_id")
+        .select(id_col, "cell_id", "arn")
     )
+
+
+def _routed_cells(
+    vectors: DataFrame,
+    cents: DataFrame,
+    k: int,
+    take: int,
+    id_col: str,
+    emb_col: str,
+    nrm_col: str,
+) -> DataFrame:
+    """(id, cell_id): `_routed_cell_ranks` without the rank column — the
+    single-consumer form every serving path uses."""
+    return _routed_cell_ranks(
+        vectors, cents, k, take, id_col, emb_col, nrm_col
+    ).select(id_col, "cell_id")
 
 
 def ivf_assign(

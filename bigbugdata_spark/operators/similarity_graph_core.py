@@ -91,18 +91,52 @@ def _key(spark: SparkSession, sf_dir: str, kind: str) -> tuple[str, str, str]:
 
 
 def _build_knn_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The kNN edge plan itself (moved verbatim from
-    operators/similarity_knn.py): every vector's KNN_K best
-    IVF-candidates by cosine, ties to the smaller dst id."""
+    """The kNN edge plan: every vector's KNN_K best IVF-candidates by
+    cosine, ties to the smaller dst id.  Result-identical to the r16
+    shape (the hash-gated KNN_SQL oracle re-derives it); restructured in
+    r17 per guide §2.3/§8 — decide with small rows, attach payloads late:
+
+    * ONE routed ranking serves both the inverted file (arn <=
+      IVF_ASSIGN) and the probe set (arn <= KNN_PROBE): the two are
+      prefixes of the same per-vector cell ranking, so ranking once to
+      take = max(widths) and filtering twice is definitionally identical
+      to the two independent `_routed_cells` passes the build used to
+      pay over the full corpus (measured 0.63 + 0.52 s of the 5.67 s
+      sf0.1 build).  The skinny (vec_id, cell_id, arn) frame is
+      localCheckpointed — it feeds both filters.
+    * the codebook is localCheckpointed: every downstream broadcast of
+      `cents` used to re-run its TakeOrdered corpus scan.
+    * candidates are scored INSIDE the cell join: the old shape built a
+      distinct (query, vec) pair list (1.79M rows at sf0.1), then
+      re-attached both endpoint embeddings by pair-level joins — the
+      second of which shuffled ~1.4M rows x 64-dim embeddings (~300 B
+      each) by query_id.  Now the per-cell member/prober frames (n x
+      IVF_ASSIGN and n x KNN_PROBE rows of 280 B) are the ONLY
+      embedding-carrying exchanges; the cell join emits (src, dst,
+      cos_sim) directly, and only 24-byte pair rows flow through the
+      dedup aggregate and the top-K window.  Duplicate pairs (a query
+      probing two cells that both hold the same member) score
+      bit-identically — same fp64 fold over the same values — so
+      MAX(cos_sim) per (src, dst) IS the single-scoring result.
+    * the cell join is SALTED adaptively (guide §2.5): cell_id has only
+      K distinct values and the join explodes rows, so on a small-K
+      corpus (K=16 at sf0.1) every dot product lands on <= K tasks —
+      measured 11.7 s for the unsalted join vs 1.5 s salted, the whole
+      difference being parallelism, not work.  Members carry a
+      deterministic salt (pmod(hash(dst), S)); probers replicate across
+      all S salts, so each (prober, member) pair still matches exactly
+      once, at the member's salt.  S shrinks as K grows — S =
+      max(1, ceil(8 * shuffle.partitions / K)) — reaching 1 (no
+      replication, a plain cell join) once the codebook alone spreads
+      the work, so the 100 TB build (K = n/128, millions of cells) pays
+      zero salting overhead."""
     # lazy import: keeps operators.similarity's registrations out of
     # this module's import-time footprint (registry rotation order)
-    from bigbugdata_spark.functions.fragments import graph_ivf_k
+    from bigbugdata_spark.functions.fragments import IVF_ASSIGN, graph_ivf_k
     from bigbugdata_spark.operators.similarity import (
         _corpus,
-        ivf_assign,
-        ivf_candidates,
+        _routed_cell_ranks,
         ivf_cents,
-        ivf_probes_routed,
     )
 
     corpus = _corpus(spark, sf_dir)
@@ -111,30 +145,55 @@ def _build_knn_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-query candidate work; the count is index-build metadata (a
     # parquet footer read)
     k = graph_ivf_k(corpus.count())
-    cents = ivf_cents(corpus, k=k)
-    assign = ivf_assign(corpus, cents, k=k)
-    allq = corpus.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-    )
-    probes = ivf_probes_routed(allq, cents, k, KNN_PROBE)
-    cand = ivf_candidates(probes, assign)
-    scored = (
-        cand.join(corpus, "vec_id")
-        .join(allq, "query_id")
+    cents = ivf_cents(corpus, k=k).localCheckpoint()
+    routed = _routed_cell_ranks(
+        corpus, cents, k, max(IVF_ASSIGN, KNN_PROBE),
+        "vec_id", "embedding", "nrm",
+    ).localCheckpoint()
+    import math
+
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_salts = max(1, math.ceil(8 * shuffle_parts / k))
+    members = (
+        routed.filter(F.col("arn") <= IVF_ASSIGN)
+        .select("vec_id", "cell_id")
+        .join(corpus, "vec_id")
         .select(
-            F.col("query_id").alias("src"),
+            "cell_id",
+            F.pmod(F.hash("vec_id"), F.lit(n_salts)).alias("salt"),
             F.col("vec_id").alias("dst"),
+            F.col("embedding").alias("d_emb"),
+            F.col("nrm").alias("d_nrm"),
+        )
+    )
+    probers = (
+        routed.filter(F.col("arn") <= KNN_PROBE)
+        .select("vec_id", "cell_id")
+        .join(corpus, "vec_id")
+        .select(
+            "cell_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("salt"),
+            F.col("vec_id").alias("src"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    scored = (
+        probers.join(members, ["cell_id", "salt"])
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
             (
-                H.dot(F.col("q_emb"), F.col("embedding"))
-                / (F.col("q_nrm") * F.col("nrm"))
+                H.dot(F.col("q_emb"), F.col("d_emb"))
+                / (F.col("q_nrm") * F.col("d_nrm"))
             ).alias("cos_sim"),
         )
     )
+    pairs = scored.groupBy("src", "dst").agg(F.max("cos_sim").alias("cos_sim"))
     w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        pairs.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= KNN_K)
         .select("src", "dst", F.col("rnk").cast("long").alias("rnk"), "cos_sim")
     )
