@@ -145,8 +145,18 @@ def train(
     """Run the BPE_STEPS trainer loop once: returns (final vocabulary
     DataFrame, merge list [(step, lhs, rhs, pair_count)]).  One
     single-row argmax collect per round (the sanctioned iterative
-    pattern); vocabulary localCheckpointed per round so plans stay
-    flat."""
+    pattern).
+
+    Only the BASE vocabulary is localCheckpointed (r17, guide §1.2):
+    the per-round checkpoint each merge application used to pay was a
+    full vocabulary materialization JOB per round — 6 extra jobs whose
+    only benefit was a flat plan.  Merge application is a map-only
+    string replace, so round r's argmax now replays the r accumulated
+    replaces over the checkpointed base instead — O(M^2/2) replace
+    passes across the whole training (M = BPE_STEPS = 6, each pass one
+    in-codegen expression over a Heaps'-law-bounded vocab) against 6
+    fewer materializations.  Measured 1.29 -> 1.04 s min at sf0.1;
+    merge list and final vocabulary verified identical."""
     vocab = word_vocab(spark, sf_dir).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     for step in range(BPE_STEPS):
@@ -164,5 +174,5 @@ def train(
         rep = F.lit(SEP + a + b + SEP)
         vocab = vocab.withColumn(
             "s", F.replace(F.replace(F.col("s"), pat, rep), pat, rep)
-        ).localCheckpoint()
+        )
     return vocab, merges
