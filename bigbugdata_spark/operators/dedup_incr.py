@@ -260,11 +260,21 @@ def incremental_pairs(
     grams = idx
     # batch-side shingles: computed from the documents scan with the
     # batch predicate applied BELOW the shingle projection — only ~10%
-    # of the corpus' text is ever tokenized per run
+    # of the corpus' text is ever tokenized per run.  The batch doc's
+    # own gram count rides along as sz1 (r17, guide §2.4): F.size of
+    # the shingle array IS the exploded per-doc count the persisted
+    # gram_sz table stores (explode preserves cardinality), so the
+    # new_id-side size join against the corpus-wide table — one join +
+    # one shuffle of the pair frame + one index-table probe per cycle —
+    # is free to drop; only the match side still probes gram_sz.
     newg = (
         _doc_shingles(spark, sf_dir)
         .filter(_incoming_col())
-        .select("doc_id", F.explode("grams").alias("g"))
+        .select(
+            "doc_id",
+            F.size("grams").alias("sz1"),
+            F.explode("grams").alias("g"),
+        )
     )
     if salt_hot_df is None:
         common = (
@@ -277,6 +287,8 @@ def incremental_pairs(
             .groupBy(
                 F.col("n.doc_id").alias("new_id"),
                 F.col("c.doc_id").alias("match_id"),
+                # constant per new_id — grouping by it changes nothing
+                F.col("n.sz1").alias("sz1"),
             )
             .agg(F.count(F.lit(1)).alias("c"))
         )
@@ -321,15 +333,15 @@ def incremental_pairs(
             .groupBy(
                 F.col("n.doc_id").alias("new_id"),
                 F.col("c.doc_id").alias("match_id"),
+                # constant per new_id — grouping by it changes nothing
+                F.col("n.sz1").alias("sz1"),
             )
             .agg(F.count(F.lit(1)).alias("c"))
         )
-    s1 = sizes.select(F.col("doc_id").alias("new_id"), F.col("sz").alias("sz1"))
     s2 = sizes.select(F.col("doc_id").alias("match_id"), F.col("sz").alias("sz2"))
     jac = F.col("c").cast("double") / (F.col("sz1") + F.col("sz2") - F.col("c"))
     return (
-        common.join(s1, "new_id")
-        .join(s2, "match_id")
+        common.join(s2, "match_id")
         .select("new_id", "match_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
     )

@@ -529,8 +529,11 @@ def test_dedup_incremental_index_probe_plan(spark, sf):
     projection) plus the index/sizes table scans; all joins keyed."""
     df = SPECS["dedup_incremental"].fn(spark, sf)
     scans = I.scan_info(df)
-    # documents (batch) + gram_idx + gram_sz twice (both Jaccard sides)
-    assert len(scans) == 4
+    # documents (batch) + gram_idx + gram_sz ONCE (match side only —
+    # r17: the new_id side's size rides the batch shingle array as
+    # F.size, so the second gram_sz probe and its pair-frame shuffle
+    # are gone)
+    assert len(scans) == 3
     doc_scans = [
         c for c in I.read_columns(df) if c == {"doc_id", "text"}
     ]
