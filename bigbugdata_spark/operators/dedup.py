@@ -68,14 +68,25 @@ LSH_BANDS, LSH_ROWS = 16, 4  # 64 minhash components
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, grams): distinct word-3-gram hashes per document."""
+    """(doc_id, grams): distinct word-3-gram hashes per document.
+
+    The empty-gram guard runs BEFORE the projection, on the cheap token
+    count: grams is non-empty iff the document has >= 3 tokens
+    (shingle_hashes returns [] below n, and a sequence of >= 1 gram
+    positions is never empty after array_distinct). Filtering on
+    size(grams) AFTER the select let Catalyst push
+    `size(<shingle expr>) > 0 AND isnotnull(<shingle expr>)` below the
+    Project, evaluating the whole tokenize+hash+shingle tree three times
+    per document (measured 0.45 -> 0.72 s at sf0.1 for the bare frame —
+    at 100 TB that is two full redundant corpus passes in every cold
+    build of this family)."""
     return (
         table(spark, sf_dir, "documents")
+        .filter(F.size(H.tokens(F.col("text"))) >= 3)
         .select(
             "doc_id",
             H.shingle_hashes(H.word_hashes(H.tokens(F.col("text")))).alias("grams"),
         )
-        .filter(F.size("grams") > 0)
     )
 
 
