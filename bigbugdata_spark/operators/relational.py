@@ -91,16 +91,30 @@ def control_lookup(
 # ---------------------------------------------------------------------------
 
 
-def _fact_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _fact_reads(
+    spark: SparkSession, sf_dir: str, part_keyed: bool = False
+) -> DataFrame:
     """Long fact table analog: reads per (part, supplier) = SUM(l_quantity).
 
     l_quantity is integer-valued, so fp64 sums are exact -> oracle-stable.
     Mirrors op 7's (taxID, sample) accumulation (ref bigbugdata.py:286-302).
-    """
-    return (
-        table(spark, sf_dir, "lineitem")
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum("l_quantity").cast("double").alias("reads"))
+
+    `part_keyed=True` (r17, guide §2.4) hash-partitions the projected
+    lineitem rows by l_partkey BEFORE the aggregate: that partitioning
+    satisfies the (l_partkey, l_suppkey) clustering (subset key) AND any
+    downstream window partitioned by l_partkey [, ...], so a consumer
+    that follows with such a window runs shuffle-free after the single
+    up-front exchange (2 Exchanges -> 1). Numerically identical: sums
+    of integer-valued doubles are exact under any grouping order.
+    Standalone consumers keep the default — the plain two-phase
+    aggregate ships partial sums, not raw rows, through its exchange."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    if part_keyed:
+        li = li.repartition("l_partkey")
+    return li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").cast("double").alias("reads")
     )
 
 
@@ -139,7 +153,10 @@ _SUPPLIER_TOTALS_SQL = """
 
 
 def _rpm(
-    spark: SparkSession, sf_dir: str, share_fact: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    share_fact: bool = False,
+    part_keyed: bool = False,
 ) -> DataFrame:
     """RPM normalization (op 11, ref bigbugdata.py:104-127): reads per
     million of the supplier's total. Totals side is tiny -> broadcast; the
@@ -156,7 +173,10 @@ def _rpm(
         fact = pin(_fact_reads(spark, sf_dir))
         totals = _supplier_totals(spark, sf_dir, fact=fact)
     else:
-        fact = _fact_reads(spark, sf_dir)
+        # part_keyed pre-partitions the fact by l_partkey so a consumer
+        # window over (l_partkey, ...) reuses the exchange (op13: 2 data
+        # Exchanges -> 1, 0.74 -> 0.54 s min at sf0.1, symdiff 0)
+        fact = _fact_reads(spark, sf_dir, part_keyed=part_keyed)
         totals = _supplier_totals(spark, sf_dir)
     return fact.join(F.broadcast(totals), "l_suppkey").withColumn(
         "rpm", F.col("reads") / (F.col("n_reads") / F.lit(1_000_000.0))
@@ -469,7 +489,7 @@ def op13_floor_ratio_rrpm(spark: SparkSession, sf_dir: str) -> DataFrame:
     fallback (controls not members of their group) lives in
     operators/kraken.py::rrpm with an explicit persist instead.
     """
-    rpm = _rpm(spark, sf_dir)
+    rpm = _rpm(spark, sf_dir, part_keyed=True)
     sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     ctrl = sup.groupBy("s_nationkey").agg(F.min("s_suppkey").alias("control_suppkey"))
     mapping = sup.join(F.broadcast(ctrl), "s_nationkey").select(
@@ -595,7 +615,10 @@ def op15_zscore_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic stand-in, asserted in the kraken fidelity tests).
     """
     w = Window.partitionBy("l_partkey")
-    fact = _fact_reads(spark, sf_dir)
+    # part_keyed: one exchange established once — the window reuses the
+    # aggregate's l_partkey partitioning (2 Exchanges -> 1; measured
+    # 0.77 -> 0.44 s min at sf0.1, result symdiff 0).
+    fact = _fact_reads(spark, sf_dir, part_keyed=True)
     stats = (
         fact.withColumn("s", F.sum("reads").over(w))
         .withColumn("ss", F.sum(F.col("reads") * F.col("reads")).over(w))
