@@ -223,7 +223,10 @@ def dedup_containment(
             .select("g")
         )
         joinable = grams.join(keep, "g")
-    a, b = joinable.alias("a"), joinable.alias("b")
+    # shuffle_hash: same rationale (and measured class) as
+    # dedup_ngram_jaccard — the join's sort order is discarded by the
+    # (d1, d2) regroup, so the SMJ sorts are pure overhead
+    a, b = joinable.hint("shuffle_hash").alias("a"), joinable.alias("b")
     common = (
         a.join(
             b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id"))
