@@ -86,15 +86,19 @@ def text_decontaminate(
         broadcast is sized by the external eval set, which is small
         intrinsically, not corpus-proportionally.
 
-    Plan: one explode produces distinct gram hashes per document; the
-    benchmark side broadcasts into the corpus gram stream — candidate
-    generation is a keyed equi-join on the gram hash, never any
-    all-pairs comparison — and one shuffle aggregates per flagged
-    corpus document. For corpus-vs-corpus overlap, where neither side
-    is small, the right tool is the shuffled inverted-index join of
-    dedup_ngram_jaccard / text_dup_ngrams instead. Fan-out per corpus
-    gram is bounded by the benchmark's occurrence count of that gram
-    (benchmark-sized, not corpus-sized)."""
+    Plan (r17 restructure, guide §2.3/§2.4): the benchmark side is
+    pre-aggregated to ONE row per gram carrying its distinct bench-doc
+    set, so the broadcast equi-join on the gram hash is 1:1 against the
+    corpus gram stream — no per-(gram, bench_doc) fan-out, never any
+    all-pairs comparison. Because each corpus (doc_id, gram_hash) is
+    already distinct (distinct shingles), `n_shared_grams` is a plain
+    COUNT(*) of matched grams and `n_bench_docs` the size of the union
+    of the matched grams' bench-id sets — one exchange on doc_id, no
+    Expand. (The previous two-COUNT(DISTINCT) form expanded every
+    joined row x2 and paid a second exchange; measured below.) For
+    corpus-vs-corpus overlap, where neither side is small, the right
+    tool is the shuffled inverted-index join of dedup_ngram_jaccard /
+    text_dup_ngrams instead."""
     grams = _decon_grams(table(spark, sf_dir, "documents"))
     bench_docs = _load_benchmark(spark, benchmark)
     if bench_docs is None:
@@ -103,13 +107,17 @@ def text_decontaminate(
     else:
         bench = _decon_grams(bench_docs)
         corpus = grams
-    bench = bench.select(F.col("doc_id").alias("bench_id"), "gram_hash")
+    per_gram = bench.groupBy("gram_hash").agg(
+        F.collect_set("doc_id").alias("bids")
+    )
     return (
-        corpus.join(F.broadcast(bench), "gram_hash")
+        corpus.join(F.broadcast(per_gram), "gram_hash")
         .groupBy("doc_id")
         .agg(
-            F.countDistinct("gram_hash").alias("n_shared_grams"),
-            F.countDistinct("bench_id").alias("n_bench_docs"),
+            F.count(F.lit(1)).alias("n_shared_grams"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("bids"))))
+            .cast("long")
+            .alias("n_bench_docs"),
         )
     )
 
