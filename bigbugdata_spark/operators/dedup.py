@@ -314,11 +314,17 @@ def dedup_minhash_lsh(
     sig = ex.groupBy("doc_id").agg(
         *[F.min(H.minhash_term(F.col("h"), j)).alias(f"s{j}") for j in range(LSH_BANDS * LSH_ROWS)]
     )
+    # band key as ONE xxhash64 long (r17, guide §2.3 narrower types): the
+    # previous concat_ws(",") string ran 20-40 bytes through the bucket
+    # exchange per (doc, band) row; the 8-byte hash is result-safe HERE
+    # (not in dedup_emb_lsh, whose oracle re-derives the bucketing): a
+    # hash collision can only MERGE buckets, i.e. add candidate pairs,
+    # and every candidate is exact-Jaccard verified against the
+    # ground-truth oracle's own threshold — extra candidates either pass
+    # (true pairs the oracle already contains) or are filtered.
     band_arr = F.array(
         *[
-            F.concat_ws(
-                ",", *[F.col(f"s{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-            )
+            F.xxhash64(*[F.col(f"s{b * LSH_ROWS + r}") for r in range(LSH_ROWS)])
             for b in range(LSH_BANDS)
         ]
     )
