@@ -62,8 +62,18 @@ def evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     K_MAD * mad (strict >, so a zero-MAD constant stream flags only
     genuinely different values).  Both medians are read off compressed
     value histograms (see module docstring) — the raw events are
-    touched exactly once, by mad_histogram's (type, cents) groupBy."""
+    touched exactly once, by mad_histogram's (type, cents) groupBy.
+
+    The histogram is pinned HERE, in the batch caller (r17, guide §2.4):
+    finish_mad references it from four branches (median, deviation
+    histogram, MAD, roll-up), and without the cache each branch re-ran
+    the raw-events groupBy — four full scans of the event stream for
+    one histogram (plan-verified). The pin cannot live in finish_mad
+    itself: streaming/mad.py composes the same tail over a streaming
+    state frame, which cannot persist."""
     ev = table(spark, sf_dir, "events").select(
         "event_type", cents_col().alias("cents")
     )
-    return finish_mad(mad_histogram(ev))
+    from bigbugdata_spark.caching import pin
+
+    return finish_mad(pin(mad_histogram(ev)))
