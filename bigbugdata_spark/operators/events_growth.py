@@ -59,18 +59,31 @@ def evt_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
     )
-    # first-ever day as a window over the user partition — one scan,
-    # one user-keyed shuffle, no self-join
-    joined = ev.withColumn(
+    # r17 restructure (guide §2.4, the op13/op15 pre-keying): the old
+    # shape windowed first_day over RAW events (full sort) and then ran
+    # three COUNT(DISTINCT ...) per day — an Expand x4 of every event
+    # row.  Establishing the user partitioning once lets the
+    # (user_id, day) collapse, the first-day window, and the per-day
+    # roll-up all run off ONE raw exchange: after the collapse each
+    # (user, day) cell is unique, so every distinct count is a plain
+    # SUM/COUNT over cells (n_events rides along as the cell count).
+    # Measured 0.32-0.39 -> 0.18-0.26 s min over three interleaved
+    # trials; symdiff 0, dtypes identical.
+    ud = (
+        ev.repartition("user_id")
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    j = ud.withColumn(
         "first_day", F.min("day").over(Window.partitionBy("user_id"))
     )
-    return joined.groupBy("day").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.countDistinct("user_id").alias("n_active"),
-        F.countDistinct(
-            F.when(F.col("day") == F.col("first_day"), F.col("user_id"))
+    return j.groupBy("day").agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(
+            F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
         ).alias("n_new"),
-        F.countDistinct(
-            F.when(F.col("day") != F.col("first_day"), F.col("user_id"))
+        F.sum(
+            F.when(F.col("day") != F.col("first_day"), 1).otherwise(0)
         ).alias("n_returning"),
     )
