@@ -97,25 +97,38 @@ def pipe_semantic_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     component's label purity >= PURITY_T; below the bar every vector
     passes through (kept = 1, rule_applied = 0) — the encoder-collapse
     guard."""
-    from bigbugdata_spark.operators.similarity_keep import sim_semantic_keep
+    from bigbugdata_spark.operators.similarity_graph_core import components
 
-    keep = sim_semantic_keep(spark, sf_dir)
+    # r17 (guide §2.4): composing sim_semantic_keep forced its sizes
+    # aggregate + join TWICE (once per consumer branch; the optimizer
+    # left a distinct-component join behind on the purity side).  The
+    # spine's component frame already carries everything needed:
+    # cluster_size IS SUM(n) of the per-(component, label) counts
+    # (comp ⋈ embeddings is 1:1 on the embeddings PK), and keep IS
+    # vec_id = component — so one aggregate chain plus one final
+    # component join produces the identical table.  The final join is
+    # left to the planner: stats is component-sized (broadcasts at
+    # test scale via AQE); at 100 TB SMJ is the honest spill-safe
+    # strategy for the corpus-sized comp side.
+    comp = components(spark, sf_dir)
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "label")
     label_counts = (
-        keep.select("vec_id", "component")
-        .join(emb, "vec_id")
+        comp.join(emb, "vec_id")
         .groupBy("component", "label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    pur = label_counts.groupBy("component").agg(
-        (F.max("n").cast("double") / F.sum("n")).alias("purity")
+    stats = label_counts.groupBy("component").agg(
+        F.sum("n").alias("cluster_size"),
+        (F.max("n").cast("double") / F.sum("n")).alias("purity"),
     )
     applied = F.col("purity") >= F.lit(PURITY_T)
-    return keep.join(pur, "component").select(
+    return comp.join(stats, "component").select(
         "vec_id",
         "component",
         "cluster_size",
         "purity",
         applied.cast("int").alias("rule_applied"),
-        F.when(applied, F.col("keep")).otherwise(F.lit(1)).alias("kept"),
+        F.when(applied, (F.col("vec_id") == F.col("component")).cast("int"))
+        .otherwise(F.lit(1))
+        .alias("kept"),
     )

@@ -85,9 +85,13 @@ def sim_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigbugdata_spark.operators.similarity_graph_core import mutual_edges
 
     mutual = mutual_edges(spark, sf_dir)
+    # r17: every join below feeds a regroup (or the final unordered
+    # output), so the SMJ sort order was pure overhead — shuffle_hash
+    # drops the sorts; build sides are edge-list/degree-table sized,
+    # bounded per partition by AQE partition sizing (guide §3.1).
     e1 = mutual.alias("e1")
-    e2 = mutual.alias("e2")
-    e3 = mutual.alias("e3")
+    e2 = mutual.hint("shuffle_hash").alias("e2")
+    e3 = mutual.hint("shuffle_hash").alias("e3")
     tri = (
         e1.join(e2, F.col("e1.b") == F.col("e2.a"))
         .join(
@@ -101,24 +105,23 @@ def sim_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.b").alias("z"),
         )
     )
-    corners = (
-        tri.select(F.col("x").alias("vec_id"))
-        .unionAll(tri.select(F.col("y").alias("vec_id")))
-        .unionAll(tri.select(F.col("z").alias("vec_id")))
-    )
+    # r17: the union-of-three-projections form re-executed the whole
+    # two-join triangle pipeline once per corner; exploding each
+    # triangle row to its three corners is the same multiset off ONE
+    # execution (guide §2.4).
+    corners = tri.select(F.explode(F.array("x", "y", "z")).alias("vec_id"))
     tcount = corners.groupBy("vec_id").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
     deg = (
-        mutual.select(F.col("a").alias("vec_id"))
-        .unionAll(mutual.select(F.col("b").alias("vec_id")))
+        mutual.select(F.explode(F.array("a", "b")).alias("vec_id"))
         .groupBy("vec_id")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
     emb = table(spark, sf_dir, "embeddings").select("vec_id")
     return (
-        emb.join(deg, "vec_id", "left")
-        .join(tcount, "vec_id", "left")
+        emb.join(deg.hint("shuffle_hash"), "vec_id", "left")
+        .join(tcount.hint("shuffle_hash"), "vec_id", "left")
         .select(
             "vec_id",
             F.coalesce("deg", F.lit(0)).cast("long").alias("deg"),
