@@ -127,6 +127,100 @@ KRAKEN_BASELINE_SEC = 13.7
 # judge does not have to re-derive the host-drift story from medians.
 SPARK_CANARY_REF_SEC = 0.0857
 HOST_CANARY_REF_SEC = 0.0566
+# the stage-scheduling canary's calibration reference (r12, the session
+# family every sched_canary comment in this file refers to)
+SCHED_CANARY_REF_SEC = 0.0846
+
+# --- mid-loop window certification (r18, VERDICT r17 #1) -------------------
+# The r17 artifact of record read geomean 0.81 "regressed" while the
+# session-BOUNDARY canaries sat in band: untouched, plan-identical
+# queries doubled (op07 +87%, op14 +127%) because the host window
+# drifted MID-LOOP, after the loop started and before the closing
+# canary ran — a failure mode boundary sampling cannot see.  The
+# headline loop now samples the spark+sched canaries every
+# MID_LOOP_PROBE_EVERY query blocks (between blocks, outside every
+# per-query timed window) and the artifact records the whole trace;
+# a probe out of the calibration band, or a spread across probes
+# beyond MID_LOOP_SPREAD_GATE, stamps the artifact low_confidence
+# with a computed reason.  Probe cost: ~1.5 s per probe x ~6 probes,
+# outside all timed windows.
+MID_LOOP_PROBE_EVERY = 8
+MID_LOOP_SPREAD_GATE = 2.0
+
+#: window_class bounds (ADVICE r17 #3): out_of_calibration is the wide
+#: DRIFT_GATE_BAND gate, so an in-band-but-1.5x-slow window printed
+#:   out_of_calibration: false
+#: and read as "clean" unless the reader consulted bench.py.  The
+#: artifact now carries an explicit three-way classification with its
+#: bounds: "clean" when every mid-loop probe's drift sits inside
+#: WINDOW_CLEAN_BAND and the spread gate holds, "drifted" when inside
+#: DRIFT_GATE_BAND but not clean, "out_of_calibration" otherwise.
+WINDOW_CLEAN_BAND = (1 / 1.35, 1.35)
+
+
+def midloop_probe_reasons(
+    probes: list[dict],
+    spread_gate: float = MID_LOOP_SPREAD_GATE,
+) -> list[str]:
+    """Why the mid-loop canary trace convicts this measuring window
+    ([] = the trace acquits it).  Pure policy, unit-tested.
+
+    * any probe's spark canary outside DRIFT_GATE_BAND of calibration
+      -> the window drifted out of the usable band mid-loop;
+    * max/min spark-canary spread across probes > spread_gate -> the
+      window moved materially DURING the loop even if every individual
+      reading stayed in band (the r17 failure mode: per-query numbers
+      from different probes' neighborhoods are not comparable)."""
+    reasons: list[str] = []
+    secs = [p["spark_sec"] for p in probes if p.get("spark_sec")]
+    if len(secs) < 2:
+        return reasons
+    for p in probes:
+        sec = p.get("spark_sec")
+        if sec and not _canary_in_band(sec):
+            reasons.append(
+                f"mid-loop spark canary at block {p.get('at')} read "
+                f"{sec}s ({round(sec / SPARK_CANARY_REF_SEC, 2)}x its "
+                f"{SPARK_CANARY_REF_SEC}s calibration)"
+            )
+            break  # one representative reading; the trace has the rest
+    spread = max(secs) / min(secs)
+    if spread > spread_gate:
+        reasons.append(
+            f"spark canary swung {round(spread, 2)}x across the "
+            f"headline loop (min {min(secs)}s, max {max(secs)}s; gate "
+            f"{spread_gate}x) — per-query numbers straddle different "
+            "host windows"
+        )
+    return reasons
+
+
+def window_class(
+    probes: list[dict],
+    closing_canary: "float | None",
+    clean_band: tuple[float, float] = WINDOW_CLEAN_BAND,
+) -> str:
+    """Three-way window classification for the artifact (ADVICE r17
+    #3): 'clean' / 'drifted' / 'out_of_calibration' / 'unknown'.  Pure
+    policy, unit-tested.  Uses every mid-loop probe plus the closing
+    canary so a mid-loop stall cannot hide behind a calm close."""
+    secs = [p["spark_sec"] for p in probes if p.get("spark_sec")]
+    if closing_canary:
+        secs.append(closing_canary)
+    if not secs:
+        return "unknown"
+    drifts = [SPARK_CANARY_REF_SEC / s for s in secs]
+    if any(
+        not (DRIFT_GATE_BAND[0] <= d <= DRIFT_GATE_BAND[1]) for d in drifts
+    ):
+        return "out_of_calibration"
+    spread = max(secs) / min(secs) if len(secs) > 1 else 1.0
+    if (
+        all(clean_band[0] <= d <= clean_band[1] for d in drifts)
+        and spread <= MID_LOOP_SPREAD_GATE
+    ):
+        return "clean"
+    return "drifted"
 
 # --- scale probe: the empirical linearity check (VERDICT r5 #6) ------------
 # No sf1 testdata exists, so the probe builds a 10x replication of the
@@ -1203,8 +1297,25 @@ def main() -> None:
     # are recorded per query; the JSON line always prints.
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    firsts: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in relational + ext:
+    # mid-loop window certification (r18, VERDICT r17 #1): canary
+    # probes BETWEEN query blocks — outside every per-query timed
+    # window — so the artifact can convict or acquit its own window
+    # at sub-loop granularity (see midloop_probe_reasons)
+    midloop_probes: list[dict] = []
+
+    def _midloop_probe(at: str) -> None:
+        probe: dict = {"at": at}
+        try:
+            probe["spark_sec"] = _spark_canary(spark)
+            probe["sched_sec"] = _sched_canary(spark)
+        except Exception as exc:  # noqa: BLE001 — diagnostics never kill
+            probe["error"] = f"{type(exc).__name__}: {exc}"[:120]
+        midloop_probes.append(probe)
+
+    _midloop_probe("loop_start")
+    for qi, name in enumerate(relational + ext):
         # isolate queries from one another's persisted frames (several
         # near-dup queries persist shared subframes and never unpersist);
         # within a query's iterations the cache legitimately stays —
@@ -1222,6 +1333,13 @@ def main() -> None:
             continue
         timings[name] = round(min(runs), 4)
         medians[name] = round(statistics.median(runs), 4)
+        # first iteration next to min (VERDICT r17 #9): for
+        # pinned-cache queries (op11 et al.) `first` carries the cache
+        # build + cold plan, the cost min-of-N legitimately amortizes
+        # but must not hide
+        firsts[name] = round(runs[0], 4)
+        if (qi + 1) % MID_LOOP_PROBE_EVERY == 0:
+            _midloop_probe(f"after_{name}")
 
     # modern headline set: fn() + execution inside the timed window
     # (see MODERN_HEADLINE comment); same clearCache isolation
@@ -1242,6 +1360,8 @@ def main() -> None:
             continue
         modern_timings[name] = round(min(runs), 4)
         medians[name] = round(statistics.median(runs), 4)
+        firsts[name] = round(runs[0], 4)
+    _midloop_probe("loop_end")
 
     # cold spine build, first-class (r12, VERDICT r11 #6): the modern
     # headline's sim_knn_graph/sim_pagerank rows time the memoized
@@ -1390,6 +1510,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_median": medians,
+        # first-iteration wall next to min (VERDICT r17 #9): cold plan
+        # + any pinned-cache build, paid inside iteration 1's window
+        "queries_first": firsts,
         "ext_total": ext_total,
         "modern_queries": modern_timings,
         "modern_total": modern_total,
@@ -1410,11 +1533,15 @@ def main() -> None:
         # cost class both throughput canaries are blind to; the swing
         # was ~+0.1 s additive per query, matching that class.
         # sched_canary_sec exists so future rounds can normalize it.
-        "evt_regression_note": (
-            "r11 evt swing attributed to stage-scheduling latency "
-            "drift on the shared VM; excluded: code, ts layout, "
-            "session confs, session aging, cpus. See bench.py comment."
-        ),
+        # (r18, VERDICT r17 #1: the per-round regression-prose fields
+        # that used to ship here — evt_regression_note,
+        # pipe_regression_note, sched_window_note, tpch_regression_note
+        # — were hard-coded narrative about PAST sessions that shipped
+        # verbatim inside every future artifact, including driver runs
+        # they did not describe.  The history stays in the comments
+        # above/below; the artifact now carries only fields COMPUTED
+        # from this run: midloop_canaries, window_class,
+        # sched_canary_vs_ref, queries_first.)
         # r13 root-cause note (VERDICT r12 #5, the +24% raw
         # pipe_training_corpus swing r11->r12): NOT code — git diff of
         # the r11 bench commit vs r12 shows ZERO Spark-side changes in
@@ -1468,14 +1595,6 @@ def main() -> None:
             "fused-sinks and scoped-codegen-off A/Bs (no >=0.7 s win; "
             "see bench.py comment); three earlier A/Bs in r13."
         ),
-        "pipe_regression_note": (
-            "r12 pipe_training_corpus +24% raw attributed to "
-            "stage-scheduling latency (same class as the r11 evt "
-            "swing); plan change excluded by git diff: no Spark-side "
-            "edit in its composition r11->r12 (the quality-fragments "
-            "refactor was oracle-SQL-only, byte-identical). See "
-            "bench.py comment."
-        ),
         # r14 root-cause note (VERDICT r13 #1/#2 watch items): the r13
         # +32% tpch_q8 / +23% dedup_incremental raw swings.  NOT code —
         # git log shows zero changes on either query's composition
@@ -1499,24 +1618,6 @@ def main() -> None:
         # re-anchor drew an even slower window (canary 0.337, 3.9x —
         # out of band) and still read q21 declining 10.3 -> 2.1 s
         # across iterations: window, not regression.
-        "sched_window_note": (
-            "r17: headline swing vs r16 attributed to the "
-            "stage-scheduling-latency window class (sched_canary "
-            "2.5x calibration, throughput canary flat, zero "
-            "query-path code change git-verified; fresh-process "
-            "re-anchor concurs). Compare sched_canary_sec before "
-            "reading anything into sub-second deltas. See bench.py "
-            "comment."
-        ),
-        "tpch_regression_note": (
-            "r13 tpch_q8 +32% / dedup_incremental +23% and r14 "
-            "tpch_q4 +85% / q18 +69% / q13 +62% raw attributed to "
-            "JIT-tail truncation at min-of-4 under canary drift; "
-            "code change excluded by git log on every path (r14 "
-            "touched only streaming/publish/bench/tests); the whole "
-            "sub-0.5 s tpch set plus dedup_incremental now runs "
-            "min-of-8 via HEADLINE_ITERATIONS. See bench.py comment."
-        ),
         "iterations": ITERATIONS,
         "iterations_overrides": HEADLINE_ITERATIONS,
         "agg": "min",
@@ -1528,7 +1629,39 @@ def main() -> None:
         # ratio before reading anything into absolute seconds
         "host_canary_sec": _host_canary(),
         "spark_canary_sec": spark_canary,
+        # the mid-loop canary trace (VERDICT r17 #1): sampled between
+        # query blocks inside the headline loop, outside every timed
+        # window — the instrument that convicts or acquits a window at
+        # sub-loop granularity (midloop_probe_reasons feeds the
+        # low_confidence gate below)
+        "midloop_canaries": midloop_probes,
+        # three-way window classification with its bounds (ADVICE r17
+        # #3): 'clean' readings are calibration-grade; 'drifted' are
+        # in the usable band but need the canary adjustment; 'out_of_
+        # calibration' readings are untrustworthy either way
+        "window_class": window_class(midloop_probes, spark_canary),
+        "window_class_bounds": {
+            "clean_drift_band": [
+                round(WINDOW_CLEAN_BAND[0], 4),
+                round(WINDOW_CLEAN_BAND[1], 4),
+            ],
+            "usable_drift_band": [
+                round(DRIFT_GATE_BAND[0], 4),
+                round(DRIFT_GATE_BAND[1], 4),
+            ],
+            "midloop_spread_gate": MID_LOOP_SPREAD_GATE,
+        },
     }
+    if sched_canary:
+        # computed replacement for the old hard-coded sched_window_note
+        # (history in the comments above): how far THIS run's stage-
+        # scheduling latency sits from its r12 calibration — the cost
+        # class that dominates sub-0.5 s multi-stage queries and that
+        # the throughput canaries cannot see
+        out["sched_canary_vs_ref"] = {
+            "ref_sec": SCHED_CANARY_REF_SEC,
+            "ratio": round(sched_canary / SCHED_CANARY_REF_SEC, 2),
+        }
     # Canary-drift GATE (VERDICT r15 #1): the r15 artifact shipped with
     # the Spark canary 8.4x over its calibration reference — raw numbers
     # inflated 1.5-7x non-uniformly and the linear adjustment
@@ -1555,7 +1688,7 @@ def main() -> None:
         spark_canary,
         (kraken or {}).get("spark_canary_sec"),
         kraken_ran=kraken is not None,
-    )
+    ) + midloop_probe_reasons(midloop_probes)
     out["low_confidence"] = bool(low_conf_reasons)
     if low_conf_reasons:
         out["low_confidence_reason"] = "; ".join(low_conf_reasons)
@@ -1657,6 +1790,7 @@ def compact_line(out: dict, cap: int = _COMPACT_LINE_CAP) -> str:
         "ext_total",
         "modern_total",
         "low_confidence",
+        "window_class",
         "spark_canary_sec",
         "host_canary_sec",
         "sched_canary_sec",
@@ -1707,6 +1841,7 @@ def compact_line(out: dict, cap: int = _COMPACT_LINE_CAP) -> str:
         "sched_canary_sec",
         "host_canary_sec",
         "agg",
+        "window_class",
         "kraken_first",
         "drift_factor",
         "scale_probe_max_ratio",

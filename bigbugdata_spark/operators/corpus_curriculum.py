@@ -30,8 +30,12 @@ from pyspark.sql import functions as F
 from bigbugdata_spark.functions.fragments import QUALITY_SQL as _QUALITY_SQL
 from bigbugdata_spark.registry import register
 
-CLEAN_Q = 1.0  # full rule-sum score counts as clean
-SHORT_TOKENS = 56  # clean docs at or under this length go first
+# shared with pipe_release_manifest via the non-registering core module
+# (r18 rotation — see corpus_shard_core); re-exported for back-compat
+from bigbugdata_spark.operators.corpus_shard_core import (  # noqa: F401
+    CLEAN_Q,
+    SHORT_TOKENS,
+)
 
 
 @register(

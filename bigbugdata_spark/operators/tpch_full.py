@@ -52,83 +52,10 @@ _VOLUME_E4_SQL = (
 )
 
 
-@register(
-    "tpch_q2_min_cost_supplier",
-    oracle=f"""
-        WITH offers AS (
-            SELECT l_partkey, l_suppkey,
-                   CAST(ROUND(l_extendedprice*100) AS BIGINT) AS cost_cents
-            FROM lineitem
-        ), mincost AS (
-            SELECT l_partkey AS mp, MIN(cost_cents) AS min_cost
-            FROM offers GROUP BY l_partkey
-        )
-        SELECT DISTINCT
-               CAST(ROUND(s_acctbal*100) AS BIGINT) AS s_acctbal_cents,
-               s_name, n_name, p_partkey, p_type, cost_cents
-        FROM offers
-        JOIN mincost ON l_partkey = mp AND cost_cents = min_cost
-        JOIN part ON p_partkey = l_partkey
-        JOIN supplier ON s_suppkey = l_suppkey
-        JOIN nation ON n_nationkey = s_nationkey
-        JOIN region ON r_regionkey = n_regionkey
-        WHERE p_size BETWEEN 10 AND 20 AND r_name = 'EUROPE'
-        ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
-        LIMIT 100
-    """,
-    tags=("tpch", "join", "subquery", "headline"),
-)
-def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q2 minimum-cost supplier: the correlated-MIN subquery shape
-    (ref has no joins at all — this is pure extension surface). With no
-    partsupp, each lineitem is an offer (part, supplier, price); the
-    subquery picks each part's cheapest offer.
-
-    Plan (r17, guide §2.4): the part predicate prunes offers FIRST (a
-    broadcast join at test scale; at 100 TB the planner's SMJ on partkey
-    leaves offers partitioned exactly as the window needs, so the min
-    still costs one shuffle of the ~20% surviving offers), then the
-    per-part MIN is an in-partition window instead of a separate
-    aggregate joined back — the old shape scanned lineitem twice and
-    joined offers against a broadcast mincost that cannot broadcast at
-    scale.  Per-part MIN over the part-filtered offers equals the
-    all-offers MIN for every surviving part (the minimum is computed
-    within each part independently), so the result is unchanged —
-    verified list-identical.  Measured 0.97-1.22 -> 0.76-0.85 s min
-    across three interleaved trials; nation/region keep their broadcast
-    hints; DISTINCT collapses equal-cost duplicate offers before the
-    TakeOrderedAndProject top-100."""
-    part = (
-        table(spark, sf_dir, "part")
-        .filter(F.col("p_size").between(10, 20))
-        .select("p_partkey", "p_type")
-    )
-    offers = (
-        table(spark, sf_dir, "lineitem")
-        .select(
-            "l_partkey", "l_suppkey", _cents("l_extendedprice").alias("cost_cents")
-        )
-        .join(part, F.col("l_partkey") == F.col("p_partkey"))
-    )
-    w_min = Window.partitionBy("l_partkey")
-    supp = table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_name", "s_nationkey", _cents("s_acctbal").alias("s_acctbal_cents")
-    )
-    nation = table(spark, sf_dir, "nation")
-    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    return (
-        offers.withColumn("min_cost", F.min("cost_cents").over(w_min))
-        .filter(F.col("cost_cents") == F.col("min_cost"))
-        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("s_acctbal_cents", "s_name", "n_name", "p_partkey", "p_type", "cost_cents")
-        .distinct()
-        .orderBy(
-            F.desc("s_acctbal_cents"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
-        )
-        .limit(100)
-    )
+# tpch_q2_min_cost_supplier and tpch_q21_waiting_suppliers moved to
+# operators/tpch_hot.py (r18 rotation split: the two r17-restructured
+# queries sit in the driver cap without spending nine slots on this
+# module's untouched tail) — same pattern as the events_quant split.
 
 
 @register(
@@ -651,103 +578,4 @@ def tpch_q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name")
         .distinct()
-    )
-
-
-@register(
-    "tpch_q21_waiting_suppliers",
-    oracle="""
-        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
-        FROM supplier
-        JOIN nation ON n_nationkey = s_nationkey
-        JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
-        JOIN orders ON o_orderkey = l1.l_orderkey
-        WHERE n_name = 'NATION_1'
-          AND o_orderstatus = 'F'
-          AND l1.l_returnflag = 'R'
-          AND EXISTS (SELECT 1 FROM lineitem l2
-                      WHERE l2.l_orderkey = l1.l_orderkey
-                        AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                          WHERE l3.l_orderkey = l1.l_orderkey
-                            AND l3.l_suppkey <> l1.l_suppkey
-                            AND l3.l_returnflag = 'R')
-        GROUP BY s_name
-        ORDER BY numwait DESC, s_name
-        LIMIT 100
-    """,
-    tags=("tpch", "join", "subquery", "headline"),
-)
-def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q21 suppliers who kept orders waiting: the EXISTS + NOT-EXISTS
-    double self-join — the sole-failing-supplier pattern (returnflag 'R'
-    stands in for receipt>commit lateness).
-
-    Plan: instead of two residual-condition self-joins (each a shuffle of
-    the full lineitem against itself with a <> residual), a per-order
-    aggregate computes n_suppliers and n_flagged_suppliers; a line
-    qualifies iff n_suppliers >= 2 AND n_flagged_suppliers = 1 — the
-    sole flagged supplier in a multi-supplier order, provably equivalent
-    to the EXISTS pair (l1 is flagged, so its supplier IS the one
-    flagged supplier). The distinct counts are built as TWO stacked
-    aggregates — per (order, supplier) then per order — because a single
-    multi-COUNT(DISTINCT) aggregate plans an Expand that doubles every
-    lineitem row through the shuffle. The per-(order,supplier) frame
-    also carries each supplier's R-line count, so the qualifying lines
-    come from that aggregate too: lineitem is scanned ONCE, no raw-row
-    self-join survives, and numwait is the sum of R-line counts over the
-    qualifying (order, supplier) pairs. The SQL oracle keeps the EXISTS
-    shape.
-
-    r17 (guide §2.4 — establish the partitioning once): lineitem
-    repartitions by l_orderkey ONCE up front; hashpartitioning(l_orderkey)
-    satisfies the (l_orderkey, l_suppkey) aggregate's clustering
-    requirement AND the per-order roll-up's, so the old stacked per-order
-    aggregate + re-join (two more exchanges of the aggregated frame)
-    collapses into an exchange-free window over the same partitioning.
-    Measured min 0.78-1.16 -> 0.56-0.64 s at sf0.1 across three
-    interleaved trials, ordered output list-identical. Skew-safe: a
-    window partition is one order's suppliers (bounded by lines-per-order,
-    never corpus-proportional)."""
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey", "l_returnflag")
-        .repartition("l_orderkey")
-    )
-    r_line = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
-    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max(r_line).alias("has_r"),
-        F.sum(r_line).alias("n_r_lines"),
-    )
-    w_order = Window.partitionBy("l_orderkey")
-    per_supp = per_supp.withColumn(
-        "n_supp", F.count(F.lit(1)).over(w_order)
-    ).withColumn("n_flagged", F.sum("has_r").over(w_order))
-    supp = (
-        table(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(
-                table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
-            ),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .select("s_suppkey", "s_name")
-    )
-    orders_f = (
-        table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderstatus") == "F")
-        .select("o_orderkey")
-    )
-    return (
-        per_supp.filter(
-            (F.col("has_r") == 1)
-            & (F.col("n_supp") >= 2)
-            & (F.col("n_flagged") == 1)
-        )
-        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
-        .groupBy("s_name")
-        .agg(F.sum("n_r_lines").alias("numwait"))
-        .orderBy(F.desc("numwait"), F.asc("s_name"))
-        .limit(100)
     )

@@ -344,16 +344,82 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (which imports it), events_rollup_incr's rotated-out slot precedes
 # streaming.rollup (which imports it), text_ext precedes
 # no_oracle_shims.  CAP_BOUNDARY_MODULE -> operators.text_lm.
+# Round-18 rotation (VERDICT r17 #3, executed as ordered): the r18 cap
+# holds the query paths round 17 RESTRUCTURED, so the driver — not the
+# builder's parity mirror — holds their equivalence verdicts.  The 13
+# r17-cap backfill modules (tpch, tpch_ext, dedup_src, storage_audit,
+# events_trans, dq_drift, streaming.drift, corpus_shard, text_bpe,
+# emb_health, events_dwell, orders_rfm, text_lm) rotate out on fresh
+# r17 verdicts, zero r17/r18 operator-code edits on any of them.
+# Because four touched queries live in modules whose untouched tails
+# would burn 9+8+5+1 slots (tpch_full, events, corpus, text_bpe_train),
+# they are SPLIT into slot-sized modules — the events_quant r12
+# precedent — moved verbatim (same name, fn body, oracle):
+#   tpch_hot (tpch_q2 + tpch_q21), events_retention (evt_retention),
+#   corpus_decontam (text_decontaminate), and text_bpe_compression
+#   moved OUT of text_bpe_train's module (the trainer keeps the slot;
+#   the roll-up is the same text_bpe_core trainer + one aggregate).
+# pipeline_release's module-level imports of corpus_curriculum /
+# corpus_shard (2 registrations of drag) moved to the non-registering
+# corpus_shard_core so its cap slot costs exactly 1.
+# Backfills (24 slots, exactly 50):
+#   * the four split modules: tpch_hot (2), events_retention (1),
+#     corpus_decontam (1) = 4
+#   * slot-sized touched modules: kmeans (1), events_growth (1),
+#     events_mad (1), text_bpe_train (1), pipeline (1),
+#     pipeline_release (1), pipeline_guard (1), similarity_tri (1),
+#     similarity_knn (1) = 9
+#   * touched multi-query modules: overlap (2 — span coverage +
+#     containment, both restructured), dedup_incr (2 — incremental +
+#     cluster_sizes, the CC-fixpoint consumer), dedup (7 — cluster_keep
+#     _lsh/ngram_jaccard/minhash_lsh/cluster_keep restructured; exact/
+#     simhash/emb_cosine ride the shared shingle-guard change) = 11
+# All moved-in modules re-verified free of module-level registering
+# imports this round (catalog/registry/functions/caching/*_core only;
+# corpus_shard_core is non-registering by construction).  Tail-order
+# constraints preserved: dq_drift precedes streaming.drift,
+# events_rollup_incr precedes streaming.rollup, similarity_incr
+# precedes similarity_incr_batch, funnel_steps/mta pairs, text_ext
+# precedes no_oracle_shims; corpus (tail) imports corpus_decontam
+# (in-cap, earlier — safe direction).  CAP_BOUNDARY_MODULE ->
+# operators.dedup_incr (dedup precedes it: the rows-only shim
+# dedup_emb_lsh carries fn.__module__ == operators.dedup in the tail).  Queued for a future rotation: the r9-stale tier
+# remainder (corpus_budget_trim, corpus_curriculum_plan,
+# dq_emb_coverage, dq_freshness, evt_user_burst, evt_user_features,
+# prof_corr_chars_tokens, sim_semantic_clusters, text_template_prefix)
+# plus the spine consumers not covered here (sim_pagerank,
+# sim_semantic_keep — their spine edge input is bit-identical by the
+# salting-invariance argument, see similarity_graph_core).
 _QUERY_MODULES = (
     # ---- permanent slots 1-26 ----
     "bigbugdata_spark.operators.relational",
     "bigbugdata_spark.operators.audits",
     "bigbugdata_spark.operators.similarity_pq",
-    # ---- r8-stale tier (slots 27-38): the only pre-r9 driver
-    # verdicts left, queued since the r16 rotation note ----
+    # ---- r17-restructured tier (slots 27-50): see rotation note ----
+    "bigbugdata_spark.operators.tpch_hot",
+    "bigbugdata_spark.operators.events_retention",
+    "bigbugdata_spark.operators.corpus_decontam",
+    "bigbugdata_spark.operators.kmeans",
+    "bigbugdata_spark.operators.events_growth",
+    "bigbugdata_spark.operators.events_mad",
+    "bigbugdata_spark.operators.text_bpe_train",
+    "bigbugdata_spark.operators.pipeline",
+    "bigbugdata_spark.operators.pipeline_release",
+    "bigbugdata_spark.operators.pipeline_guard",
+    "bigbugdata_spark.operators.similarity_tri",
+    "bigbugdata_spark.operators.similarity_knn",
+    "bigbugdata_spark.operators.overlap",
+    # dedup precedes dedup_incr so the boundary module is dedup_incr:
+    # the rows-only shim dedup_emb_lsh (no_oracle_shims, tail) carries
+    # fn.__module__ == operators.dedup, which the boundary leak-check
+    # in tests/test_registry.py rightly flags if dedup ends the cap
+    "bigbugdata_spark.operators.dedup",
+    "bigbugdata_spark.operators.dedup_incr",
+    # ---- driver cap boundary (first 50 registrations end here) ----
+    # rotated out in r18 (fresh CORRECTNESS_r17 rows; no operator-code
+    # edits touch these modules this round — see the rotation note):
     "bigbugdata_spark.operators.tpch",
     "bigbugdata_spark.operators.tpch_ext",
-    # ---- r9-stale tier, stalest-first (slots 39-50) ----
     "bigbugdata_spark.operators.dedup_src",
     "bigbugdata_spark.operators.storage_audit",
     "bigbugdata_spark.operators.events_trans",
@@ -365,9 +431,11 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.events_dwell",
     "bigbugdata_spark.operators.orders_rfm",
     "bigbugdata_spark.operators.text_lm",
-    # ---- driver cap boundary (first 50 registrations end here) ----
-    # rotated out in r17 (fresh CORRECTNESS_r16 rows; no operator-code
-    # edits touch these modules this round — see the rotation note):
+    # the r18 split remainders (see rotation note): tails untouched
+    # this round, family verdicts as recorded per module docstring
+    "bigbugdata_spark.operators.tpch_full",
+    "bigbugdata_spark.operators.text_bpe_compression",
+    # rotated out in r17 (fresh CORRECTNESS_r16 rows):
     # events_rollup_incr must precede streaming.rollup (module-level
     # import), text_ext must precede no_oracle_shims
     "bigbugdata_spark.operators.profile",
@@ -375,9 +443,7 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.packing",
     "bigbugdata_spark.operators.scd",
     "bigbugdata_spark.operators.text_ext",
-    "bigbugdata_spark.operators.kmeans",
     "bigbugdata_spark.operators.storage_gc",
-    "bigbugdata_spark.operators.dedup_incr",
     "bigbugdata_spark.operators.dedup_incr_lsh",
     "bigbugdata_spark.operators.events_rollup_incr",
     "bigbugdata_spark.operators.dq_ext",
@@ -387,16 +453,13 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.corpus_version",
     "bigbugdata_spark.streaming.scd_sink",
     "bigbugdata_spark.streaming.enrich",
-    # rotated out in r16 (fresh CORRECTNESS_r15 rows; the r16 TTL-parse
-    # fold is import-time-identical — see the rotation note above):
+    # rotated out in r16 (fresh CORRECTNESS_r15 rows):
     # similarity_incr_batch imports similarity_incr at module level
     # and sits later in the tail — order preserved
     "bigbugdata_spark.operators.similarity_incr",
-    "bigbugdata_spark.operators.similarity_knn",
     "bigbugdata_spark.operators.multimodal",
     "bigbugdata_spark.operators.similarity",
     "bigbugdata_spark.operators.dq",
-    "bigbugdata_spark.operators.tpch_full",
     # rotated out in r15 (fresh CORRECTNESS_r14 rows):
     # funnel_steps imports events_funnel_steps at module level, and
     # mta imports events_mta — pair order preserved
@@ -413,17 +476,12 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.text_sentence",
     "bigbugdata_spark.operators.text_boiler",
     "bigbugdata_spark.operators.text_qcurve",
-    # similarity_incr_batch imports similarity_incr (in-cap, earlier)
+    # similarity_incr_batch imports similarity_incr (earlier in tail)
     "bigbugdata_spark.operators.similarity_incr_batch",
     "bigbugdata_spark.operators.events_bots",
     "bigbugdata_spark.operators.corpus_temp",
     "bigbugdata_spark.operators.dq_recon",
-    # dedup: 7 oracle'd registrations; dedup_emb_lsh in the
-    # out-of-cap tail
-    "bigbugdata_spark.operators.dedup",
-    "bigbugdata_spark.operators.pipeline",
     "bigbugdata_spark.operators.quantize",
-    "bigbugdata_spark.operators.overlap",
     # rotated out in r13 (fresh CORRECTNESS_r12 rows):
     "bigbugdata_spark.operators.events_attrib",
     "bigbugdata_spark.operators.storage_encoding",
@@ -446,13 +504,10 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.events_quant",
     # rotated out (fresh CORRECTNESS_r11 rows):
     "bigbugdata_spark.operators.orders_conc",
-    "bigbugdata_spark.operators.text_bpe_train",
     "bigbugdata_spark.operators.zorder3_audit",
-    "bigbugdata_spark.operators.pipeline_guard",
     "bigbugdata_spark.streaming.mad",
     "bigbugdata_spark.operators.similarity_rank",
     "bigbugdata_spark.operators.dq_seq",
-    "bigbugdata_spark.operators.similarity_tri",
     "bigbugdata_spark.operators.events_qtrend",
     "bigbugdata_spark.operators.mm_features",
     "bigbugdata_spark.streaming.rollup",
@@ -472,11 +527,9 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.zorder_audit",
     "bigbugdata_spark.operators.asset_audit",
     "bigbugdata_spark.operators.orders_ltv",
-    "bigbugdata_spark.operators.events_mad",
     "bigbugdata_spark.operators.dedup_curve",
     "bigbugdata_spark.operators.events_season",
     "bigbugdata_spark.streaming.freshness",
-    "bigbugdata_spark.operators.events_growth",
     "bigbugdata_spark.streaming.seasonality",
     "bigbugdata_spark.streaming.growth",
     "bigbugdata_spark.operators.similarity_keep",
@@ -491,7 +544,6 @@ _QUERY_MODULES = (
     "bigbugdata_spark.operators.dq_fresh",
     "bigbugdata_spark.operators.dq_emb",
     "bigbugdata_spark.operators.profile_corr",
-    "bigbugdata_spark.operators.pipeline_release",
     "bigbugdata_spark.operators.text_prefix",
     "bigbugdata_spark.operators.events_burst",
     "bigbugdata_spark.operators.corpus_budget",
@@ -512,7 +564,7 @@ _QUERY_MODULES = (
 #: pushed an intended query out of the cap would have passed CI).
 #: tests/test_registry.py asserts the 50th registration comes from this
 #: module and the 51st from a later one.
-CAP_BOUNDARY_MODULE = "bigbugdata_spark.operators.text_lm"
+CAP_BOUNDARY_MODULE = "bigbugdata_spark.operators.dedup_incr"
 DRIVER_CAP = 50
 
 
