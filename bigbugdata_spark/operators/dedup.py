@@ -500,14 +500,26 @@ def dedup_cluster_keep(
     label join itself (a _chg flag on the checkpointed frame) instead of
     a separate new-vs-old join per round. Fixpoint and output are
     identical: edges only reference edge nodes, so the restriction is
-    exact."""
+    exact.
+
+    r18 (guide §3.1 — VERDICT r17 #4, the one confirmed regression of
+    r17): the restore join is hinted BROADCAST. The converged labels
+    are a localCheckpointed RDD with no stats, so the planner fell back
+    to a SortMergeJoin that shuffled AND sorted the whole corpus'
+    doc_id column just to re-attach the pair-graph-bounded label table
+    (plans/r17/dedup_cluster_keep_lsh_after.txt: 2 Exchange + SMJ; the
+    r16->r17 bench read 0.028 -> 0.12 s on exactly this tail). Labels
+    are edge-touched nodes only — near-dup-pair-bounded, the side
+    pipe_training_corpus already broadcasts by the same 100 TB
+    argument — so the restore is now scan -> BroadcastHashJoin ->
+    project with zero exchanges."""
     if pairs is None:
         pairs = dedup_ngram_jaccard(spark, sf_dir)
     labels = cc_node_labels(pairs)
     return (
         table(spark, sf_dir, "documents")
         .select("doc_id")
-        .join(labels, "doc_id", "left")
+        .join(F.broadcast(labels), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("cluster_rep"), F.col("doc_id")).alias("cluster_rep"),

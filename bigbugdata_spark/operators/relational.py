@@ -473,7 +473,9 @@ def op12_regex_control_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("relational", "join"),
 )
-def op13_floor_ratio_rrpm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def op13_floor_ratio_rrpm(
+    spark: SparkSession, sf_dir: str, part_keyed: bool = True
+) -> DataFrame:
     """rRPM — the signature floor-truncated ratio (op 13, ref
     bigbugdata.py:130-163): rrpm = int(rpm) / max(int(control_rpm), 1),
     both sides truncated, missing control measurement -> 0 -> guarded to 1.
@@ -488,8 +490,16 @@ def op13_floor_ratio_rrpm(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, and the query needs exactly one shuffle. The generic self-join
     fallback (controls not members of their group) lives in
     operators/kraken.py::rrpm with an explicit persist instead.
+
+    `part_keyed` (default True, the registered shape) selects between
+    the r17 pre-keyed form (raw projected rows through ONE l_partkey
+    exchange; the window reuses it) and the two-phase form (map-side
+    partial sums through the agg exchange + a second exchange for the
+    window).  VERDICT r17 #5: count-vs-bytes is scale-dependent — the
+    x10 probe measures BOTH shapes (bench.SCALE_PROBE_VARIANTS) so the
+    registered default is a measured decision, not an argument.
     """
-    rpm = _rpm(spark, sf_dir, part_keyed=True)
+    rpm = _rpm(spark, sf_dir, part_keyed=part_keyed)
     sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     ctrl = sup.groupBy("s_nationkey").agg(F.min("s_suppkey").alias("control_suppkey"))
     mapping = sup.join(F.broadcast(ctrl), "s_nationkey").select(
@@ -605,7 +615,9 @@ def op14_topk_with_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("relational", "window"),
 )
-def op15_zscore_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def op15_zscore_window(
+    spark: SparkSession, sf_dir: str, part_keyed: bool = True
+) -> DataFrame:
     """Cross-sample population z-score (op 15, ref bigbugdata.py:322-331,
     scipy ddof=0). Computed from explicit SUM/SUM(x^2)/COUNT over the
     partition window — exact in fp64 for integer-valued reads, so the
@@ -615,10 +627,12 @@ def op15_zscore_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic stand-in, asserted in the kraken fidelity tests).
     """
     w = Window.partitionBy("l_partkey")
-    # part_keyed: one exchange established once — the window reuses the
-    # aggregate's l_partkey partitioning (2 Exchanges -> 1; measured
-    # 0.77 -> 0.44 s min at sf0.1, result symdiff 0).
-    fact = _fact_reads(spark, sf_dir, part_keyed=True)
+    # part_keyed default True: one exchange established once — the
+    # window reuses the aggregate's l_partkey partitioning (2 Exchanges
+    # -> 1; measured 0.77 -> 0.44 s min at sf0.1, result symdiff 0).
+    # The False arm (two-phase partial-sum agg) exists for the x10
+    # probe's count-vs-bytes comparison (VERDICT r17 #5; see op13).
+    fact = _fact_reads(spark, sf_dir, part_keyed=part_keyed)
     stats = (
         fact.withColumn("s", F.sum("reads").over(w))
         .withColumn("ss", F.sum(F.col("reads") * F.col("reads")).over(w))
