@@ -32,6 +32,35 @@ def sf2_opted_in() -> bool:
     )
 
 
+def slow_tier_opted_in() -> bool:
+    """THE definition of the SPARK_GRAFT_SLOW_TIER opt-in parse (r18,
+    VERDICT r17 #2), shared by the collection hook and the sweep
+    recorder in tests/conftest.py — same contract as sf2_opted_in.
+
+    The slow tier holds the restart/crash-recovery, stream-vs-batch
+    equivalence, fuzz and multicycle-lifecycle tests (the mechanisms
+    proven in rounds 8-17 and untouched since): ~15 min of the suite's
+    wall time that pushed the DRIVER's pytest window past its budget
+    (r17: 860 tests cut off ~80% with zero failures -> tests_ok: false
+    of unknown cause).  Default runs stay under the window; the tier
+    runs opt-in per round and records its result to
+    SLOWTIER_SWEEP.json, exactly like the SF2 sweep."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_SLOW_TIER", "").lower() not in (
+        "",
+        "0",
+        "false",
+    )
+
+
+#: how many tests carry @pytest.mark.slow_tier — the sweep recorder's
+#: completeness guard (a targeted -k run must not overwrite the real
+#: record, the SF2 rule) and a lint pin (tests/test_round18_ops.py
+#: counts the markers so the constant cannot drift silently).
+SLOW_TIER_SIZE = 24
+
+
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:

@@ -1088,6 +1088,7 @@ def test_ivf_incremental_batch_vectors_retrievable(spark, sf_oracle):
     assert recall >= 0.70, f"incremental-assign recall collapsed: {recall:.3f}"
 
 
+@pytest.mark.slow_tier
 def test_gram_index_incremental_append_equals_rebuild(tmp_path, spark):
     """r8 verdict item 4: the persisted gram index is MAINTAINED
     incrementally — building the index over the stored corpus and then

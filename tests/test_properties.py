@@ -104,6 +104,7 @@ def _write_corpus(tmp_path, corpus):
         max_size=4,
     )
 )
+@pytest.mark.slow_tier
 def test_pipeline_invariants(spark, tmp_path_factory, corpus):
     tmp_path = tmp_path_factory.mktemp("prop")
     paths = _write_corpus(tmp_path, corpus)

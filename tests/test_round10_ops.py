@@ -5,6 +5,8 @@ incremental-dedup index paths (VERDICT r9 #3)."""
 from __future__ import annotations
 
 import duckdb
+import pytest
+
 from pyspark.sql import functions as F
 
 from bigbugdata_spark.functions.fragments import JACCARD_T
@@ -149,6 +151,7 @@ def _lsh_probe(spark, fp, batch_sh):
     )
 
 
+@pytest.mark.slow_tier
 def test_incremental_index_multicycle_lifecycle(tmp_path, spark):
     """VERDICT r9 #3: three admit->append->probe cycles on BOTH index
     paths.  Per cycle: (a) each probe result equals the from-scratch
@@ -418,6 +421,7 @@ def test_triangle_stats_planted_cliques(tmp_path, spark):
     assert ok, msg
 
 
+@pytest.mark.slow_tier
 def test_rollup_store_multicycle_append_equals_recompute(tmp_path, spark):
     """evt_rollup_materialized's maintenance path: build the partial
     store on a base slice, append two ingest batches, and the merged

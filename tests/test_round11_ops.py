@@ -152,6 +152,7 @@ def test_attribute_kernel_within_batch_late_touch_does_not_regress():
     assert state.get == (30_000_000, 300, "search")
 
 
+@pytest.mark.slow_tier
 def test_stream_attribution_matches_batch(spark, sf_oracle):
     """Whole-fixture availableNow stream == the batch window derivation
     (the registered oracle gates both; this pins Spark-vs-Spark)."""
@@ -165,6 +166,7 @@ def test_stream_attribution_matches_batch(spark, sf_oracle):
     assert len(streamed) > 0
 
 
+@pytest.mark.slow_tier
 def test_stream_attribution_multi_slice_scrambled_chunks(spark, tmp_path):
     """The documented ordering contract end-to-end: a per-user
     time-ordered feed sliced into 3 micro-batches (maxFilesPerTrigger=1),
@@ -436,6 +438,7 @@ def test_graph_spine_adopts_persisted_generation(spark, sf_oracle, monkeypatch):
     assert G.knn_edges(spark, sf_oracle).count() == n
 
 
+@pytest.mark.slow_tier
 def test_graph_spine_rebuilds_on_content_change(spark, tmp_path):
     """A regenerated corpus (same path, new content) must never be
     served a stale generation: the fingerprint changes, the old

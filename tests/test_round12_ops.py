@@ -360,6 +360,7 @@ def test_stream_mta_kernel_path_and_reset():
     ]
 
 
+@pytest.mark.slow_tier
 def test_stream_mta_matches_batch(spark, sf_oracle):
     """Whole-fixture availableNow stream == the batch window derivation
     (the registered oracle gates both; this pins Spark-vs-Spark)."""

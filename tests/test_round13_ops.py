@@ -24,6 +24,8 @@ from __future__ import annotations
 import shutil
 from pathlib import Path
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from bigbugdata_spark.registry import load_all
@@ -46,6 +48,7 @@ def _gen_paths(sf_dir: str) -> tuple[Path, Path]:
     )
 
 
+@pytest.mark.slow_tier
 def test_ivf_generation_adoption_equals_rebuild(spark, sf_oracle):
     """A persisted generation adopted by a later call must be
     indistinguishable from a fresh build — the same append==rebuild

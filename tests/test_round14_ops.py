@@ -292,6 +292,7 @@ def test_stream_mta_reordered_feed_fails_through_engine(spark, tmp_path):
         _one_file_per_batch_run(spark, tmp_path, build)
 
 
+@pytest.mark.slow_tier
 def test_stream_funnel_engine_slicing_fuzz(spark, tmp_path):
     """Random in-order slicings through the REAL engine (VERDICT r13
     #7a): a seeded funnel feed cut at random boundaries into one file
@@ -716,6 +717,7 @@ def test_high_water_mark_survives_query_restart(spark, tmp_path):
         )
 
 
+@pytest.mark.slow_tier
 def test_funnel_restart_recovery_on_rocksdb_state_store(spark, tmp_path):
     """The same restart recovery on the SCALE-grade store: under
     rocksdb_state_store both query instances run on the
@@ -915,6 +917,7 @@ def test_tmp_ttl_env_parse_survives_garbage(monkeypatch):
     assert _parse() == 1800
 
 
+@pytest.mark.slow_tier
 def test_concurrent_generation_builders_both_succeed(tmp_path):
     """The END-TO-END validation of the publish stack under a real
     race: TWO separate processes (own JVMs) build the same never-built
@@ -1002,6 +1005,7 @@ def test_concurrent_generation_builders_both_succeed(tmp_path):
                     shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.slow_tier
 def test_sessionizer_timeout_and_state_survive_query_restart(
     spark, tmp_path
 ):

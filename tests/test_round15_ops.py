@@ -95,6 +95,7 @@ def test_mta_restart_recovery_on_rocksdb_state_store(spark, tmp_path):
     )
 
 
+@pytest.mark.slow_tier
 def test_sessionizer_restart_recovery_on_rocksdb_state_store(
     spark, tmp_path
 ):
@@ -601,6 +602,7 @@ def test_rollup_sink_converges_after_crash_between_write_and_commit(
     ], got
 
 
+@pytest.mark.slow_tier
 def test_scd2_sink_converges_after_crash_between_write_and_commit(
     spark, tmp_path
 ):

@@ -301,6 +301,7 @@ spark.stop()
 """
 
 
+@pytest.mark.slow_tier
 def test_spine_survives_session_restart_without_rebuild(sf_small):
     """VERDICT r15 #6's restart/resume property for the
     driver-controlled iterative family, proven at the artifact every
@@ -463,6 +464,7 @@ spark.stop()
 """
 
 
+@pytest.mark.slow_tier
 def test_ivf_generation_survives_session_restart_without_rebuild(sf_small):
     """The same restart/resume property for the OTHER warm-path
     artifact with a wall budget (sim_ivf_incremental_assign's 1.5 s
@@ -528,6 +530,7 @@ spark.stop()
 """
 
 
+@pytest.mark.slow_tier
 def test_attach_family_indexes_survive_session_restart(spark, sf_small):
     """The catalog-ATTACH half of the restart matrix: the three
     saveAsTable-published warm-path artifacts (gram index, LSH

@@ -406,6 +406,7 @@ def _parquet_files(loc):
     )
 
 
+@pytest.mark.slow_tier
 def test_lsh_append_killed_between_tables_is_torn_then_rebuilt(
     spark, tmp_path
 ):

@@ -3,6 +3,8 @@ every registered query by tests/test_oracle_parity.py)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from bigbugdata_spark.registry import load_all
@@ -236,6 +238,7 @@ def test_incremental_lsh_equals_gram_path_and_plan(spark, sf_oracle):
     assert "CartesianProduct" not in I.plan_string(lsh)
 
 
+@pytest.mark.slow_tier
 def test_lsh_index_incremental_append_equals_rebuild(tmp_path, spark):
     """Band-index maintenance: base build + batch append must equal a
     from-scratch full build in both tables (bands as multisets, sets

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from bigbugdata_spark.catalog import table
@@ -126,6 +128,7 @@ def test_stateful_user_totals_match_batch(spark, sf_oracle):
     assert got == want
 
 
+@pytest.mark.slow_tier
 def test_stream_stream_join_matches_batch(spark, sf_oracle):
     """Inner stream-stream interval join == the batch join: the
     watermark bounds state, never the inner-join output."""
@@ -244,6 +247,7 @@ def test_partitioned_stream_sink_layout_and_rows(tmp_path, spark, sf_oracle):
     )
 
 
+@pytest.mark.slow_tier
 def test_scd2_incremental_sink_matches_batch_and_is_idempotent(
     tmp_path, spark, sf_oracle
 ):
@@ -354,6 +358,7 @@ def test_stream_static_enrichment_matches_batch(spark, sf_oracle):
     assert streamed  # non-degenerate: events do join the dimension
 
 
+@pytest.mark.slow_tier
 def test_scd2_out_of_order_slice_detected_then_repaired(
     tmp_path, spark, sf_oracle
 ):

@@ -272,6 +272,7 @@ def test_corpus_version_diff_same_result_through_compacted_table(
     assert after == before
 
 
+@pytest.mark.slow_tier
 def test_backfill_through_versioned_table_lifecycle(tmp_path, spark, sf_oracle):
     """r8 verdict item 7: compose the versioned table with the SCD2
     repair path. A training run pins the pre-repair snapshot; an
