@@ -543,10 +543,23 @@ def cc_node_labels(pairs: DataFrame) -> DataFrame:
     edges = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b")).unionByName(
         pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b"))
     ).localCheckpoint()
+    # r18 (guide §1.2 step 1): the label init and propagation round 1
+    # fuse into ONE aggregation. Round 1 of min-label propagation sets
+    # every node's label to min(self, min(neighbors)) over the INITIAL
+    # labels (= ids), which is exactly least(a, min(b)) per edge node —
+    # so the separate distinct() (an exchange + checkpoint) and the
+    # first join-propagate-checkpoint-count round both disappear. The
+    # x10 A/B (plans/r18/cc_x10_ab.json) showed those two fixed jobs
+    # cost more than the edge-restriction saved at every measurable
+    # scale; fusing removes them without giving up the O(pair graph)
+    # per-round bound.
     labels = (
-        edges.select(F.col("a").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("cluster_rep"))
+        edges.groupBy("a")
+        .agg(F.min("b").alias("_nb"))
+        .select(
+            F.col("a").alias("doc_id"),
+            F.least(F.col("a"), F.col("_nb")).alias("cluster_rep"),
+        )
         .localCheckpoint()
     )
     while True:

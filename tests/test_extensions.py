@@ -322,6 +322,23 @@ def test_cluster_keep_accepts_lsh_pair_source(spark, sf_oracle):
     assert via_lsh == default
 
 
+def test_cc_fused_init_multi_round_chain(spark):
+    """The r18 fused init (label init + propagation round 1 collapsed
+    into one least(a, min(b)) aggregation) must still converge through
+    MULTIPLE further rounds: a path graph of diameter 4 needs label
+    propagation well past round 1, so any convergence-check or init
+    error shows here where the near-dup corpus (tiny cliques, 2 rounds)
+    cannot exercise it."""
+    from bigbugdata_spark.operators.dedup import cc_node_labels
+
+    # chain 2-9-5-7-1 (component min 1 enters from one end) + pair 10-11
+    pairs = spark.createDataFrame(
+        [(2, 9), (9, 5), (5, 7), (7, 1), (10, 11)], "d1 long, d2 long"
+    )
+    labels = {r["doc_id"]: r["cluster_rep"] for r in cc_node_labels(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 5: 1, 7: 1, 9: 1, 10: 10, 11: 10}
+
+
 def test_sim_cosine_topk_np_matches_exact_baseline(spark, sf_oracle):
     """The Arrow/numpy blocked-matmul path returns the identical
     (query, neighbor, rank) result as the oracle-checked JVM baseline —
