@@ -59,6 +59,7 @@ def text_decontaminate(
     spark: SparkSession,
     sf_dir: str,
     benchmark: "DataFrame | str | None" = None,
+    preagg: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination — flag training documents that share any
     word-{n}-gram with the benchmark, with the distinct shared-gram and
@@ -77,19 +78,31 @@ def text_decontaminate(
         broadcast is sized by the external eval set, which is small
         intrinsically, not corpus-proportionally.
 
-    Plan (r17 restructure, guide §2.3/§2.4): the benchmark side is
-    pre-aggregated to ONE row per gram carrying its distinct bench-doc
-    set, so the broadcast equi-join on the gram hash is 1:1 against the
-    corpus gram stream — no per-(gram, bench_doc) fan-out, never any
-    all-pairs comparison. Because each corpus (doc_id, gram_hash) is
-    already distinct (distinct shingles), `n_shared_grams` is a plain
-    COUNT(*) of matched grams and `n_bench_docs` the size of the union
-    of the matched grams' bench-id sets — one exchange on doc_id, no
-    Expand. (The previous two-COUNT(DISTINCT) form expanded every
-    joined row x2 and paid a second exchange; measured below.) For
-    corpus-vs-corpus overlap, where neither side is small, the right
-    tool is the shuffled inverted-index join of dedup_ngram_jaccard /
-    text_dup_ngrams instead."""
+    `preagg` selects the join shape (r18 decision, VERDICT r17 #6):
+      * False (registered default, the measured winner): broadcast the
+        (gram_hash, bench_id) rows and let the two COUNT(DISTINCT)s
+        aggregate the fan-out. The r17 pre-aggregate form measured
+        10-20% SLOWER in both r17 driver runs at sf0.1 and again in the
+        r18 interleaved A/B at sf0.1 (-16/-19%) and x10 (-4/-15%)
+        (plans/r18/decontam_ab.json) — the Expand x2 it removed is
+        cheaper here than its collect_set build + per-row set-union
+        work, so the "strictly better plan" never beat the simple one
+        at any measurable scale and the round rule (keep only if not
+        worse) reverts it.
+      * True (kept for extreme bench-side fan-out): the benchmark side
+        pre-aggregated to ONE row per gram carrying its distinct
+        bench-doc set, making the broadcast join 1:1 against the corpus
+        gram stream — no per-(gram, bench_doc) row multiplication, no
+        Expand. Worth switching only when benchmark documents overlap
+        each other so heavily that the per-gram fan-out multiplier (the
+        old shape's joined-row count over the new one's) is large;
+        measured on this corpus it is exactly 1.0 (2386 joined rows
+        either way — no gram is shared by two bench docs), so there is
+        nothing for the pre-aggregate to win back.
+
+    For corpus-vs-corpus overlap, where neither side is small, the
+    right tool is the shuffled inverted-index join of
+    dedup_ngram_jaccard / text_dup_ngrams instead."""
     grams = _decon_grams(table(spark, sf_dir, "documents"))
     bench_docs = _load_benchmark(spark, benchmark)
     if bench_docs is None:
@@ -98,17 +111,27 @@ def text_decontaminate(
     else:
         bench = _decon_grams(bench_docs)
         corpus = grams
-    per_gram = bench.groupBy("gram_hash").agg(
-        F.collect_set("doc_id").alias("bids")
-    )
+    if preagg:
+        per_gram = bench.groupBy("gram_hash").agg(
+            F.collect_set("doc_id").alias("bids")
+        )
+        return (
+            corpus.join(F.broadcast(per_gram), "gram_hash")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_shared_grams"),
+                F.size(F.array_distinct(F.flatten(F.collect_list("bids"))))
+                .cast("long")
+                .alias("n_bench_docs"),
+            )
+        )
+    bench_rows = bench.select(F.col("doc_id").alias("bench_id"), "gram_hash")
     return (
-        corpus.join(F.broadcast(per_gram), "gram_hash")
+        corpus.join(F.broadcast(bench_rows), "gram_hash")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_shared_grams"),
-            F.size(F.array_distinct(F.flatten(F.collect_list("bids"))))
-            .cast("long")
-            .alias("n_bench_docs"),
+            F.countDistinct("gram_hash").cast("long").alias("n_shared_grams"),
+            F.countDistinct("bench_id").cast("long").alias("n_bench_docs"),
         )
     )
 
