@@ -281,9 +281,20 @@ def ivf_probes(
 def ivf_candidates(
     probes: DataFrame, assign: DataFrame
 ) -> DataFrame:
-    """(query_id, vec_id) distinct candidates from the probed cells."""
+    """(query_id, vec_id) distinct candidates from the probed cells.
+
+    The probe list is BROADCAST (r18, guide §3.1 — the plan audit's
+    SMJ-order flag): it is (query set x probe width) rows of 12 bytes —
+    the intrinsically small serving side, |Q| x K/2 ~ |Q| x sqrt(n)/2
+    (5 MB at |Q|=25, n=10^9) — while the inverted file is corpus x
+    IVF_ASSIGN. The planner cannot see that bound (probes comes out of
+    a window over a derived frame, no stats), so it sort-merge-joined
+    on cell_id: both sides exchanged and sorted by a K-valued key, and
+    the join's output order then died in the candidate distinct. With
+    the hint the inverted file flows scan -> BHJ with no exchange and
+    no sort."""
     return (
-        probes.join(assign, "cell_id")
+        F.broadcast(probes).join(assign, "cell_id")
         .select("query_id", "vec_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .distinct()

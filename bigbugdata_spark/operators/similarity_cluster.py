@@ -123,7 +123,12 @@ def sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sizes = label_counts.groupBy("component").agg(F.sum("n").alias("n_vecs"))
-    return majority.join(sizes, "component").select(
+    # r18 (guide §3.1, the plan audit's SMJ-order flag): the majority x
+    # sizes join feeds the unordered result, so the SMJ's sorts bought
+    # nothing; SHUFFLE_HASH avoids them (build side = one row per
+    # component per partition). Measured 0.232 vs 0.252 s min at sf0.1
+    # (plans/r18/smj_flag_ab.json) — small but consistent.
+    return majority.join(sizes.hint("shuffle_hash"), "component").select(
         "component",
         "n_vecs",
         "majority_label",

@@ -80,7 +80,11 @@ def sim_knn_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_cos_ppm"
         ),
     )
-    return per_rank.join(recip, "rnk", "left").select(
+    # r18 (guide §3.1, the plan audit's SMJ-order flag): both sides are
+    # <= KNN_K rows by construction, but recip comes out of a join+agg
+    # chain with no stats so the planner sort-merge-joined them.
+    # Broadcast is bounded by the rank domain itself.
+    return per_rank.join(F.broadcast(recip), "rnk", "left").select(
         "rnk",
         "n_edges",
         F.expr("sum_cos_ppm div n_edges").alias("mean_cos_ppm"),

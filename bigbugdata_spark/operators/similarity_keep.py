@@ -84,7 +84,14 @@ def sim_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
-    return comp.join(sizes, "component").select(
+    # r18 (guide §3.1, the plan audit's SMJ-order flag): the final join's
+    # output order dies in the unordered result sink, so the SMJ's two
+    # sorts — one of them over the corpus-sized comp frame — were pure
+    # overhead. SHUFFLE_HASH builds on the sizes side (component-count-
+    # proportional, so NOT broadcast-safe at 100 TB, but per-partition
+    # bounded after its own exchange). Measured: 0.088 vs 0.120 s min
+    # interleaved at sf0.1 (plans/r18/smj_flag_ab.json).
+    return comp.join(sizes.hint("shuffle_hash"), "component").select(
         "vec_id",
         "component",
         "cluster_size",

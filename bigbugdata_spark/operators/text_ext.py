@@ -300,9 +300,14 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_terms = spark.createDataFrame(
         [(t,) for t in _CMS_PROBE], "term string"
     )
+    # r18 (guide §3.1, the plan audit's SMJ-order flag): est and exact
+    # are both <= |_CMS_PROBE| rows by construction (the fixed probe
+    # vocabulary), but they come out of join/filter+agg chains with no
+    # stats, so the planner sort-merge-joined the probe spine against
+    # them. Broadcast is bounded by the probe list itself.
     return (
-        probe_terms.join(est, "term")
-        .join(exact, "term", "left")
+        probe_terms.join(F.broadcast(est), "term")
+        .join(F.broadcast(exact), "term", "left")
         .select(
             "term",
             "est_count",
